@@ -1,0 +1,113 @@
+"""NumPy oracle backend.
+
+Plays the role of the reference's pure nested backends ``NTensorL`` /
+``NTensorV`` (``src/TensorOps/Backend/NTensor.hs``, ``src/Data/Nested.hs``):
+a dead-simple, obviously-correct implementation that the JAX/TPU backend is
+validated against (forward and gradients to <=1e-6).  Contraction follows
+the reverse-indexed semantics of ``Nested.gmul'``
+(``src/Data/Nested.hs:451-473``) expressed as a tensordot against reversed
+contraction axes; float64 throughout for tight parity bounds.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.shapes import Shape
+from ..ops.vfunc import VFunc
+from .base import Backend, Distribution
+
+
+class NumpyBackend(Backend):
+    name = "numpy"
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+
+    # -- construction ---------------------------------------------------
+    def asarray(self, x: Any) -> np.ndarray:
+        return np.asarray(x, dtype=self.dtype)
+
+    def zeros(self, shape: Shape) -> np.ndarray:
+        return np.zeros(shape, dtype=self.dtype)
+
+    def ones(self, shape: Shape) -> np.ndarray:
+        return np.ones(shape, dtype=self.dtype)
+
+    def konst(self, value: float, shape: Shape) -> np.ndarray:
+        return np.full(shape, value, dtype=self.dtype)
+
+    # -- primitives -----------------------------------------------------
+    def lift(self, vf: VFunc, xs: Sequence[Any]) -> np.ndarray:
+        out = vf.f(*xs)
+        return np.asarray(out, dtype=self.dtype)
+
+    def lift_vjp(self, vf: VFunc, xs: Sequence[Any], ct: Any) -> Tuple[np.ndarray, ...]:
+        gs = vf.derived_grads()(*xs)
+        return tuple(np.asarray(ct * np.asarray(g, dtype=self.dtype)) for g in gs)
+
+    def gmul(self, lm: int, lo: int, ln: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if lo == 0:
+            # outer product: no contraction axes
+            return np.multiply.outer(x, y) if (x.ndim or y.ndim) else x * y
+        x_axes = list(range(lm, lm + lo))
+        y_axes = list(range(lo - 1, -1, -1))  # reversed: Reverse os
+        return np.tensordot(x, y, axes=(x_axes, y_axes))
+
+    def transp(self, t: np.ndarray) -> np.ndarray:
+        return np.transpose(t, axes=tuple(reversed(range(t.ndim))))
+
+    def map_rows(self, k: int, f: Callable, t: np.ndarray) -> np.ndarray:
+        if k == 0:
+            return np.asarray(f(t), dtype=self.dtype)
+        lead = t.shape[:k]
+        flat = t.reshape((-1,) + t.shape[k:])
+        outs = [np.asarray(f(flat[i]), dtype=self.dtype) for i in range(flat.shape[0])]
+        out = np.stack(outs) if outs else np.zeros((0,), dtype=self.dtype)
+        return out.reshape(lead + outs[0].shape if outs else lead)
+
+    def sum_rows(self, t: np.ndarray) -> np.ndarray:
+        return t.sum(axis=0)
+
+    def diag(self, k: int, v: np.ndarray) -> np.ndarray:
+        if k == 1:
+            return v.copy()
+        n = v.shape[0]
+        out = np.zeros((n,) * k, dtype=self.dtype)
+        idx = np.arange(n)
+        out[(idx,) * k] = v
+        return out
+
+    def get_diag(self, k: int, t: np.ndarray) -> np.ndarray:
+        n = t.shape[0]
+        idx = np.arange(n)
+        return t[(idx,) * k]
+
+    def gen_rand(self, dist: Distribution, rng: np.random.Generator, shape: Shape) -> np.ndarray:
+        if dist.kind == "normal":
+            out = rng.normal(dist.a, dist.b, size=shape)
+        else:
+            out = rng.uniform(dist.a, dist.b, size=shape)
+        return np.asarray(out, dtype=self.dtype)
+
+    def generate(self, shape: Shape, f: Callable[[Tuple[int, ...]], float]) -> np.ndarray:
+        out = np.empty(shape, dtype=self.dtype)
+        for idx in np.ndindex(*shape) if shape else [()]:
+            out[idx] = f(idx)
+        return out
+
+    def ix_rows(self, k: int, f: Callable, t: np.ndarray) -> np.ndarray:
+        lead = t.shape[:k]
+        outs = {}
+        for idx in np.ndindex(*lead):
+            outs[idx] = np.asarray(f(idx, t[idx]), dtype=self.dtype)
+        first = next(iter(outs.values()))
+        out = np.empty(lead + first.shape, dtype=self.dtype)
+        for idx, v in outs.items():
+            out[idx] = v
+        return out
+
+    def broadcast_to(self, t: np.ndarray, shape: Shape) -> np.ndarray:
+        return np.broadcast_to(t, shape).copy()

@@ -1,0 +1,13 @@
+from . import neuralnet, feedforward
+from .neuralnet import (
+    Activation,
+    act_logistic,
+    act_map,
+    act_map2,
+    act_softmax,
+    cross_entropy,
+    logistic,
+    softmax,
+    squared_error,
+)
+from .feedforward import Network, ff_layer, gen_net, lift_net

@@ -1,0 +1,98 @@
+"""Pointwise scalar functions with gradients (``VFunc``).
+
+The reference packages an R^n -> R scalar function together with its
+gradient as ``VFunc n`` (``src/TensorOps/Types.hs:114-117``) and, when the
+user supplies only the function, derives the gradient with the ``ad``
+package (``src/TensorOps/TOp.hs:213,246``).  Here a :class:`VFunc` holds a
+function built from elementwise primitives (it is applied to whole arrays,
+not scalars — pointwise semantics are preserved because every constituent
+op is elementwise) plus optional closed-form partial derivatives; when the
+derivatives are absent they are derived once with ``jax.grad`` on the
+scalar signature, the TPU-native analog of the ``ad`` package.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class VFunc:
+    """A pointwise function R^n -> R and its partial derivatives.
+
+    ``f`` maps n same-shape arrays elementwise to one array.  ``grads``,
+    if given, maps the n input arrays to the n arrays of partials
+    (evaluated elementwise).  ``name`` keys jit caches and error messages.
+    """
+
+    n_args: int
+    f: Callable
+    grads: Optional[Callable] = None
+    name: str = "vfunc"
+
+    def __post_init__(self):
+        if self.n_args < 0:
+            raise ValueError("VFunc arity must be >= 0")
+
+    def derived_grads(self) -> Callable:
+        """Partial-derivative function: closed-form if supplied, else
+        derived via ``jax.grad`` of the scalar signature and evaluated
+        elementwise with ``jax.vmap`` over the flattened arrays."""
+        if self.grads is not None:
+            return self.grads
+        return _autodiff_grads(self.f, self.n_args)
+
+
+@functools.lru_cache(maxsize=None)
+def _autodiff_grads_cached(f: Callable, n_args: int) -> Callable:
+    import jax
+    import jax.numpy as jnp
+
+    g_scalar = jax.grad(f, argnums=tuple(range(n_args)))
+
+    def grads(*xs):
+        shape = jnp.shape(xs[0])
+        flat = [jnp.ravel(jnp.asarray(x)) for x in xs]
+        outs = jax.vmap(g_scalar)(*flat)
+        return tuple(jnp.reshape(o, shape) for o in outs)
+
+    return grads
+
+
+def _autodiff_grads(f: Callable, n_args: int) -> Callable:
+    try:
+        return _autodiff_grads_cached(f, n_args)
+    except TypeError:  # unhashable callable
+        import jax
+        import jax.numpy as jnp
+
+        g_scalar = jax.grad(f, argnums=tuple(range(n_args)))
+
+        def grads(*xs):
+            shape = jnp.shape(xs[0])
+            flat = [jnp.ravel(jnp.asarray(x)) for x in xs]
+            outs = jax.vmap(g_scalar)(*flat)
+            return tuple(jnp.reshape(o, shape) for o in outs)
+
+        return grads
+
+
+def vfunc1(f: Callable, df: Optional[Callable] = None, name: str = "map") -> VFunc:
+    """Unary pointwise function (reference ``TO.map'``/``TO.map``,
+    ``src/TensorOps/TOp.hs:198-213``)."""
+    grads = None if df is None else (lambda x: (df(x),))
+    return VFunc(1, f, grads, name)
+
+
+def vfunc2(f: Callable, df: Optional[Callable] = None, name: str = "zip") -> VFunc:
+    """Binary pointwise function (reference ``TO.zip'``/``TO.zip``,
+    ``src/TensorOps/TOp.hs:249-266``). ``df(x, y) -> (dx, dy)``."""
+    return VFunc(2, f, df, name)
+
+
+def vfuncN(n: int, f: Callable, df: Optional[Callable] = None, name: str = "zipN") -> VFunc:
+    """N-ary pointwise function (reference ``TO.zipN``,
+    ``src/TensorOps/TOp.hs:232-247``)."""
+    return VFunc(n, f, df, name)

@@ -1,0 +1,141 @@
+"""Composition-law and structure-combinator tests — the rebuild of the
+reference's compile-time guarantees (SURVEY.md §4: composition laws,
+``firstOp``/``secondOp`` coherence, ``(&&&)`` gradient-sum semantics per
+``Types.hs:258-263``, ``shuffle`` zero-fill/fan-in-sum per
+``TOp.hs:106-131``)."""
+
+import numpy as np
+import pytest
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu import prim as P
+from tensor_ops_tpu.ops import ir
+from tensor_ops_tpu.ops.shapes import ShapeError
+
+from helpers import check_grads
+
+
+def r(*shape):
+    return np.random.default_rng(hash(shape) % 2**32).normal(size=shape)
+
+
+def test_identity(nb):
+    x = r(3)
+    op = P.identity([(3,)])
+    assert np.allclose(ir.run(op, nb, (x,))[0], x)
+
+
+def test_compose_mismatch_raises():
+    with pytest.raises(ShapeError):
+        P.mat_vec(3, 2) >> P.dot(4)
+
+
+def test_compose_associativity(nb):
+    a = P.map_op((3,), lambda x: x * 2, lambda x: 2.0 * (x * 0 + 1))
+    b = P.map_op((3,), lambda x: x + 1, lambda x: x * 0 + 1.0)
+    c = P.sum_rows((3,))
+    x = r(3)
+    left = ir.run((a >> b) >> c, nb, (x,))[0]
+    right = ir.run(a >> (b >> c), nb, (x,))[0]
+    assert np.allclose(left, right)
+
+
+def test_identity_laws(nb):
+    op = P.mat_vec(3, 2)
+    x = (r(3, 2), r(2))
+    base = ir.run(op, nb, x)[0]
+    pre = P.identity([(3, 2), (2,)]) >> op
+    post = op >> P.identity([(3,)])
+    assert np.allclose(ir.run(pre, nb, x)[0], base)
+    assert np.allclose(ir.run(post, nb, x)[0], base)
+
+
+def test_first_second(nb):
+    dbl = P.scale((2,), 2.0)
+    x, y = r(2), r(3)
+    f = P.first(dbl, rest=[(3,)])
+    outs = ir.run(f, nb, (x, y))
+    assert np.allclose(outs[0], 2 * x) and np.allclose(outs[1], y)
+    s = P.second(dbl, front=[(3,)])
+    outs = ir.run(s, nb, (y, x))
+    assert np.allclose(outs[0], y) and np.allclose(outs[1], 2 * x)
+
+
+def test_par(nb):
+    f = P.scale((2,), 2.0)
+    g = P.scale((3,), -1.0)
+    x, y = r(2), r(3)
+    outs = ir.run(P.par(f, g), nb, (x, y))
+    assert np.allclose(outs[0], 2 * x) and np.allclose(outs[1], -y)
+
+
+def test_fanout_forward(nb):
+    f = P.scale((2,), 2.0)
+    g = P.scale((2,), 3.0)
+    x = r(2)
+    outs = ir.run(P.fanout(f, g), nb, (x,))
+    assert np.allclose(outs[0], 2 * x) and np.allclose(outs[1], 3 * x)
+
+
+def test_fanout_gradient_sums(nb):
+    # (&&& gradient = sum of both branches' cotangent pullbacks,
+    # Types.hs:258-263): f = 2x, g = 3x, loss = dot(f,g) -> d/dx = 12x
+    x = r(2)
+    op = P.fanout(P.scale((2,), 2.0), P.scale((2,), 3.0)) >> P.dot(2)
+    _, grads = ir.value_and_grad(op, nb, (x,))
+    assert np.allclose(grads[0], 12 * x)
+    check_grads(op, nb, (x,))
+
+
+def test_shuffle_forward(nb):
+    x, y = r(2), r(3)
+    op = P.shuffle([(2,), (3,)], [1, 0, 0])
+    outs = ir.run(op, nb, (x, y))
+    assert np.allclose(outs[0], y)
+    assert np.allclose(outs[1], x) and np.allclose(outs[2], x)
+
+
+def test_shuffle_grad_fanin_and_zero(nb):
+    # input 0 used twice (cotangents sum), input 1 unused (zero grad)
+    x, y = r(2), r(2)
+    op = P.shuffle([(2,), (2,)], [0, 0]) >> P.dot(2)
+    _, grads = ir.value_and_grad(op, nb, (x, y))
+    assert np.allclose(grads[0], 2 * x)
+    assert np.allclose(grads[1], 0.0)
+
+
+def test_swap_and_blocks(nb):
+    x, y, z = r(2), r(3), r(4)
+    sw = P.swap((2,), (3,))
+    outs = ir.run(sw, nb, (x, y))
+    assert np.allclose(outs[0], y) and np.allclose(outs[1], x)
+    sb = P.swap_blocks([(2,), (3,)], [(4,)])
+    outs = ir.run(sb, nb, (x, y, z))
+    assert np.allclose(outs[0], z)
+    assert np.allclose(outs[1], x) and np.allclose(outs[2], y)
+
+
+def test_drop_take_zero_grads(nb):
+    x, y = r(2), r(2)
+    op = P.drop([(2,)], [(2,)]) >> P.duplicate((2,)) >> P.dot(2)
+    _, grads = ir.value_and_grad(op, nb, (x, y))
+    assert np.allclose(grads[0], 0.0)  # dropped slot: zero-filled
+    assert np.allclose(grads[1], 2 * y)
+    op2 = P.take([(2,)], [(2,)]) >> P.duplicate((2,)) >> P.dot(2)
+    _, grads2 = ir.value_and_grad(op2, nb, (x, y))
+    assert np.allclose(grads2[0], 2 * x)
+    assert np.allclose(grads2[1], 0.0)
+
+
+def test_lead_infers_passthrough(nb):
+    # f *>> g with f: [2]->[2], g: [[2],[2]] -> scalar
+    f = P.scale((2,), 2.0)
+    g = P.dot(2)
+    x, y = r(2), r(2)
+    v = ir.run(f.lead(g), nb, (x, y))[0]
+    assert np.isclose(v, float((2 * x) @ y))
+
+
+def test_fanout_requires_same_inputs():
+    with pytest.raises(ShapeError):
+        P.fanout(P.scale((2,), 1.0), P.scale((3,), 1.0))
