@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""tensor-ops-mnist: train an MLP on MNIST with validation, confusion
+matrix, white-noise class, and digit induction — the rebuild of
+``/root/reference/app/MNIST.hs`` with the same flags/defaults
+(``MNIST.hs:89-133``) and reporting UX (``MNIST.hs:320-367``).
+
+Rebuild extras (TPU-first): ``--minibatch N`` trains with vmapped
+minibatches jitted into one XLA program per step (the reference is
+strictly per-sample SGD, ``MNIST.hs:390-396``); ``--epochs`` bounds the
+reference's run-to-Ctrl-C loop; ``--seed`` makes runs reproducible (the
+reference seeds from the system RNG, ``MNIST.hs:250-251``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import (
+    act_logistic,
+    act_softmax,
+    cross_entropy,
+    gen_net,
+)
+from tensor_ops_tpu.models.training import (
+    accuracy,
+    batched_run,
+    confusion,
+    train_minibatch,
+)
+from tensor_ops_tpu.utils.mnist_data import load_mnist
+from tensor_ops_tpu.utils.timing import timed
+
+
+def one_hot(i: int, n: int) -> np.ndarray:
+    v = np.zeros(n)
+    v[i] = 1.0
+    return v
+
+
+def render_digit(x: np.ndarray) -> str:
+    """ASCII-render a 784-vector, each pixel doubled horizontally
+    (``renderOut``, ``MNIST.hs:423-446``)."""
+
+    def render(r: float) -> str:
+        if r <= 0.2:
+            return " "
+        if r <= 0.4:
+            return "."
+        if r <= 0.8:
+            return "-"
+        if r <= 1.9:
+            return "="
+        return "#"
+
+    rows = np.asarray(x, dtype=np.float64).reshape(28, 28)
+    return "\n".join("".join(render(v) * 2 for v in row) for row in rows)
+
+
+def print_confusion(mat: np.ndarray) -> None:
+    """Predicted-by-actual counts with [i] row labels (the boxes render,
+    ``MNIST.hs:335-356``)."""
+    n = mat.shape[0]
+    width = max(5, len(str(mat.max())) + 1)
+    header = "      " + "".join(f"{j:>{width}}" for j in range(n))
+    print(header)
+    for i in range(n):
+        print(f"[{i:>2}] " + "".join(f"{mat[i, j]:>{width}}" for j in range(n)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="tensor-ops-mnist",
+        description="tensor-ops-mnist - train neural nets on MNIST data set\n"
+        "Simple test of tensor-ops tensors (JAX/XLA backend) on MNIST "
+        "classification challenge",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("-r", "--rate", type=float, default=0.02,
+                   help="Neural network learning rate (default: 0.02)")
+    p.add_argument("-l", "--layers", type=str, default="300,100",
+                   help="Comma-separated hidden layer sizes (default: 300,100)")
+    p.add_argument("-b", "--batch", type=int, default=1000,
+                   help="Training batch size (default: 1000)")
+    p.add_argument("-d", "--data", type=str, default="data/mnist",
+                   help="Directory to store/cache MNIST data files")
+    p.add_argument("-c", "--noconfusion", action="store_true",
+                   help="Disable confusion matrix validation and only display "
+                        "%% error every batch")
+    p.add_argument("-w", "--white", action="store_true",
+                   help='Train with an eleventh "white noise" class to train '
+                        "network on negative results")
+    p.add_argument("-i", "--induce", type=int, default=None, metavar="DIGIT",
+                   help="Every batch, attempt to induce an image of the given "
+                        "digit with the trained network")
+    p.add_argument("--epochs", type=int, default=0,
+                   help="Number of epochs (0 = run until interrupted, like the reference)")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--backend", choices=["jax", "np"], default="jax")
+    p.add_argument("--minibatch", type=int, default=0,
+                   help="Vmapped minibatch size (0 = per-sample SGD like the reference)")
+    p.add_argument("--limit", type=int, default=0,
+                   help="Subsample the training set to N samples (0 = all)")
+    args = p.parse_args(argv)
+
+    if args.induce is not None and not (0 <= args.induce <= 9):
+        p.error(f"Number {args.induce} out of range (9)")
+
+    layers = [int(x) for x in args.layers.split(",") if x]
+
+    train_raw, test_raw = load_mnist(args.data)
+    print("Loaded data.")
+
+    o = 11 if args.white else 10
+    be = T.JaxBackend() if args.backend == "jax" else T.NumpyBackend()
+    rng = Rng(be, seed=args.seed)
+    shuffle_rng = np.random.default_rng(args.seed + 1)
+
+    if args.limit:
+        train_raw = train_raw[: args.limit]
+
+    # processDat: pixels/255, one-hot labels (``MNIST.hs:194-216``)
+    tX = np.stack([d / 255.0 for _, d in train_raw]).astype(np.float64)
+    tL = np.array([l for l, _ in train_raw])
+    vX = np.stack([d / 255.0 for _, d in test_raw]).astype(np.float64)
+    vL = np.array([l for l, _ in test_raw])
+    tY = np.eye(o)[tL]
+
+    net = gen_net(be, 784, o,
+                  [(h, act_logistic()) for h in layers], act_softmax(), rng)
+    loss = cross_entropy(o)
+
+    print(f"rate: {args.rate} | batch: {args.batch} | layers: {layers}")
+    if args.white:
+        print("white noise class enabled")
+    if args.induce is not None:
+        print(f"inducing: {args.induce}")
+    print("Data processed.")
+
+    noise_rng = np.random.default_rng(args.seed + 2)
+
+    def white_extras(n: int):
+        """Scaled uniform-noise samples labeled as class 10
+        (``MNIST.hs:299-306``)."""
+        xs = noise_rng.uniform(0, 1, size=(n, 784)) * noise_rng.uniform(
+            0, 1, size=(n, 1)
+        )
+        return xs, np.full(n, 10)
+
+    epoch = 1
+    try:
+        while args.epochs == 0 or epoch <= args.epochs:
+            print(f"[Epoch {epoch}]")
+            X, Y, L = tX, tY, tL
+            if args.white:
+                nx, nl = white_extras(len(tX) // 10)
+                X = np.concatenate([X, nx])
+                Y = np.concatenate([Y, np.eye(o)[nl]])
+                L = np.concatenate([L, nl])
+            perm = shuffle_rng.permutation(len(X))
+            X, Y, L = X[perm], Y[perm], L[perm]
+            print(f"Training on {len(X)} samples in batches of {args.batch} ...")
+
+            for b0 in range(0, len(X), args.batch):
+                bnum = b0 // args.batch + 1
+                xs, ys, ls = (
+                    X[b0 : b0 + args.batch],
+                    Y[b0 : b0 + args.batch],
+                    L[b0 : b0 + args.batch],
+                )
+                print(f"Batch {bnum} ...")
+
+                def train_chunk():
+                    nonlocal net
+                    if args.minibatch > 1:
+                        for k in range(0, len(xs), args.minibatch):
+                            _, net = train_minibatch(
+                                net, loss, be, args.rate,
+                                be.asarray(xs[k : k + args.minibatch]),
+                                be.asarray(ys[k : k + args.minibatch]),
+                            )
+                    else:
+                        for x, y in zip(xs, ys):
+                            net = net.train(loss, args.rate, be,
+                                            be.asarray(x), be.asarray(y))
+                    return net.params
+
+                _, t = timed(train_chunk)
+                print(f"Trained on {len(xs)} samples in {t:.3f}s")
+
+                vXe, vLe = vX, vL
+                if args.white:
+                    nx, nl = white_extras(len(vX) // 10)
+                    vXe = np.concatenate([vX, nx])
+                    vLe = np.concatenate([vL, nl])
+
+                tscore = accuracy(net, be, be.asarray(xs), ls)
+                print(f"Training:   {(1 - tscore) * 100:.2f}% error")
+                if args.noconfusion:
+                    vscore = accuracy(net, be, be.asarray(vXe), vLe)
+                    print(f"Validation: {(1 - vscore) * 100:.2f}% error")
+                else:
+                    conf = confusion(net, be, be.asarray(vXe), vLe, o)
+                    vscore = conf.trace() / conf.sum()
+                    print(f"Validation: {(1 - vscore) * 100:.2f}% error")
+                    print_confusion(conf)
+
+                if args.induce is not None:
+                    target = be.asarray(one_hot(args.induce, o))
+                    x0 = rng.draw(T.uniform(0, 0.05), (784,))
+                    x1 = x0
+                    for _ in range(5000):
+                        x1 = net.induce(loss, 1.0, be, target, x1)
+                    print(render_digit(np.asarray(x1)))
+                    yhat = np.asarray(batched_run(net, be)(
+                        be.asarray(np.asarray(x1)[None]), *net.params))[0]
+                    print("/".join(f"{v:.2f}" for v in yhat))
+            epoch += 1
+    except KeyboardInterrupt:
+        print("\nInterrupted.")
+
+
+if __name__ == "__main__":
+    main()

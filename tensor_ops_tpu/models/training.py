@@ -1,0 +1,130 @@
+"""Batched training: the TPU-first upgrade over the reference's strictly
+per-sample SGD hot loop (``trainAll = foldl' trainNetwork``,
+``app/MNIST.hs:390-396`` — SURVEY.md §2.5 notes the reference has *no*
+data parallelism of any kind).
+
+The staged per-sample graph is ``jax.vmap``-ed over the batch axis (params
+broadcast), gradients are averaged, and gradient + SGD update jit into one
+XLA program — so the MXU sees real ``[B, i] x [o, i]`` matmuls instead of
+rank-1 gemv chains.  The AD is still the framework's own graph
+transposition (vmap maps over it); ``jax.grad`` is never used on the model.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import engine
+from ..backend.base import Backend
+from ..ops import ir
+from ..ops.ir import TOp
+from .feedforward import Network
+
+
+def _cache(net: Network, key, build):
+    fn = net.op._compiled.get(key)
+    if fn is None:
+        fn = build()
+        net.op._compiled[key] = fn
+    return fn
+
+
+def batched_run(net: Network, be: Backend) -> Callable:
+    """Jitted batched inference ``fn(xb, *params) -> yb``."""
+    key = ("brun", be.name, str(getattr(be, "dtype", None)))
+
+    def build():
+        if be.name == "jax":
+            import jax
+
+            def single(x, *params):
+                return net.op.apply(be, (x,) + params)[0]
+
+            return jax.jit(
+                jax.vmap(single, in_axes=(0,) + (None,) * len(net.params))
+            )
+
+        def loop(xb, *params):
+            return np.stack([net.op.apply(be, (x,) + tuple(params))[0] for x in xb])
+
+        return loop
+
+    return _cache(net, key, build)
+
+
+def batched_step(net: Network, loss: TOp, be: Backend) -> Callable:
+    """Jitted minibatch SGD step
+    ``fn(rate, xb, yb, *params) -> (mean_loss, new_params)`` using the
+    framework's transposition AD per sample, vmapped, mean-reduced."""
+    composed = net._loss_op(loss)
+    key = ("bstep", id(loss), be.name, str(getattr(be, "dtype", None)))
+
+    def build():
+        if be.name == "jax":
+            import jax
+            import jax.numpy as jnp
+
+            n_params = len(net.params)
+
+            def sample_vag(x, y, *params):
+                v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
+                return v, grads[1:-1]
+
+            vmapped = jax.vmap(
+                sample_vag, in_axes=(0, 0) + (None,) * n_params
+            )
+
+            def step(rate, xb, yb, *params):
+                vals, grads = vmapped(xb, yb, *params)
+                new_params = tuple(
+                    p - rate * jnp.mean(g, axis=0) for p, g in zip(params, grads)
+                )
+                return jnp.mean(vals), new_params
+
+            return jax.jit(step)
+
+        def step(rate, xb, yb, *params):
+            vals = []
+            gsums = [np.zeros_like(p) for p in params]
+            for x, y in zip(xb, yb):
+                v, grads = ir.value_and_grad(composed, be, (x,) + tuple(params) + (y,))
+                vals.append(v)
+                for acc, g in zip(gsums, grads[1:-1]):
+                    acc += g
+            bsz = len(xb)
+            new_params = tuple(p - rate * g / bsz for p, g in zip(params, gsums))
+            return float(np.mean(vals)), new_params
+
+        return step
+
+    return _cache(net, key, build)
+
+
+def train_minibatch(
+    net: Network, loss: TOp, be: Backend, rate: float, xb: Any, yb: Any
+) -> Tuple[float, Network]:
+    """One minibatch SGD step; returns (mean loss, updated network)."""
+    step = batched_step(net, loss, be)
+    v, new_params = step(rate, xb, yb, *net.params)
+    return v, Network(net.op, new_params)
+
+
+def accuracy(net: Network, be: Backend, xb: Any, yb_idx: Any) -> float:
+    """Fraction of argmax-correct predictions over a batch (the
+    ``validate`` fold, ``app/MNIST.hs:369-377``)."""
+    run = batched_run(net, be)
+    preds = np.asarray(run(xb, *net.params)).argmax(axis=1)
+    return float((preds == np.asarray(yb_idx)).mean())
+
+
+def confusion(net: Network, be: Backend, xb: Any, yb_idx: Any, n_classes: int) -> np.ndarray:
+    """Confusion matrix ``count[predicted, actual]`` (the ``confusion``
+    fold, ``app/MNIST.hs:379-389``)."""
+    run = batched_run(net, be)
+    preds = np.asarray(run(xb, *net.params)).argmax(axis=1)
+    m = np.zeros((n_classes, n_classes), dtype=np.int64)
+    for p, a in zip(preds, np.asarray(yb_idx)):
+        m[p, a] += 1
+    return m

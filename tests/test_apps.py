@@ -1,0 +1,101 @@
+"""App-level smoke tests: the dots and MNIST CLIs end-to-end on tiny
+workloads (the reference's implicit integration oracle — SURVEY.md §4)."""
+
+import io
+import sys
+import contextlib
+
+import numpy as np
+import pytest
+
+import apps.dots as dots
+import apps.mnist as mnist
+from tensor_ops_tpu.utils.idx import decode_idx, encode_idx, labeled_data
+from tensor_ops_tpu.utils.mnist_data import load_mnist
+
+
+def run_cli(main, argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(argv)
+    return buf.getvalue()
+
+
+def test_idx_roundtrip():
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    assert np.array_equal(decode_idx(encode_idx(arr)), arr)
+    lbl = np.array([3, 1], dtype=np.uint8)
+    pairs = labeled_data(lbl, arr)
+    assert pairs[0][0] == 3 and pairs[0][1].shape == (12,)
+
+
+def test_idx_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_idx(b"\x01\x00\x08\x01")
+    with pytest.raises(ValueError):
+        decode_idx(b"\x00\x00\x08\x01" + b"\x00\x00\x00\x05" + b"ab")  # short body
+
+
+def test_mnist_loader_synthetic(tmp_path):
+    tr, te = load_mnist(str(tmp_path))
+    assert len(tr) > 0 and len(te) > 0
+    l, px = tr[0]
+    assert 0 <= l <= 9 and px.shape == (784,)
+    # deterministic across loads
+    tr2, _ = load_mnist(str(tmp_path))
+    assert tr[0][0] == tr2[0][0] and np.array_equal(tr[0][1], tr2[0][1])
+
+
+def test_dots_cli_smoke():
+    out = run_cli(dots.main, ["-s", "500", "--seed", "1", "np"])
+    assert "rate: 1.0" in out
+    assert "Network trained" in out
+    # 21 lines of 51-char ASCII raster at the end
+    lines = out.strip("\n").split("\n")[-21:]
+    assert all(len(l) == 51 for l in lines)
+
+
+def test_dots_cli_rejects_unknown_backend():
+    with pytest.raises(SystemExit):
+        run_cli(dots.main, ["zz"])
+
+
+def test_dots_minibatch_path():
+    out = run_cli(dots.main, ["-s", "300", "--minibatch", "50", "--seed", "1", "jax"])
+    assert "Network trained" in out
+
+
+def test_mnist_cli_one_batch(tmp_path):
+    out = run_cli(
+        mnist.main,
+        ["--epochs", "1", "--limit", "300", "-b", "300", "--minibatch", "50",
+         "-r", "0.2", "-d", str(tmp_path), "--backend", "jax"],
+    )
+    assert "Training:" in out and "Validation:" in out
+    assert "[ 0]" in out  # confusion matrix rendered
+
+
+def test_mnist_cli_white_and_noconfusion(tmp_path):
+    out = run_cli(
+        mnist.main,
+        ["--epochs", "1", "--limit", "200", "-b", "220", "--minibatch", "50",
+         "-r", "0.2", "-d", str(tmp_path), "-w", "-c"],
+    )
+    assert "white noise class enabled" in out
+    assert "[ 0]" not in out  # confusion disabled
+
+
+def test_mnist_cli_induce_out_of_range(tmp_path):
+    with pytest.raises(SystemExit):
+        run_cli(mnist.main, ["-i", "11", "-d", str(tmp_path)])
+
+
+def test_training_error_decreases(tmp_path):
+    out = run_cli(
+        mnist.main,
+        ["--epochs", "1", "--limit", "2000", "-b", "1000", "--minibatch", "100",
+         "-r", "0.2", "-d", str(tmp_path), "-c"],
+    )
+    errs = [float(l.split()[1].rstrip("%")) for l in out.splitlines()
+            if l.startswith("Training:")]
+    assert len(errs) >= 2 and errs[-1] < errs[0]
