@@ -11,3 +11,6 @@ from .neuralnet import (
     squared_error,
 )
 from .feedforward import Network, ff_layer, gen_net, lift_net
+from .recurrent import RecurrentNetwork, fully_connected, stateless
+from .autoencoder import Encoder
+from . import recurrent, autoencoder, training

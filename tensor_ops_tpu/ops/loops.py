@@ -1,0 +1,194 @@
+"""Structured-loop IR nodes: ``ScanOp`` (recurrence over a time axis) and
+``MappedOp`` (vmap of an op over a leading axis).
+
+These are the TPU-native replacement for the reference's *compile-time*
+BPTT unrolling (``unroll``/``rollup``, ``src/TensorOps/Learn/NeuralNet/
+Recurrent.hs:392-463``): the reference builds an O(n)-size graph per
+sequence length and — because its composition recomputes forwards inside
+backwards — pays O(n^2) gradient cost (SURVEY.md §3.4).  Here the step op
+is traced once and driven by ``jax.lax.scan``; the backward pass is a
+*reversed* scan that recomputes each step's forward from the saved carry
+(O(n) total, O(n*state) memory — the standard checkpointed-RNN recipe),
+so XLA compiles one program regardless of sequence length.
+
+``MappedOp`` likewise turns per-slice mapping (``mapRows``-style) and
+batching into a single vmapped XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+
+from .ir import TOp, Arrays
+from .shapes import ShapeError, as_shape, as_stack, fmt_stack
+
+
+class ScanOp(TOp):
+    """Run ``step`` — a TOp ``([x] : ss ++ ps) -> ([y] : ss)`` — over a
+    stacked time axis.
+
+    Stacks::
+
+        in :  [(n, *x_shape)] ++ ss ++ ps
+        out:  [(n, *y_shape)] ++ ss        (final states)
+
+    Inputs are time-major stacked arrays (index 0 = first step), unlike
+    the reference's one-stack-slot-per-step unroll with reversed input
+    order (``Recurrent.hs:392-431``); gradients are verified equal to the
+    unrolled-graph semantics in tests.
+    """
+
+    __slots__ = ("step", "n", "n_state")
+
+    def __init__(self, step: TOp, n: int, n_state: int):
+        if n < 1:
+            raise ShapeError("scan needs n >= 1 steps")
+        if len(step.out_stack) != 1 + n_state:
+            raise ShapeError(
+                f"scan step must output [y] + {n_state} states, got "
+                f"{fmt_stack(step.out_stack)}"
+            )
+        if step.in_stack[1 : 1 + n_state] != step.out_stack[1:]:
+            raise ShapeError(
+                "scan step state shapes must match between input "
+                f"{fmt_stack(step.in_stack)} and output {fmt_stack(step.out_stack)}"
+            )
+        self.step = step
+        self.n = int(n)
+        self.n_state = int(n_state)
+        x_shape = step.in_stack[0]
+        y_shape = step.out_stack[0]
+        ss = step.out_stack[1:]
+        ps = step.in_stack[1 + n_state :]
+        super().__init__(
+            ((self.n,) + x_shape,) + ss + ps,
+            ((self.n,) + y_shape,) + ss,
+        )
+
+    def _split(self, xs):
+        k = self.n_state
+        return xs[0], tuple(xs[1 : 1 + k]), tuple(xs[1 + k :])
+
+    def apply_tape(self, be, xs, with_tape=True):
+        xarr, s0, params = self._split(xs)
+        if be.name == "jax":
+            import jax
+
+            def f(carry, x_t):
+                outs = self.step.apply(be, (x_t,) + carry + params)
+                y_t, s_new = outs[0], tuple(outs[1:])
+                return s_new, (y_t, carry)
+
+            s_final, (ys, s_ins) = jax.lax.scan(f, s0, xarr)
+            tape = (xarr, s_ins, params) if with_tape else None
+            return (ys,) + s_final, tape
+        # numpy oracle: plain loop
+        s = s0
+        ys = []
+        s_ins = []
+        for t in range(self.n):
+            s_ins.append(s)
+            outs = self.step.apply(be, (xarr[t],) + s + params)
+            ys.append(outs[0])
+            s = tuple(outs[1:])
+        stacked_s_ins = tuple(
+            np.stack([si[k] for si in s_ins]) for k in range(self.n_state)
+        )
+        tape = (xarr, stacked_s_ins, params) if with_tape else None
+        return (np.stack(ys),) + s, tape
+
+    def transpose(self, be, tape, cts):
+        xarr, s_ins, params = tape
+        y_cts, s_final_cts = cts[0], tuple(cts[1 : 1 + self.n_state])
+        n_params = len(params)
+
+        def backstep(s_ct, x_t, s_in, y_ct):
+            """One reverse step: recompute the forward from the saved
+            carry, transpose, and split the input cotangents."""
+            _, step_tape = self.step.apply_tape(be, (x_t,) + s_in + params)
+            in_cts = self.step.transpose(be, step_tape, (y_ct,) + s_ct)
+            dx_t = in_cts[0]
+            ds_in = tuple(in_cts[1 : 1 + self.n_state])
+            dp = tuple(in_cts[1 + self.n_state :])
+            return ds_in, dx_t, dp
+
+        if be.name == "jax":
+            import jax
+            import jax.numpy as jnp
+
+            def f(carry, scanned):
+                s_ct, p_acc = carry
+                x_t, s_in, y_ct = scanned
+                ds_in, dx_t, dp = backstep(s_ct, x_t, s_in, y_ct)
+                p_acc = tuple(a + d for a, d in zip(p_acc, dp))
+                return (ds_in, p_acc), dx_t
+
+            p_zero = tuple(jnp.zeros_like(p) for p in params)
+            (s0_cts, p_cts), dxs_rev = jax.lax.scan(
+                f, (s_final_cts, p_zero), (xarr, s_ins, y_cts), reverse=True
+            )
+            return (dxs_rev,) + s0_cts + p_cts
+
+        s_ct = s_final_cts
+        p_cts = tuple(np.zeros_like(p) for p in params)
+        dxs = [None] * self.n
+        for t in range(self.n - 1, -1, -1):
+            s_in = tuple(si[t] for si in s_ins)
+            ds_in, dx_t, dp = backstep(s_ct, xarr[t], s_in, y_cts[t])
+            dxs[t] = dx_t
+            p_cts = tuple(a + d for a, d in zip(p_cts, dp))
+            s_ct = ds_in
+        return (np.stack(dxs),) + s_ct + p_cts
+
+
+class MappedOp(TOp):
+    """Vmap an op over a new leading axis of size ``n`` on every input and
+    output slot — the staged analog of the reference's per-slice
+    ``mapRows`` (``src/TensorOps/Types.hs:77-81``), and the IR-native way
+    to express batching."""
+
+    __slots__ = ("op", "n")
+
+    def __init__(self, op: TOp, n: int):
+        self.op = op
+        self.n = int(n)
+        super().__init__(
+            tuple((self.n,) + s for s in op.in_stack),
+            tuple((self.n,) + s for s in op.out_stack),
+        )
+
+    def apply_tape(self, be, xs, with_tape=True):
+        if be.name == "jax":
+            import jax
+
+            if with_tape:
+                ys, tape = jax.vmap(
+                    lambda *row: self.op.apply_tape(be, row, True)
+                )(*xs)
+                return tuple(ys), tape
+            ys = jax.vmap(lambda *row: self.op.apply(be, row))(*xs)
+            return tuple(ys), None
+        rows = []
+        tapes = []
+        for t in range(self.n):
+            y, tp = self.op.apply_tape(be, tuple(x[t] for x in xs), with_tape)
+            rows.append(y)
+            tapes.append(tp)
+        ys = tuple(np.stack([r[k] for r in rows]) for k in range(len(self.op.out_stack)))
+        return ys, (tapes if with_tape else None)
+
+    def transpose(self, be, tape, cts):
+        if be.name == "jax":
+            import jax
+
+            return tuple(
+                jax.vmap(lambda tp, *row: self.op.transpose(be, tp, row))(tape, *cts)
+            )
+        outs = []
+        for t in range(self.n):
+            outs.append(self.op.transpose(be, tape[t], tuple(c[t] for c in cts)))
+        return tuple(
+            np.stack([o[k] for o in outs]) for k in range(len(self.op.in_stack))
+        )
