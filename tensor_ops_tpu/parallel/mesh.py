@@ -1,0 +1,162 @@
+"""Device meshes and sharded training — the multi-chip story.
+
+The reference is single-process/single-thread with zero distribution
+machinery (SURVEY.md §2.5); its only hardware seam is the BLAS typeclass.
+The rebuild's seam is ``jax.sharding``: pick a 2D ``(data, model)`` mesh,
+annotate the batch with the ``data`` axis and the MLP's hidden dimensions
+with the ``model`` axis (Megatron-style row/column alternation so the
+activation stays sharded between layers), and let XLA insert the
+collectives over ICI.  No hand-rolled communication — the design recipe of
+the scaling playbook: mesh -> shardings -> XLA collectives -> profile.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from ..backend.base import Backend
+from ..ops import ir
+from ..ops.ir import TOp
+from ..models.feedforward import Network
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    shape: Optional[Tuple[int, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """A 2D ``(data, model)`` mesh.  With no explicit shape, factor the
+    device count as (n // tp, tp) with tp the largest power of two <= 4
+    dividing n — dp-heavy, which suits MLP workloads."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} "
+                f"available (on CPU set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} before "
+                f"backend init; in axon environments also set "
+                f"PALLAS_AXON_POOL_IPS= to stop sitecustomize pre-initializing)"
+            )
+        devices = devices[:n_devices]
+    n = len(devices)
+    if shape is None:
+        tp = 1
+        for cand in (4, 2):
+            if n % cand == 0 and n >= cand:
+                tp = cand
+                break
+        shape = (n // tp, tp)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != device count {n}")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_specs(param_stack: Sequence[Tuple[int, ...]], mesh: Mesh) -> Tuple[PSpec, ...]:
+    """Megatron-style specs for an alternating ffLayer chain: layer-k
+    weight ``(o, i)`` is row-parallel (``o`` over model) for even k and
+    column-parallel (``i`` over model) for odd k; biases follow their
+    weight's output sharding.  Axes not divisible by the model-axis size
+    are replicated."""
+    tp = mesh.shape[MODEL_AXIS]
+    specs = []
+    layer = 0
+    for shape in param_stack:
+        if len(shape) == 2:
+            row = layer % 2 == 0
+            if row and shape[0] % tp == 0:
+                specs.append(PSpec(MODEL_AXIS, None))
+            elif (not row) and shape[1] % tp == 0:
+                specs.append(PSpec(None, MODEL_AXIS))
+            else:
+                specs.append(PSpec(None, None))
+            layer += 1
+        elif len(shape) == 1:
+            # bias: sharded iff its matching (row-parallel) weight was
+            prev = specs[-1] if specs else PSpec()
+            if (
+                len(prev) >= 1
+                and prev[0] == MODEL_AXIS
+                and shape[0] % tp == 0
+            ):
+                specs.append(PSpec(MODEL_AXIS))
+            else:
+                specs.append(PSpec(None))
+        else:
+            specs.append(PSpec(*([None] * len(shape))))
+    return tuple(specs)
+
+
+def batch_spec() -> PSpec:
+    return PSpec(DATA_AXIS, None)
+
+
+def shard_network(net: Network, mesh: Mesh) -> Network:
+    """Device-put the parameters with their mesh shardings."""
+    specs = param_specs(net.param_stack, mesh)
+    params = tuple(
+        jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(net.params, specs)
+    )
+    return Network(net.op, params)
+
+
+def sharded_train_step(
+    net: Network, loss: TOp, be: Backend, mesh: Mesh
+) -> Callable:
+    """Jitted multi-chip minibatch SGD step
+    ``fn(rate, xb, yb, *params) -> (mean_loss, new_params)``.
+
+    The per-sample staged graph (framework transposition AD) is vmapped
+    over the batch; the batch is sharded over the ``data`` axis and params
+    over the ``model`` axis, so XLA emits psum-style gradient reductions
+    over ICI from the shardings alone."""
+    composed = net._loss_op(loss)
+    n_params = len(net.params)
+
+    def sample_vag(x, y, *params):
+        v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
+        return v, grads[1:-1]
+
+    vmapped = jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+
+    def step(rate, xb, yb, *params):
+        import jax.numpy as jnp
+
+        vals, grads = vmapped(xb, yb, *params)
+        new_params = tuple(
+            p - rate * jnp.mean(g, axis=0) for p, g in zip(params, grads)
+        )
+        return jnp.mean(vals), new_params
+
+    pspecs = param_specs(net.param_stack, mesh)
+    param_sh = tuple(NamedSharding(mesh, s) for s in pspecs)
+    data_sh = NamedSharding(mesh, batch_spec())
+    repl = NamedSharding(mesh, PSpec())
+    return jax.jit(
+        step,
+        in_shardings=(repl, data_sh, data_sh) + param_sh,
+        out_shardings=(repl, param_sh),
+    )
+
+
+def sharded_forward(net: Network, be: Backend, mesh: Mesh) -> Callable:
+    """Jitted multi-chip batched inference ``fn(xb, *params) -> yb``."""
+
+    def single(x, *params):
+        return net.op.apply(be, (x,) + params)[0]
+
+    fwd = jax.vmap(single, in_axes=(0,) + (None,) * len(net.params))
+    pspecs = param_specs(net.param_stack, mesh)
+    param_sh = tuple(NamedSharding(mesh, s) for s in pspecs)
+    data_sh = NamedSharding(mesh, batch_spec())
+    return jax.jit(fwd, in_shardings=(data_sh,) + param_sh, out_shardings=data_sh)

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# NOTE: in axon-tunnel environments the sitecustomize pre-initializes JAX
+# backends at interpreter start, which locks the CPU client to 1 device no
+# matter what this file sets.  Launch pytest as
+#   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+#   XLA_FLAGS=--xla_force_host_platform_device_count=8 python -m pytest ...
+# to get the virtual 8-device mesh; mesh tests skip themselves otherwise.
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,95 @@
+"""Multi-chip sharding tests on the virtual CPU mesh: a dp+tp sharded
+training step must compute the same numbers as the single-device step
+(collectives inserted by XLA from shardings must be semantics-preserving)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import act_logistic, act_softmax, cross_entropy, gen_net
+from tensor_ops_tpu.models.feedforward import Network
+from tensor_ops_tpu.models.training import train_minibatch
+from tensor_ops_tpu.parallel.mesh import (
+    make_mesh,
+    param_specs,
+    shard_network,
+    sharded_forward,
+    sharded_train_step,
+)
+
+multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (see conftest note)"
+)
+
+
+def build(jb, i=8, h1=16, h2=8, o=4, seed=0):
+    rng = Rng(jb, seed=seed)
+    return gen_net(
+        jb, i, o, [(h1, act_logistic()), (h2, act_logistic())], act_softmax(), rng
+    )
+
+
+def data(jb, batch=16, i=8, o=4, seed=1):
+    r = np.random.default_rng(seed)
+    xb = jb.asarray(r.uniform(0, 1, size=(batch, i)))
+    yb = jb.asarray(np.eye(o)[r.integers(0, o, size=batch)])
+    return xb, yb
+
+
+@multi
+def test_sharded_step_matches_single_device(jb):
+    net = build(jb)
+    xb, yb = data(jb)
+    loss = cross_entropy(4)
+
+    # single-device reference step
+    v_ref, net_ref = train_minibatch(net, loss, jb, 0.1, xb, yb)
+
+    mesh = make_mesh(8)
+    snet = shard_network(net, mesh)
+    step = sharded_train_step(snet, loss, jb, mesh)
+    v_sh, new_params = step(0.1, xb, yb, *snet.params)
+
+    assert abs(float(v_ref) - float(v_sh)) < 1e-9
+    for a, b in zip(net_ref.params, new_params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+@multi
+def test_sharded_forward_matches_single(jb):
+    net = build(jb, seed=3)
+    xb, _ = data(jb, seed=4)
+    mesh = make_mesh(8)
+    snet = shard_network(net, mesh)
+    fwd = sharded_forward(snet, jb, mesh)
+    got = np.asarray(fwd(xb, *snet.params))
+    from tensor_ops_tpu.models.training import batched_run
+
+    want = np.asarray(batched_run(net, jb)(xb, *net.params))
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@multi
+def test_param_specs_alternate_row_col():
+    mesh = make_mesh(8)  # (data=2, model=4)
+    specs = param_specs(((16, 8), (16,), (8, 16), (8,), (4, 8), (4,)), mesh)
+    # layer0 row-parallel, layer1 column-parallel, layer2 row... but 4%4==0
+    assert specs[0] == jax.sharding.PartitionSpec("model", None)
+    assert specs[1] == jax.sharding.PartitionSpec("model")
+    assert specs[2] == jax.sharding.PartitionSpec(None, "model")
+    assert specs[3] == jax.sharding.PartitionSpec(None)
+
+
+def test_make_mesh_rejects_overask():
+    with pytest.raises(ValueError):
+        make_mesh(len(jax.devices()) + 1)
+
+
+@multi
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
