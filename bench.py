@@ -1,16 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: flagship MNIST MLP (784 -> 300 -> 100 -> 10, logistic hidden
-+ softmax out, cross-entropy — the reference's headline workload,
-``/root/reference/app/MNIST.hs:89-104``) training throughput on the
-available accelerator.
-
-Prints ONE JSON line:
+"""Benchmark harness. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` is measured against the closest stand-in for the
-reference's CPU path (the reference publishes no numbers — BASELINE.md):
-this framework's own NumPy-oracle per-sample SGD on the same host, in
-samples/second.
+Configs (BASELINE.md):
+  1. Headline: flagship MNIST MLP (784->300->100->10, logistic + softmax,
+     cross-entropy — ``/root/reference/app/MNIST.hs:89-104``) training
+     throughput, framework transposition-AD path, batch 1024.
+  2. Deep-MLP sweep: 8 fused 4096x4096 ffLayers (Pallas fused_linear),
+     forward+backward, reported as TFLOP/s and % of v5e bf16 roofline.
+
+Methodology: the accelerator sits behind a high-latency tunnel, so every
+measured loop runs *inside* one jitted program (``lax.fori_loop``) and is
+synced by fetching a scalar — dispatch overhead is amortized to zero and
+``block_until_ready`` artifacts are avoided.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is the reference-shaped CPU path — this framework's NumPy-oracle
+per-sample SGD on the same host — in samples/second.
 """
 
 from __future__ import annotations
@@ -19,6 +25,8 @@ import json
 import time
 
 import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def make_net(be, seed=0):
@@ -40,36 +48,98 @@ def make_data(n, seed=1):
     return x, y
 
 
-def bench_tpu(batch=1024, steps=30):
+def bench_mnist_train(batch=1024, steps=200):
+    """IR transposition-AD minibatch SGD, whole loop in one XLA program."""
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     import tensor_ops_tpu as T
     from tensor_ops_tpu.models import cross_entropy
-    from tensor_ops_tpu.models.training import batched_step
+    from tensor_ops_tpu.ops import ir
 
     be = T.JaxBackend()
     net = make_net(be)
     loss = cross_entropy(10)
+    composed = net._loss_op(loss)
+    n_params = len(net.params)
+
+    def sample_vag(x, y, *params):
+        v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
+        return v, grads[1:-1]
+
+    vmapped = jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+
     x, y = make_data(batch)
     xb, yb = be.asarray(x), be.asarray(y)
-    step = batched_step(net, loss, be)
 
-    params = net.params
-    # warmup / compile
-    v, params = step(0.02, xb, yb, *params)
-    jax.block_until_ready(params)
+    @jax.jit
+    def run_steps(xb, yb, params):
+        def body(i, params):
+            _, grads = vmapped(xb, yb, *params)
+            return tuple(p - 0.02 * jnp.mean(g, axis=0) for p, g in zip(params, grads))
+        return lax.fori_loop(0, steps, body, params)
 
+    params = tuple(net.params)
+    out = run_steps(xb, yb, params)
+    _ = float(jnp.sum(out[0]))  # compile + sync
     t0 = time.perf_counter()
-    for _ in range(steps):
-        v, params = step(0.02, xb, yb, *params)
-    jax.block_until_ready(params)
+    out = run_steps(xb, yb, params)
+    _ = float(jnp.sum(out[0]))
     dt = time.perf_counter() - t0
-    return steps / dt, batch * steps / dt, float(v)
+    return steps / dt, batch * steps / dt
+
+
+def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
+    """Deep fused-ffLayer sweep (BASELINE config 5): fwd+bwd through
+    `layers` Pallas fused 4096x4096 linear+relu layers."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tensor_ops_tpu.ops.pallas_kernels import fused_linear
+
+    r = np.random.default_rng(0)
+    ws = tuple(
+        jnp.asarray(r.normal(size=(n, n)) * (1.0 / np.sqrt(n)), dtype=jnp.float32)
+        for _ in range(layers)
+    )
+    bs = tuple(jnp.zeros((n,), jnp.float32) for _ in range(layers))
+    x = jnp.asarray(r.normal(size=(batch, n)), dtype=jnp.float32)
+
+    def net_loss(ws, bs, x):
+        h = x
+        for w, b in zip(ws, bs):
+            h = fused_linear(h, w, b, "relu")
+        return jnp.mean(h * h)
+
+    grad_fn = jax.value_and_grad(net_loss, argnums=(0, 1))
+
+    @jax.jit
+    def run_steps(ws, bs, x):
+        def body(i, carry):
+            ws, bs = carry
+            _, (gw, gb) = grad_fn(ws, bs, x)
+            ws = tuple(w - 1e-6 * g for w, g in zip(ws, gw))
+            bs = tuple(b - 1e-6 * g for b, g in zip(bs, gb))
+            return (ws, bs)
+        return lax.fori_loop(0, steps, body, (ws, bs))
+
+    out = run_steps(ws, bs, x)
+    _ = float(jnp.sum(out[0][0]))
+    t0 = time.perf_counter()
+    out = run_steps(ws, bs, x)
+    _ = float(jnp.sum(out[0][0]))
+    dt = time.perf_counter() - t0
+    # fwd (2BNK) + bwd (2 matmuls: 4BNK) per layer
+    flops = steps * layers * 6 * batch * n * n
+    tflops = flops / dt / 1e12
+    return tflops, tflops / V5E_BF16_PEAK_TFLOPS
 
 
 def bench_cpu_baseline(n_samples=60):
     """Per-sample SGD on the NumPy float64 oracle — the reference-shaped
-    CPU path (per-sample SGD over C-backed dense kernels)."""
+    CPU path (per-sample SGD over dense kernels)."""
     import tensor_ops_tpu as T
     from tensor_ops_tpu.models import cross_entropy
 
@@ -77,7 +147,6 @@ def bench_cpu_baseline(n_samples=60):
     net = make_net(be)
     loss = cross_entropy(10)
     x, y = make_data(n_samples, seed=2)
-    # warm caches
     net = net.train(loss, 0.02, be, x[0], y[0])
     t0 = time.perf_counter()
     m = net
@@ -88,18 +157,20 @@ def bench_cpu_baseline(n_samples=60):
 
 
 def main():
-    steps_per_sec, samples_per_sec, last_loss = bench_tpu()
-    base_samples_per_sec = bench_cpu_baseline()
+    steps_per_sec, samples_per_sec = bench_mnist_train()
+    deep_tflops, roofline = bench_fused_deep()
+    base = bench_cpu_baseline()
     result = {
         "metric": "mnist_mlp_train_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / base_samples_per_sec, 2),
+        "vs_baseline": round(samples_per_sec / base, 2),
         "detail": {
             "batch": 1024,
             "tpu_steps_per_sec": round(steps_per_sec, 2),
-            "cpu_oracle_per_sample_sgd_samples_per_sec": round(base_samples_per_sec, 1),
-            "final_loss": round(last_loss, 4),
+            "cpu_oracle_per_sample_sgd_samples_per_sec": round(base, 1),
+            "deep_fused_mlp_tflops": round(deep_tflops, 1),
+            "deep_fused_mlp_pct_of_v5e_bf16_peak": round(100 * roofline, 1),
         },
     }
     print(json.dumps(result))

@@ -23,8 +23,19 @@ from .base import Backend, Distribution
 class NumpyBackend(Backend):
     name = "numpy"
 
-    def __init__(self, dtype=np.float64):
+    def __init__(self, dtype=np.float64, use_native: bool = False):
+        """``use_native=True`` routes gmul/transp through the C++ kernels
+        in ``native/tensorops_native.cpp`` (the role hmatrix's C BLAS
+        plays in the reference); the default stays pure NumPy so the
+        oracle and the native path are independent implementations that
+        cross-check each other in tests."""
         self.dtype = np.dtype(dtype)
+        self.use_native = use_native
+        if use_native:
+            from ..utils.native import get_lib
+
+            if get_lib() is None:
+                raise RuntimeError("native library unavailable (no g++?)")
 
     # -- construction ---------------------------------------------------
     def asarray(self, x: Any) -> np.ndarray:
@@ -49,6 +60,12 @@ class NumpyBackend(Backend):
         return tuple(np.asarray(ct * np.asarray(g, dtype=self.dtype)) for g in gs)
 
     def gmul(self, lm: int, lo: int, ln: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if self.use_native and lo > 0:
+            from ..utils.native import native_gmul
+
+            out = native_gmul(lm, lo, ln, x, y)
+            if out is not None:
+                return np.asarray(out, dtype=self.dtype)
         if lo == 0:
             # outer product: no contraction axes
             return np.multiply.outer(x, y) if (x.ndim or y.ndim) else x * y
@@ -57,6 +74,12 @@ class NumpyBackend(Backend):
         return np.tensordot(x, y, axes=(x_axes, y_axes))
 
     def transp(self, t: np.ndarray) -> np.ndarray:
+        if self.use_native and t.ndim > 1:
+            from ..utils.native import native_transpose
+
+            out = native_transpose(t)
+            if out is not None:
+                return np.asarray(out, dtype=self.dtype)
         return np.transpose(t, axes=tuple(reversed(range(t.ndim))))
 
     def map_rows(self, k: int, f: Callable, t: np.ndarray) -> np.ndarray:

@@ -1,0 +1,131 @@
+"""FusedMLP: the flagship fast path — ffLayer chains running on the
+Pallas fused kernels.
+
+Bridges the staged-IR :class:`~tensor_ops_tpu.models.feedforward.Network`
+(built by ``gen_net`` with the reference's exact composition) to a
+kernel-fused executor: each layer is one Pallas ``fused_linear`` (matmul on
+the MXU + bias + activation on the VPU, custom VJP), inference can use the
+single-kernel whole-network ``fused_mlp_forward``, and the training step
+(softmax + cross-entropy + SGD update) jits into one XLA program around
+the kernels.  Numerics parity with the IR path is tested at
+``precision="highest"``; the benchmark runs the bf16-MXU default.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_kernels import fused_linear, fused_mlp_forward
+from .feedforward import Network
+
+
+@dataclass
+class FusedMLP:
+    """weights[k]: (o_k, i_k) — the reference ffLayer layout; acts[k] in
+    {logistic, relu, tanh, identity}; final softmax applied in-graph."""
+
+    weights: Tuple[Any, ...]
+    biases: Tuple[Any, ...]
+    acts: Tuple[str, ...]
+    softmax_out: bool = True
+    precision: str = "default"
+
+    _cache: dict = None
+
+    def __post_init__(self):
+        self.weights = tuple(jnp.asarray(w) for w in self.weights)
+        self.biases = tuple(jnp.asarray(b) for b in self.biases)
+        self.acts = tuple(self.acts)
+        if self._cache is None:
+            object.__setattr__(self, "_cache", {})
+
+    # -- conversion ------------------------------------------------------
+    @classmethod
+    def from_network(cls, net: Network, acts: Sequence[str],
+                     softmax_out: bool = True, precision: str = "default") -> "FusedMLP":
+        """From a gen_net-built Network: params alternate (w, b) per layer
+        (``ff_layer``; the softmax layer contributes no params)."""
+        ps = net.params
+        ws = tuple(ps[i] for i in range(0, len(ps), 2))
+        bs = tuple(ps[i] for i in range(1, len(ps), 2))
+        return cls(ws, bs, tuple(acts), softmax_out, precision)
+
+    def to_params(self) -> Tuple[Any, ...]:
+        out: List[Any] = []
+        for w, b in zip(self.weights, self.biases):
+            out += [w, b]
+        return tuple(out)
+
+    # -- forward -----------------------------------------------------------
+    def _layers_forward(self, x, weights, biases):
+        h = x
+        n = len(weights)
+        for k in range(n):
+            act = self.acts[k]
+            if k == n - 1 and self.softmax_out:
+                z = fused_linear(h, weights[k], biases[k], "identity",
+                                 self.precision)
+                h = jax.nn.softmax(z, axis=-1)
+            else:
+                h = fused_linear(h, weights[k], biases[k], act, self.precision)
+        return h
+
+    def forward_fn(self) -> Callable:
+        """Jitted layer-by-layer fused forward (differentiable)."""
+        fn = self._cache.get("fwd")
+        if fn is None:
+            fn = jax.jit(lambda x, ws, bs: self._layers_forward(x, ws, bs))
+            self._cache["fwd"] = fn
+        return fn
+
+    def run(self, x) -> Any:
+        return self.forward_fn()(x, self.weights, self.biases)
+
+    def run_fused_inference(self, x) -> Any:
+        """Whole-network single-kernel forward (weights VMEM-resident)."""
+        fn = self._cache.get("fwd1")
+        if fn is None:
+            fn = jax.jit(
+                lambda x, ws, bs: fused_mlp_forward(
+                    x, ws, bs, self.acts, self.softmax_out,
+                    precision=self.precision,
+                )
+            )
+            self._cache["fwd1"] = fn
+        return fn(x, self.weights, self.biases)
+
+    # -- training -----------------------------------------------------------
+    def _loss(self, x, y, weights, biases):
+        p = self._layers_forward(x, weights, biases)
+        eps = jnp.asarray(1e-30, p.dtype)  # match crossEntropy = -<log p, y>
+        return -jnp.mean(jnp.sum(y * jnp.log(p + eps), axis=-1))
+
+    def step_fn(self) -> Callable:
+        """Jitted fused minibatch SGD step
+        ``fn(rate, xb, yb, ws, bs) -> (loss, ws', bs')``."""
+        fn = self._cache.get("step")
+        if fn is None:
+
+            def step(rate, xb, yb, ws, bs):
+                v, (gw, gb) = jax.value_and_grad(
+                    lambda ws, bs: self._loss(xb, yb, ws, bs), argnums=(0, 1)
+                )(ws, bs)
+                ws = tuple(w - rate * g for w, g in zip(ws, gw))
+                bs = tuple(b - rate * g for b, g in zip(bs, gb))
+                return v, ws, bs
+
+            fn = jax.jit(step)
+            self._cache["step"] = fn
+        return fn
+
+    def train(self, rate: float, xb, yb) -> Tuple[float, "FusedMLP"]:
+        v, ws, bs = self.step_fn()(rate, xb, yb, self.weights, self.biases)
+        m = FusedMLP(ws, bs, self.acts, self.softmax_out, self.precision,
+                     self._cache)
+        return v, m

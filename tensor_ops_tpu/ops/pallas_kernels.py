@@ -1,0 +1,307 @@
+"""Pallas TPU kernels: fused linear+bias+activation layers and a
+whole-MLP fused forward.
+
+This is the rebuild's native-kernel layer — the role C BLAS plays under
+the reference's hmatrix backend (``src/TensorOps/BLAS/HMat.hs`` reaching
+``dgemm``/``dgemv``), redone for the MXU: one kernel computes
+``act(x @ w.T + b)`` for a batch tile with the matmul on the MXU and the
+bias+activation fused on the VPU (no HBM round-trip for the
+pre-activation), and a whole-network variant keeps every ffLayer weight
+resident in VMEM across the chain (total flagship weights ~1.1 MB << 16 MB
+VMEM), so activations never touch HBM between layers.
+
+Feature dims are padded to the 128-lane grid (the flagship's awkward
+784/300/100/10 dims — SURVEY.md §7.3 hard part 5); padded output lanes are
+masked to -inf before softmax so logits are exact.
+
+Training uses ``jax.custom_vjp``: the backward matmuls
+(``dz @ w``, ``dz.T @ x``) lower to ``lax.dot_general`` — also MXU — with
+the activation derivative fused by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU so the same kernels run (slowly but
+    exactly) under the CPU test mesh."""
+    return jax.default_backend() != "tpu"
+
+
+def _precision(name: str):
+    return {
+        "default": lax.Precision.DEFAULT,   # bf16 multiplies on the MXU (fast path)
+        "highest": lax.Precision.HIGHEST,   # full f32 (parity suites)
+    }[name]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _act_fn(name: str) -> Callable:
+    if name == "logistic":
+        return lambda z: 1.0 / (1.0 + jnp.exp(-z))
+    if name == "relu":
+        return lambda z: jnp.maximum(z, 0.0)
+    if name == "tanh":
+        return jnp.tanh
+    if name == "identity":
+        return lambda z: z
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def _act_grad(name: str) -> Callable:
+    """d act / d z expressed in terms of z."""
+    if name == "logistic":
+        def g(z):
+            s = 1.0 / (1.0 + jnp.exp(-z))
+            return s * (1.0 - s)
+        return g
+    if name == "relu":
+        return lambda z: (z > 0).astype(z.dtype)
+    if name == "tanh":
+        return lambda z: 1.0 - jnp.tanh(z) ** 2
+    if name == "identity":
+        return lambda z: jnp.ones_like(z)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# single fused layer: act(x @ w.T + b)
+# ---------------------------------------------------------------------------
+
+
+def _linear_act_kernel(x_ref, wt_ref, b_ref, y_ref, z_ref, acc_ref, *,
+                       act: str, save_z: bool, nk: int,
+                       precision: str = "default"):
+    """Tiled matmul with K-loop accumulation in a VMEM f32 scratch; bias +
+    activation fused into the final K step (grid = (batch, out, k) with k
+    innermost so the accumulator carries across sequential steps)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        x_ref[:], wt_ref[:], preferred_element_type=jnp.float32,
+        precision=_precision(precision),
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        z = acc_ref[:] + b_ref[:]
+        if save_z:
+            z_ref[:] = z
+        y_ref[:] = _act_fn(act)(z).astype(y_ref.dtype)
+
+
+def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, int]:
+    """Tile heuristic from the on-device sweep (BENCH notes): ~896^2
+    output tiles with a 512-deep K loop balance VMEM double-buffering
+    against HBM revisit traffic; small dims collapse to one tile.  The
+    save_z (training) path double-buffers a second output block, so its
+    tiles shrink to stay inside the 16 MB VMEM budget."""
+    cap = 512 if save_z else 896
+    tb = min(_round_up(B, 8), cap)
+    to = min(_round_up(O, LANE), cap)
+    tk = _round_up(K, LANE) if K <= 1024 else 512
+    return tb, to, tk
+
+
+def _fused_linear_padded(x, wt, b, act: str, block_b: int, save_z: bool,
+                         precision: str = "default"):
+    """x:(B,K) @ wt:(K,O) + b:(1,O), all padded to tile multiples."""
+    B, K = x.shape
+    O = wt.shape[1]
+    _, block_o, block_k = pick_tiles(B, K, O, save_z)
+    nk = K // block_k
+    grid = (B // block_b, O // block_o, nk)
+    kernel = functools.partial(_linear_act_kernel, act=act, save_z=save_z,
+                               nk=nk, precision=precision)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, O), x.dtype),
+        jax.ShapeDtypeStruct((B, O) if save_z else (8, 128), jnp.float32),
+    )
+    y, z = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_o), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, block_o), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, block_o) if save_z else (8, 128),
+                (lambda i, j, k: (i, j)) if save_z else (lambda i, j, k: (0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.float32)],
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * O,
+            bytes_accessed=(B * K + K * O + B * O) * 4,
+            transcendentals=B * O if act in ("logistic", "tanh") else 0,
+        ),
+        interpret=_interpret(),
+    )(x, wt, b)
+    return y, z
+
+
+def _pad2(a, r0: int, r1: int):
+    p0 = _round_up(a.shape[0], r0) - a.shape[0]
+    p1 = _round_up(a.shape[1], r1) - a.shape[1]
+    if p0 or p1:
+        a = jnp.pad(a, ((0, p0), (0, p1)))
+    return a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_linear(x, w, b, act: str = "identity", precision: str = "default"):
+    """``act(x @ w.T + b)`` as a fused Pallas kernel.
+
+    x: (B, i), w: (o, i) (the reference ffLayer weight layout,
+    ``FeedForward.hs:209-213``), b: (o,).  Differentiable via custom VJP.
+    """
+    y, _ = _fused_linear_fwd_impl(x, w, b, act, save_z=False,
+                                  precision=precision)
+    return y
+
+
+def _fused_linear_fwd_impl(x, w, b, act: str, save_z: bool,
+                           precision: str = "default"):
+    B, i = x.shape
+    o = w.shape[0]
+    block_b, block_o, block_k = pick_tiles(B, i, o, save_z)
+    xp = _pad2(x.astype(jnp.float32), block_b, block_k)
+    wtp = _pad2(w.astype(jnp.float32).T, block_k, block_o)
+    bp = jnp.pad(b.astype(jnp.float32), (0, wtp.shape[1] - o)).reshape(1, -1)
+    y, z = _fused_linear_padded(xp, wtp, bp, act, block_b, save_z, precision)
+    return y[:B, :o].astype(x.dtype), (z[:B, :o] if save_z else None)
+
+
+def _fused_linear_fwd(x, w, b, act, precision):
+    y, z = _fused_linear_fwd_impl(x, w, b, act, save_z=True, precision=precision)
+    return y, (x, w, z)
+
+
+def _fused_linear_bwd(act, precision, res, dy):
+    x, w, z = res
+    prec = _precision(precision)
+    dz = (dy.astype(jnp.float32) * _act_grad(act)(z)).astype(x.dtype)
+    dx = lax.dot_general(dz, w, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=prec).astype(x.dtype)
+    dw = lax.dot_general(dz, x, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=prec).astype(w.dtype)
+    db = jnp.sum(dz, axis=0).astype(x.dtype)
+    return dx, dw, db
+
+
+fused_linear.defvjp(_fused_linear_fwd, _fused_linear_bwd)
+
+
+# ---------------------------------------------------------------------------
+# whole-MLP fused forward (all weights resident in VMEM)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel(x_ref, *refs, acts: Sequence[str], dims: Sequence[int],
+                softmax_out: bool, out_dim: int, precision: str = "default"):
+    n_layers = len(acts)
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    y_ref = refs[2 * n_layers]
+    h = x_ref[:]
+    for k in range(n_layers):
+        z = (
+            jnp.dot(h, w_refs[k][:], preferred_element_type=jnp.float32,
+                    precision=_precision(precision))
+            + b_refs[k][:]
+        )
+        if k == n_layers - 1 and softmax_out:
+            # mask padded lanes so softmax normalizes over real classes only
+            lanes = lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            z = jnp.where(lanes < out_dim, z, -jnp.inf)
+            zmax = jnp.max(z, axis=1, keepdims=True)
+            e = jnp.exp(z - zmax)
+            h = e / jnp.sum(e, axis=1, keepdims=True)
+        else:
+            h = _act_fn(acts[k])(z)
+    y_ref[:] = h.astype(y_ref.dtype)
+
+
+def fused_mlp_forward(x, weights, biases, acts: Sequence[str],
+                      softmax_out: bool = True, block_b: int = 256,
+                      precision: str = "default"):
+    """Whole ffLayer-chain forward in ONE Pallas kernel: weights stay in
+    VMEM across layers, activations never round-trip HBM.
+
+    weights[k]: (o_k, i_k) with i_{k+1} == o_k; acts[k] applied after
+    layer k (last layer uses masked softmax when ``softmax_out``).
+    """
+    B = x.shape[0]
+    out_dim = weights[-1].shape[0]
+    block_b = min(_round_up(B, 8), block_b)
+    xp = _pad2(x.astype(jnp.float32), block_b, LANE)
+    wts, bs = [], []
+    for w, b in zip(weights, biases):
+        wt = _pad2(w.astype(jnp.float32).T, LANE, LANE)
+        wts.append(wt)
+        bs.append(jnp.pad(b.astype(jnp.float32), (0, wt.shape[1] - b.shape[0])).reshape(1, -1))
+    Bp = xp.shape[0]
+    Op = wts[-1].shape[1]
+    grid = (Bp // block_b,)
+    kernel = functools.partial(
+        _mlp_kernel,
+        acts=tuple(acts),
+        dims=tuple(w.shape[1] for w in wts),
+        softmax_out=softmax_out,
+        out_dim=out_dim,
+        precision=precision,
+    )
+    in_specs = [pl.BlockSpec((block_b, xp.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for wt in wts:
+        in_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    flops = 2 * Bp * sum(wt.shape[0] * wt.shape[1] for wt in wts)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, Op), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Op), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(Bp * xp.shape[1] + sum(wt.size for wt in wts)
+                            + Bp * Op) * 4,
+            transcendentals=Bp * sum(wt.shape[1] for wt in wts),
+        ),
+        interpret=_interpret(),
+    )(xp, *wts, *bs)
+    return y[:B, :out_dim]

@@ -1,0 +1,81 @@
+"""Checkpoint / resume.
+
+The reference has none — networks exist only in memory and training runs
+to Ctrl-C (``trainEpoch`` recurses forever, ``app/MNIST.hs:297-313``;
+SURVEY.md §5).  The rebuild adds minimal, dependency-free save/restore:
+parameters (+ optional states) go to a single ``.npz`` with a small JSON
+manifest, keyed so a Network/RecurrentNetwork/FusedMLP round-trips
+against the same architecture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def save_arrays(path: str, arrays: Dict[str, Any], meta: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np_arrays = {k: np.asarray(v) for k, v in arrays.items()}
+    np_arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8
+    )
+    np.savez(path, **np_arrays)
+
+
+def load_arrays(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return arrays, meta
+
+
+def save_network(path: str, net, extra_meta: Optional[dict] = None) -> None:
+    """Save a feed-forward Network's params."""
+    arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
+    meta = {
+        "kind": "feedforward",
+        "param_stack": [list(s) for s in net.param_stack],
+        "in_shape": list(net.in_shape),
+        "out_shape": list(net.out_shape),
+    }
+    meta.update(extra_meta or {})
+    save_arrays(path, arrays, meta)
+
+
+def load_network(path: str, net, be) -> Any:
+    """Restore params into an architecture-compatible Network (the op
+    graph is code; only tensors are stored)."""
+    from ..models.feedforward import Network
+    from ..ops.shapes import ShapeError
+
+    arrays, meta = load_arrays(path)
+    params = tuple(
+        be.asarray(arrays[f"param_{i}"]) for i in range(len(net.params))
+    )
+    for p, s in zip(params, net.param_stack):
+        if tuple(p.shape) != tuple(s):
+            raise ShapeError(
+                f"checkpoint param shape {tuple(p.shape)} != expected {tuple(s)}"
+            )
+    return Network(net.op, params)
+
+
+def save_recurrent(path: str, net, extra_meta: Optional[dict] = None) -> None:
+    arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
+    arrays.update({f"state_{i}": s for i, s in enumerate(net.states)})
+    meta = {"kind": "recurrent", "n_states": len(net.states)}
+    meta.update(extra_meta or {})
+    save_arrays(path, arrays, meta)
+
+
+def load_recurrent(path: str, net, be) -> Any:
+    from ..models.recurrent import RecurrentNetwork
+
+    arrays, meta = load_arrays(path)
+    params = tuple(be.asarray(arrays[f"param_{i}"]) for i in range(len(net.params)))
+    states = tuple(be.asarray(arrays[f"state_{i}"]) for i in range(len(net.states)))
+    return RecurrentNetwork(net.op, states, params)

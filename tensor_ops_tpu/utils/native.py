@@ -1,0 +1,181 @@
+"""ctypes bindings for the C++ native runtime (``native/tensorops_native.cpp``)
+with build-on-demand and graceful fallback.
+
+The shared library is compiled once with g++ into ``native/build/`` at
+first use (no pybind11 in the image — plain C ABI + ctypes per the
+environment constraints); every entry point has a pure-Python fallback so
+the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "tensorops_native.cpp")
+_SO = os.path.join(_ROOT, "native", "build", "libtensorops_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first use; None if no
+    toolchain / build failure (callers fall back to Python)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not os.path.exists(_SRC) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.top_gmul.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.top_transpose.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib.top_loader_create.restype = ctypes.c_void_p
+        lib.top_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.top_loader_next.restype = ctypes.c_int64
+        lib.top_loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.top_loader_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def native_gmul(lm: int, lo: int, ln: int, x: np.ndarray, y: np.ndarray
+                ) -> Optional[np.ndarray]:
+    """gmul via the C++ kernel; None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    ms = x.shape[:lm]
+    os_ = np.asarray(x.shape[lm:], dtype=np.int64)
+    ns = y.shape[lo:]
+    M = int(np.prod(ms)) if ms else 1
+    O = int(np.prod(os_)) if lo else 1
+    N = int(np.prod(ns)) if ns else 1
+    out = np.zeros(ms + ns, dtype=np.float64)
+    lib.top_gmul(
+        _dp(x), _dp(y), _dp(out),
+        os_.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), lo, M, O, N,
+    )
+    return out
+
+
+def native_transpose(x: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    shape = np.asarray(x.shape, dtype=np.int64)
+    out = np.empty(tuple(reversed(x.shape)), dtype=np.float64)
+    lib.top_transpose(
+        _dp(x), _dp(out),
+        shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), x.ndim,
+    )
+    return out
+
+
+class NativeLoader:
+    """Threaded shuffled minibatch loader (C++ worker + ring buffer);
+    falls back to a NumPy generator when the native lib is absent."""
+
+    def __init__(self, X: np.ndarray, Y: np.ndarray, batch: int,
+                 seed: int = 0, drop_last: bool = False):
+        self.X = np.ascontiguousarray(X, dtype=np.float32)
+        self.Y = np.ascontiguousarray(Y, dtype=np.float32)
+        self.batch = int(batch)
+        self.seed = int(seed)
+        self.drop_last = drop_last
+        self._lib = get_lib()
+        self._handle = None
+        if self._lib is not None:
+            self._handle = self._lib.top_loader_create(
+                _fp(self.X), _fp(self.Y), self.X.shape[0],
+                self.X.shape[1], self.Y.shape[1], self.batch,
+                self.seed, int(drop_last),
+            )
+        else:
+            self._rng = np.random.default_rng(seed)
+            self._perm = self._rng.permutation(self.X.shape[0])
+            self._cursor = 0
+
+    @property
+    def is_native(self) -> bool:
+        return self._handle is not None
+
+    def next(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._handle is not None:
+            xout = np.empty((self.batch, self.X.shape[1]), dtype=np.float32)
+            yout = np.empty((self.batch, self.Y.shape[1]), dtype=np.float32)
+            took = self._lib.top_loader_next(self._handle, _fp(xout), _fp(yout))
+            return xout[:took], yout[:took]
+        n = self.X.shape[0]
+        if self._cursor >= n:
+            self._perm = self._rng.permutation(n)
+            self._cursor = 0
+        take = min(self.batch, n - self._cursor)
+        idx = self._perm[self._cursor : self._cursor + take]
+        self._cursor += take
+        return self.X[idx], self.Y[idx]
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.top_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,24 +1,19 @@
-"""Test configuration: run JAX on CPU with a virtual 8-device mesh (the
-multi-chip story without hardware — SURVEY.md §4) and float64 enabled for
-tight parity bounds."""
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh (the
+multi-chip story without hardware — SURVEY.md §4) with float64 enabled for
+tight parity bounds.
 
-import os
+In axon-tunnel environments a sitecustomize pre-initializes the TPU
+backend at interpreter start and JAX_PLATFORMS=axon sits in the global
+env, so plain env tweaks are too late/ignored; instead the platform is
+switched through jax.config and the backend cache is cleared."""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+import jax._src.xla_bridge as _xb
 
-# NOTE: in axon-tunnel environments the sitecustomize pre-initializes JAX
-# backends at interpreter start, which locks the CPU client to 1 device no
-# matter what this file sets.  Launch pytest as
-#   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-#   XLA_FLAGS=--xla_force_host_platform_device_count=8 python -m pytest ...
-# to get the virtual 8-device mesh; mesh tests skip themselves otherwise.
-
-import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+_xb._clear_backends()
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
 jax.config.update("jax_enable_x64", True)
 

@@ -1,0 +1,102 @@
+"""Pallas fused-kernel tests. On CPU these run in interpret mode (exact),
+so the numerics contract is testable without a TPU; the real-hardware
+equivalents run in bench.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tensor_ops_tpu.ops.pallas_kernels import (
+    fused_linear,
+    fused_mlp_forward,
+    pick_tiles,
+)
+
+
+def r(seed, *shape):
+    return np.random.default_rng(seed).normal(size=shape)
+
+
+def test_fused_linear_matches_xla():
+    x = jnp.asarray(r(0, 16, 48), dtype=jnp.float32)
+    w = jnp.asarray(r(1, 24, 48) * 0.2, dtype=jnp.float32)
+    b = jnp.asarray(r(2, 24), dtype=jnp.float32)
+    for act, f in [
+        ("identity", lambda z: z),
+        ("relu", lambda z: jnp.maximum(z, 0)),
+        ("logistic", jax.nn.sigmoid),
+        ("tanh", jnp.tanh),
+    ]:
+        y = fused_linear(x, w, b, act, "highest")
+        want = f(jnp.dot(x, w.T, precision=lax.Precision.HIGHEST) + b)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+
+
+def test_fused_linear_odd_shapes():
+    x = jnp.asarray(r(3, 7, 13), dtype=jnp.float32)
+    w = jnp.asarray(r(4, 5, 13) * 0.2, dtype=jnp.float32)
+    b = jnp.asarray(r(5, 5), dtype=jnp.float32)
+    y = fused_linear(x, w, b, "relu", "highest")
+    want = jnp.maximum(jnp.dot(x, w.T, precision=lax.Precision.HIGHEST) + b, 0)
+    assert y.shape == (7, 5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+
+
+def test_fused_linear_custom_vjp_matches_autodiff():
+    x = jnp.asarray(r(6, 8, 20), dtype=jnp.float32)
+    w = jnp.asarray(r(7, 12, 20) * 0.2, dtype=jnp.float32)
+    b = jnp.asarray(r(8, 12), dtype=jnp.float32)
+
+    def pal(x, w, b):
+        return jnp.sum(fused_linear(x, w, b, "logistic", "highest") ** 2)
+
+    def ref(x, w, b):
+        z = jnp.dot(x, w.T, precision=lax.Precision.HIGHEST) + b
+        return jnp.sum(jax.nn.sigmoid(z) ** 2)
+
+    gp = jax.grad(pal, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(ref, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_fused_mlp_forward_matches_chain():
+    x = jnp.asarray(r(9, 10, 30), dtype=jnp.float32)
+    ws = [jnp.asarray(r(10, 20, 30) * 0.2, dtype=jnp.float32),
+          jnp.asarray(r(11, 6, 20) * 0.2, dtype=jnp.float32)]
+    bs = [jnp.asarray(r(12, 20), dtype=jnp.float32),
+          jnp.asarray(r(13, 6), dtype=jnp.float32)]
+    y = fused_mlp_forward(x, ws, bs, ["logistic", "identity"],
+                          softmax_out=True, precision="highest")
+    h = jax.nn.sigmoid(jnp.dot(x, ws[0].T, precision=lax.Precision.HIGHEST) + bs[0])
+    want = jax.nn.softmax(jnp.dot(h, ws[1].T, precision=lax.Precision.HIGHEST) + bs[1], axis=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+    # softmax over real classes only (padded lanes masked)
+    np.testing.assert_allclose(np.asarray(y).sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_pick_tiles_divide_padded_dims():
+    for B, K, O in [(64, 784, 300), (4096, 4096, 4096), (7, 13, 5), (1024, 300, 100)]:
+        tb, to, tk = pick_tiles(B, K, O)
+        assert tb % 8 == 0 and to % 128 == 0 and tk % 128 == 0
+
+
+def test_fused_mlp_model_roundtrip(jb):
+    """FusedMLP.from_network parity with the IR path (highest precision)."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP
+    from tensor_ops_tpu.models.training import batched_run
+
+    rng = Rng(jb, seed=0)
+    net = gen_net(jb, 12, 4, [(8, act_logistic())], act_softmax(), rng)
+    fm = FusedMLP.from_network(net, ["logistic", "identity"], precision="highest")
+    xb = jb.asarray(r(14, 6, 12))
+    y_ir = np.asarray(batched_run(net, jb)(xb, *net.params))
+    y_f = np.asarray(fm.run(xb))
+    np.testing.assert_allclose(y_f, y_ir, atol=1e-6)
+    v, fm2 = fm.train(0.1, xb, jb.asarray(np.eye(4)[[0, 1, 2, 3, 0, 1]]))
+    assert np.isfinite(float(v))

@@ -1,0 +1,77 @@
+"""Checkpoint/metrics/timing utility tests."""
+
+import json
+import os
+
+import numpy as np
+
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import act_logistic, gen_net, squared_error
+from tensor_ops_tpu.utils.checkpoint import (
+    load_arrays,
+    load_network,
+    load_recurrent,
+    save_arrays,
+    save_network,
+    save_recurrent,
+)
+from tensor_ops_tpu.utils.metrics import MetricsLogger
+
+
+def test_array_roundtrip(tmp_path, nb):
+    p = str(tmp_path / "x.npz")
+    save_arrays(p, {"a": np.arange(6).reshape(2, 3)}, {"k": 1})
+    arrays, meta = load_arrays(p)
+    assert meta["k"] == 1
+    np.testing.assert_array_equal(arrays["a"], np.arange(6).reshape(2, 3))
+
+
+def test_network_checkpoint_roundtrip(tmp_path, nb):
+    rng = Rng(nb, seed=0)
+    net = gen_net(nb, 3, 2, [(4, act_logistic())], act_logistic(), rng)
+    p = str(tmp_path / "net.npz")
+    save_network(p, net)
+    rng2 = Rng(nb, seed=99)  # different params
+    net2 = gen_net(nb, 3, 2, [(4, act_logistic())], act_logistic(), rng2)
+    restored = load_network(p, net2, nb)
+    x = np.array([0.1, 0.2, 0.3])
+    np.testing.assert_allclose(
+        np.asarray(net.run(nb, x)), np.asarray(restored.run(nb, x)), atol=1e-12
+    )
+
+
+def test_recurrent_checkpoint_roundtrip(tmp_path, nb):
+    from tensor_ops_tpu.models.recurrent import fully_connected
+
+    rng = Rng(nb, seed=1)
+    net = fully_connected(act_logistic(), nb, 2, 3, rng)
+    p = str(tmp_path / "rnn.npz")
+    save_recurrent(p, net)
+    restored = load_recurrent(p, net, nb)
+    x = np.array([0.5, -0.5])
+    y1, _ = net.run(nb, x)
+    y2, _ = restored.run(nb, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path, nb):
+    import pytest
+
+    from tensor_ops_tpu.ops.shapes import ShapeError
+
+    rng = Rng(nb, seed=0)
+    net = gen_net(nb, 3, 2, [(4, act_logistic())], act_logistic(), rng)
+    p = str(tmp_path / "net.npz")
+    save_network(p, net)
+    other = gen_net(nb, 3, 2, [(5, act_logistic())], act_logistic(), rng)
+    with pytest.raises((ShapeError, KeyError, ValueError)):
+        load_network(p, other, nb)
+
+
+def test_metrics_logger(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    with MetricsLogger(p) as m:
+        m.log(0, loss=1.5, err=0.9)
+        m.log(1, loss=np.float64(1.2))
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
