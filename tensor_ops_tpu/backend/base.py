@@ -37,8 +37,10 @@ class Distribution:
 
     __slots__ = ("kind", "a", "b")
 
-    def __init__(self, kind: str, a: float, b: float):
-        if kind not in ("normal", "uniform"):
+    KINDS = ("normal", "uniform", "exponential", "gamma", "beta")
+
+    def __init__(self, kind: str, a: float, b: float = 1.0):
+        if kind not in self.KINDS:
             raise ValueError(f"unknown distribution kind {kind!r}")
         self.kind = kind
         self.a = float(a)
@@ -54,6 +56,18 @@ def normal(mean: float = 0.0, std: float = 1.0) -> Distribution:
 
 def uniform(lo: float = 0.0, hi: float = 1.0) -> Distribution:
     return Distribution("uniform", lo, hi)
+
+
+def exponential(rate: float = 1.0) -> Distribution:
+    return Distribution("exponential", rate)
+
+
+def gamma(shape: float, scale: float = 1.0) -> Distribution:
+    return Distribution("gamma", shape, scale)
+
+
+def beta(a: float, b: float) -> Distribution:
+    return Distribution("beta", a, b)
 
 
 class Backend:

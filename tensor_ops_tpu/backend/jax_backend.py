@@ -99,7 +99,14 @@ class JaxBackend(Backend):
     def gen_rand(self, dist: Distribution, rng: jax.Array, shape: Shape) -> jax.Array:
         if dist.kind == "normal":
             return dist.a + dist.b * jax.random.normal(rng, shape, dtype=self.dtype)
-        return jax.random.uniform(rng, shape, dtype=self.dtype, minval=dist.a, maxval=dist.b)
+        if dist.kind == "uniform":
+            return jax.random.uniform(rng, shape, dtype=self.dtype,
+                                      minval=dist.a, maxval=dist.b)
+        if dist.kind == "exponential":
+            return jax.random.exponential(rng, shape, dtype=self.dtype) / dist.a
+        if dist.kind == "gamma":
+            return dist.b * jax.random.gamma(rng, dist.a, shape, dtype=self.dtype)
+        return jax.random.beta(rng, dist.a, dist.b, shape, dtype=self.dtype)
 
     def generate(self, shape: Shape, f: Callable[[Tuple[int, ...]], float]) -> jax.Array:
         import numpy as np

@@ -111,8 +111,14 @@ class NumpyBackend(Backend):
     def gen_rand(self, dist: Distribution, rng: np.random.Generator, shape: Shape) -> np.ndarray:
         if dist.kind == "normal":
             out = rng.normal(dist.a, dist.b, size=shape)
-        else:
+        elif dist.kind == "uniform":
             out = rng.uniform(dist.a, dist.b, size=shape)
+        elif dist.kind == "exponential":
+            out = rng.exponential(1.0 / dist.a, size=shape)
+        elif dist.kind == "gamma":
+            out = rng.gamma(dist.a, dist.b, size=shape)
+        else:  # beta
+            out = rng.beta(dist.a, dist.b, size=shape)
         return np.asarray(out, dtype=self.dtype)
 
     def generate(self, shape: Shape, f: Callable[[Tuple[int, ...]], float]) -> np.ndarray:

@@ -76,6 +76,32 @@ def act_logistic() -> Activation:
     return act_map2(logistic, logistic_prime, "logistic")
 
 
+def _where(c, a, b):
+    import jax.numpy as jnp
+    import numpy as np
+
+    return np.where(c, a, b) if isinstance(c, np.ndarray) else jnp.where(c, a, b)
+
+
+def act_relu() -> Activation:
+    """ReLU (rebuild extra; the reference ships only logistic/softmax but
+    ``actMap`` admits any scalar fn, ``NeuralNet.hs:21-25``)."""
+    return act_map2(lambda x: _where(x > 0, x, 0.0 * x),
+                    lambda x: _where(x > 0, 1.0 + 0.0 * x, 0.0 * x), "relu")
+
+
+def _tanh(x):
+    import jax.numpy as jnp
+    import numpy as np
+
+    return np.tanh(x) if isinstance(x, np.ndarray) else jnp.tanh(x)
+
+
+def act_tanh() -> Activation:
+    """tanh (rebuild extra)."""
+    return act_map2(_tanh, lambda x: 1.0 - _tanh(x) ** 2, "tanh")
+
+
 def softmax(n: int) -> TOp:
     """``softmax = map exp >>> duplicate >>> firstOp (sumRows >>> map recip)
     >>> outer [] [n]`` — scalar (x) vector outer product

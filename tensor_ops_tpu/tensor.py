@@ -91,6 +91,33 @@ def generate(be: Backend, shape: Sequence[int], f: Callable) -> Any:
     return be.generate(as_shape(shape), f)
 
 
+def rows(be: Backend, x: Any) -> List[Any]:
+    """Leading-axis slices (``TT.rows``/``TT.toRows``,
+    ``Tensor.hs:201-215``)."""
+    return [x[i] for i in range(be.shape_of(x)[0])]
+
+
+def ix_elems(be: Backend, f: Callable, x: Any) -> Any:
+    """Indexed elementwise rebuild (``TT.ixElems``, ``Tensor.hs:217-236``)."""
+    arr = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(arr)
+    for idx in np.ndindex(*arr.shape) if arr.shape else [()]:
+        out[idx] = f(idx, float(arr[idx]))
+    return be.asarray(out)
+
+
+def elems(be: Backend, x: Any) -> List[float]:
+    """All elements row-major (``TT.elems``, ``Tensor.hs:238-246``)."""
+    return to_list(be, x)
+
+
+def ito_list(be: Backend, x: Any) -> List[tuple]:
+    """Indexed element list (``TT.itoList``, ``Tensor.hs:248-260``)."""
+    arr = np.asarray(x)
+    return [(idx, float(arr[idx])) for idx in
+            (np.ndindex(*arr.shape) if arr.shape else [()])]
+
+
 def to_list(be: Backend, x: Any) -> List[float]:
     """``TT.toList`` — row-major element list (``Tensor.hs:262-268``)."""
     return [float(v) for v in np.asarray(x).reshape(-1)]
