@@ -14,3 +14,6 @@ from .feedforward import Network, ff_layer, gen_net, lift_net
 from .recurrent import RecurrentNetwork, fully_connected, stateless
 from .autoencoder import Encoder
 from . import recurrent, autoencoder, training
+from . import optim, trainer, fast
+from .optim import adam, momentum, sgd
+from .trainer import fit

@@ -1,0 +1,73 @@
+"""Optimizers.
+
+The reference knows only per-sample SGD (``p - r*g`` inline in
+``trainNetwork``, ``FeedForward.hs:141-147``).  The rebuild keeps that as
+the default and adds the standard accelerator-era updaters as pure
+pytree-of-arrays transforms (jit-friendly, state threaded explicitly —
+usable inside ``lax.fori_loop`` training loops)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Sequence, Tuple
+
+Params = Tuple[Any, ...]
+Grads = Tuple[Any, ...]
+
+
+class Optimizer(NamedTuple):
+    """(init, update): update(state, params, grads, lr) -> (state, new_params)."""
+
+    init: Callable[[Params], Any]
+    update: Callable[[Any, Params, Grads, float], Tuple[Any, Params]]
+    name: str = "optimizer"
+
+
+def sgd() -> Optimizer:
+    """Plain SGD — the reference's update rule."""
+
+    def init(params):
+        return ()
+
+    def update(state, params, grads, lr):
+        return (), tuple(p - lr * g for p, g in zip(params, grads))
+
+    return Optimizer(init, update, "sgd")
+
+
+def momentum(beta: float = 0.9, nesterov: bool = False) -> Optimizer:
+    def init(params):
+        return tuple(p * 0 for p in params)
+
+    def update(state, params, grads, lr):
+        vel = tuple(beta * v + g for v, g in zip(state, grads))
+        if nesterov:
+            step = tuple(beta * v + g for v, g in zip(vel, grads))
+        else:
+            step = vel
+        return vel, tuple(p - lr * s for p, s in zip(params, step))
+
+    return Optimizer(init, update, "momentum")
+
+
+def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
+    def init(params):
+        return (
+            0,
+            tuple(p * 0 for p in params),
+            tuple(p * 0 for p in params),
+        )
+
+    def update(state, params, grads, lr):
+        t, m, v = state
+        t = t + 1
+        m = tuple(b1 * mi + (1 - b1) * g for mi, g in zip(m, grads))
+        v = tuple(b2 * vi + (1 - b2) * g * g for vi, g in zip(v, grads))
+        # bias correction
+        mc = tuple(mi / (1 - b1**t) for mi in m)
+        vc = tuple(vi / (1 - b2**t) for vi in v)
+        new_params = tuple(
+            p - lr * mi / ((vi**0.5) + eps) for p, mi, vi in zip(params, mc, vc)
+        )
+        return (t, m, v), new_params
+
+    return Optimizer(init, update, "adam")

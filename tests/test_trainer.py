@@ -1,0 +1,71 @@
+"""Optimizer and fit-loop tests."""
+
+import json
+import os
+
+import numpy as np
+
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import act_logistic, act_softmax, cross_entropy, gen_net
+from tensor_ops_tpu.models.optim import adam, momentum, sgd
+from tensor_ops_tpu.models.trainer import fit
+
+
+def toy_data(n=200, seed=0):
+    r = np.random.default_rng(seed)
+    X = r.uniform(-1, 1, size=(n, 2))
+    labels = (X[:, 0] * X[:, 1] > 0).astype(int)
+    Y = np.eye(2)[labels]
+    return X, Y, labels
+
+
+def make_net(be, seed=0):
+    rng = Rng(be, seed=seed)
+    return gen_net(be, 2, 2, [(16, act_logistic())], act_softmax(), rng)
+
+
+def test_optimizers_reduce_loss(jb):
+    X, Y, _ = toy_data()
+    loss = cross_entropy(2)
+    for opt in (sgd(), momentum(0.9), adam()):
+        net = make_net(jb, seed=1)
+        res = fit(net, loss, jb, X, Y, epochs=8, batch_size=32,
+                  lr=0.3 if opt.name != "adam" else 0.01,
+                  optimizer=opt, verbose=False)
+        first = res.history[0]["loss"]
+        last = res.history[-1]["loss"]
+        assert last < first, (opt.name, first, last)
+
+
+def test_fit_with_validation_and_metrics(jb, tmp_path):
+    X, Y, labels = toy_data(300, seed=2)
+    loss = cross_entropy(2)
+    net = make_net(jb, seed=3)
+    mpath = str(tmp_path / "metrics.jsonl")
+    cpath = str(tmp_path / "ckpt.npz")
+    from tensor_ops_tpu.models.optim import adam
+
+    res = fit(net, loss, jb, X[:250], Y[:250], epochs=40, batch_size=50,
+              lr=0.05, optimizer=adam(), val=(X[250:], labels[250:]),
+              metrics_path=mpath, checkpoint_path=cpath, checkpoint_every=50,
+              log_every=50, verbose=False)
+    assert os.path.exists(mpath) and os.path.exists(cpath)
+    recs = [json.loads(l) for l in open(mpath)]
+    assert all("val_acc" in r for r in recs)
+    # learnable task: accuracy should beat chance by the end
+    assert recs[-1]["val_acc"] > 0.85
+    # checkpoint restores
+    from tensor_ops_tpu.utils.checkpoint import load_network
+
+    restored = load_network(cpath, net, jb)
+    assert len(restored.params) == len(net.params)
+
+
+def test_fit_numpy_backend(nb):
+    X, Y, _ = toy_data(60, seed=4)
+    loss = cross_entropy(2)
+    net = make_net(nb, seed=5)
+    res = fit(net, loss, nb, X, Y, epochs=2, batch_size=20, lr=0.3,
+              verbose=False, log_every=1)
+    assert res.steps == 6
+    assert res.history[-1]["loss"] < res.history[0]["loss"] * 1.5
