@@ -47,10 +47,25 @@ class FusedMLP:
 
     # -- conversion ------------------------------------------------------
     @classmethod
-    def from_network(cls, net: Network, acts: Sequence[str],
-                     softmax_out: bool = True, precision: str = "default") -> "FusedMLP":
+    def from_network(cls, net: Network, acts: Optional[Sequence[str]] = None,
+                     softmax_out: Optional[bool] = None,
+                     precision: str = "default") -> "FusedMLP":
         """From a gen_net-built Network: params alternate (w, b) per layer
-        (``ff_layer``; the softmax layer contributes no params)."""
+        (``ff_layer``; the softmax layer contributes no params).  When the
+        Network carries ``act_names`` (set by gen_net) the kernel
+        activations are inferred: softmax output -> masked in-kernel
+        softmax, elementwise names pass through."""
+        if acts is None:
+            if net.act_names is None:
+                raise ValueError("acts not given and net has no act_names")
+            names = list(net.act_names)
+            if softmax_out is None:
+                softmax_out = names[-1] == "softmax"
+            if names[-1] == "softmax":
+                names[-1] = "identity"
+            acts = names
+        if softmax_out is None:
+            softmax_out = True
         ps = net.params
         ws = tuple(ps[i] for i in range(0, len(ps), 2))
         bs = tuple(ps[i] for i in range(1, len(ps), 2))

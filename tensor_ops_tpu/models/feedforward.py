@@ -30,6 +30,8 @@ class Network:
 
     op: TOp           # ('[i] : ps) -> '[[o]]
     params: Tuple[Any, ...]
+    act_names: Optional[Tuple[str, ...]] = None  # set by gen_net; lets
+    # FusedMLP.from_network pick the fused-kernel activations automatically
 
     def __post_init__(self):
         self.params = tuple(self.params)
@@ -166,4 +168,5 @@ def gen_net(
         )
         net = layer if net is None else net.then(layer)
     assert net is not None
+    net.act_names = tuple(a.name for a in acts)
     return net

@@ -83,20 +83,26 @@ def _act_grad(name: str) -> Callable:
 # ---------------------------------------------------------------------------
 
 
-def _linear_act_kernel(x_ref, wt_ref, b_ref, y_ref, z_ref, acc_ref, *,
+def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, z_ref, acc_ref, *,
                        act: str, save_z: bool, nk: int,
                        precision: str = "default"):
     """Tiled matmul with K-loop accumulation in a VMEM f32 scratch; bias +
     activation fused into the final K step (grid = (batch, out, k) with k
-    innermost so the accumulator carries across sequential steps)."""
+    innermost so the accumulator carries across sequential steps).
+
+    The weight block arrives in its native ``(o, i)`` ffLayer layout and is
+    contracted on its second axis — no transposed copy of the weight is
+    ever materialized (dot_general drives the MXU either way)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(
-        x_ref[:], wt_ref[:], preferred_element_type=jnp.float32,
+    acc_ref[:] += lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
         precision=_precision(precision),
     )
 
@@ -117,15 +123,20 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
     cap = 512 if save_z else 896
     tb = min(_round_up(B, 8), cap)
     to = min(_round_up(O, LANE), cap)
-    tk = _round_up(K, LANE) if K <= 1024 else 512
+    if K <= 1024:
+        tk = _round_up(K, LANE)
+    else:
+        # large-K loop depth chosen so double-buffered inputs + accumulator
+        # + output block(s) stay inside the 16 MB VMEM budget
+        tk = 512 if cap == 512 else 256
     return tb, to, tk
 
 
-def _fused_linear_padded(x, wt, b, act: str, block_b: int, save_z: bool,
+def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
                          precision: str = "default"):
-    """x:(B,K) @ wt:(K,O) + b:(1,O), all padded to tile multiples."""
+    """x:(B,K) @ w:(O,K)^T + b:(1,O), all padded to tile multiples."""
     B, K = x.shape
-    O = wt.shape[1]
+    O = w.shape[0]
     _, block_o, block_k = pick_tiles(B, K, O, save_z)
     nk = K // block_k
     grid = (B // block_b, O // block_o, nk)
@@ -141,7 +152,7 @@ def _fused_linear_padded(x, wt, b, act: str, block_b: int, save_z: bool,
         in_specs=[
             pl.BlockSpec((block_b, block_k), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_o), lambda i, j, k: (k, j),
+            pl.BlockSpec((block_o, block_k), lambda i, j, k: (j, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_o), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
@@ -163,7 +174,7 @@ def _fused_linear_padded(x, wt, b, act: str, block_b: int, save_z: bool,
             transcendentals=B * O if act in ("logistic", "tanh") else 0,
         ),
         interpret=_interpret(),
-    )(x, wt, b)
+    )(x, w, b)
     return y, z
 
 
@@ -193,9 +204,9 @@ def _fused_linear_fwd_impl(x, w, b, act: str, save_z: bool,
     o = w.shape[0]
     block_b, block_o, block_k = pick_tiles(B, i, o, save_z)
     xp = _pad2(x.astype(jnp.float32), block_b, block_k)
-    wtp = _pad2(w.astype(jnp.float32).T, block_k, block_o)
-    bp = jnp.pad(b.astype(jnp.float32), (0, wtp.shape[1] - o)).reshape(1, -1)
-    y, z = _fused_linear_padded(xp, wtp, bp, act, block_b, save_z, precision)
+    wp = _pad2(w.astype(jnp.float32), block_o, block_k)
+    bp = jnp.pad(b.astype(jnp.float32), (0, wp.shape[0] - o)).reshape(1, -1)
+    y, z = _fused_linear_padded(xp, wp, bp, act, block_b, save_z, precision)
     return y[:B, :o].astype(x.dtype), (z[:B, :o] if save_z else None)
 
 

@@ -1,0 +1,79 @@
+"""Engine/jit-staging tests: compile caches, general VJP, bf16 dtype."""
+
+import numpy as np
+import pytest
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu import engine
+from tensor_ops_tpu import prim as P
+from tensor_ops_tpu.ops import ir
+
+
+def r(seed, *shape):
+    return np.random.default_rng(seed).normal(size=shape)
+
+
+def test_compile_vjp_general_cotangents(nb, jb):
+    op = P.mat_vec(3, 2)
+    xs = (r(0, 3, 2), r(1, 2))
+    cts = (r(2, 3),)
+    want = ir.vjp(op, nb, xs, cts)
+    for be in (nb, jb):
+        fn = engine.compile_vjp(op, be)
+        got = fn(tuple(be.asarray(x) for x in xs), tuple(be.asarray(c) for c in cts))
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_cache_isolated_per_backend(nb, jb):
+    op = P.dot(3)
+    f1 = engine.compile_run(op, nb)
+    f2 = engine.compile_run(op, jb)
+    assert f1 is not f2
+    assert engine.compile_run(op, nb) is f1
+
+
+def test_bf16_backend_runs():
+    import jax.numpy as jnp
+
+    be = T.JaxBackend(dtype=jnp.bfloat16)
+    op = P.mat_mat(4, 4, 4)
+    a = be.asarray(r(3, 4, 4))
+    b = be.asarray(r(4, 4, 4))
+    out = ir.run(op, be, (a, b))[0]
+    assert out.dtype == jnp.bfloat16
+    want = np.asarray(a, dtype=np.float32) @ np.asarray(b, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32), want,
+                               rtol=0.05, atol=0.05)
+
+
+def test_bf16_training_step():
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, cross_entropy, gen_net
+    from tensor_ops_tpu.models.training import train_minibatch
+
+    be = T.JaxBackend(dtype=jnp.bfloat16)
+    rng = Rng(be, seed=0)
+    net = gen_net(be, 8, 4, [(16, act_logistic())], act_softmax(), rng)
+    xb = be.asarray(r(5, 8, 8))
+    yb = be.asarray(np.eye(4)[np.arange(8) % 4])
+    v, net2 = train_minibatch(net, cross_entropy(4), be, 0.1, xb, yb)
+    assert np.isfinite(float(v))
+    assert net2.params[0].dtype == jnp.bfloat16
+
+
+def test_act_names_inferred_for_fused():
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP
+
+    be = T.JaxBackend(dtype=jnp.float64)
+    rng = Rng(be, seed=0)
+    net = gen_net(be, 6, 3, [(4, act_logistic())], act_softmax(), rng)
+    assert net.act_names == ("logistic", "softmax")
+    fm = FusedMLP.from_network(net)  # acts inferred
+    assert fm.acts == ("logistic", "identity") and fm.softmax_out
