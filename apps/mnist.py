@@ -109,6 +109,10 @@ def main(argv=None):
                    help="Vmapped minibatch size (0 = per-sample SGD like the reference)")
     p.add_argument("--limit", type=int, default=0,
                    help="Subsample the training set to N samples (0 = all)")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="Append per-batch metrics to this JSONL file")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Save network parameters to this .npz after every batch")
     args = p.parse_args(argv)
 
     if args.induce is not None and not (0 <= args.induce <= 9):
@@ -146,6 +150,11 @@ def main(argv=None):
     print("Data processed.")
 
     noise_rng = np.random.default_rng(args.seed + 2)
+
+    from tensor_ops_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics)
+    global_batch = 0
 
     def white_extras(n: int):
         """Scaled uniform-noise samples labeled as class 10
@@ -212,6 +221,14 @@ def main(argv=None):
                     vscore = conf.trace() / conf.sum()
                     print(f"Validation: {(1 - vscore) * 100:.2f}% error")
                     print_confusion(conf)
+                global_batch += 1
+                metrics.log(global_batch, epoch=epoch,
+                            train_err=(1 - tscore), val_err=(1 - vscore),
+                            batch_seconds=t)
+                if args.checkpoint:
+                    from tensor_ops_tpu.utils.checkpoint import save_network
+
+                    save_network(args.checkpoint, net)
 
                 if args.induce is not None:
                     target = be.asarray(one_hot(args.induce, o))
@@ -226,6 +243,8 @@ def main(argv=None):
             epoch += 1
     except KeyboardInterrupt:
         print("\nInterrupted.")
+    finally:
+        metrics.close()
 
 
 if __name__ == "__main__":

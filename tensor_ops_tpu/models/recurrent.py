@@ -184,6 +184,72 @@ class RecurrentNetwork:
         new_p = tuple(p - rate_param * g for p, g in zip(self.params, gP))
         return RecurrentNetwork(self.op, new_s, new_p)
 
+    def train_batch(
+        self,
+        loss: TOp,
+        rate_state: float,
+        rate_param: float,
+        be: Backend,
+        xs_batch: Any,
+        targets_batch: Any,
+    ) -> "RecurrentNetwork":
+        """Batched-sequence SGD (rebuild extra — the reference trains one
+        sequence at a time): vmap the scan-BPTT gradient over a leading
+        batch axis of ``(B, n, *in_shape)`` inputs, mean the gradients,
+        one jitted program."""
+        n = int(be.shape_of(xs_batch)[1])
+        g = self._seq_graph(loss, n)
+        k = len(self.states)
+        key = ("seq_batch", id(loss), n, be.name)
+        fn = self.op._compiled.get(key)
+        if fn is None:
+            if be.name == "jax":
+                import jax
+                import jax.numpy as jnp
+
+                n_in = 1 + k + len(self.params) + 1
+
+                def one(xs, tgt, *sp):
+                    grads = ir.grad(g, be, (xs,) + sp + (tgt,))
+                    return grads[1:-1]  # state+param grads
+
+                vmapped = jax.vmap(
+                    one, in_axes=(0, 0) + (None,) * (k + len(self.params))
+                )
+
+                def step(rs, rp, xb, tb, states, params):
+                    grads = vmapped(xb, tb, *states, *params)
+                    gS = tuple(jnp.mean(gr, axis=0) for gr in grads[:k])
+                    gP = tuple(jnp.mean(gr, axis=0) for gr in grads[k:])
+                    return (
+                        tuple(s - rs * gg for s, gg in zip(states, gS)),
+                        tuple(p - rp * gg for p, gg in zip(params, gP)),
+                    )
+
+                fn = jax.jit(step)
+            else:
+                import numpy as np
+
+                def fn(rs, rp, xb, tb, states, params):
+                    accS = [np.zeros_like(s) for s in states]
+                    accP = [np.zeros_like(p) for p in params]
+                    B = len(xb)
+                    for i in range(B):
+                        grads = ir.grad(g, be, (xb[i],) + states + params + (tb[i],))
+                        for a, gg in zip(accS, grads[1 : 1 + k]):
+                            a += gg
+                        for a, gg in zip(accP, grads[1 + k : -1]):
+                            a += gg
+                    return (
+                        tuple(s - rs * a / B for s, a in zip(states, accS)),
+                        tuple(p - rp * a / B for p, a in zip(params, accP)),
+                    )
+
+            self.op._compiled[key] = fn
+        new_s, new_p = fn(rate_state, rate_param, xs_batch, targets_batch,
+                          self.states, self.params)
+        return RecurrentNetwork(self.op, tuple(new_s), tuple(new_p))
+
 
 def stateless(ff: Network) -> RecurrentNetwork:
     """Embed a feed-forward network as a stateless recurrent one

@@ -120,7 +120,7 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
     against HBM revisit traffic; small dims collapse to one tile.  The
     save_z (training) path double-buffers a second output block, so its
     tiles shrink to stay inside the 16 MB VMEM budget."""
-    cap = 512 if save_z else 896
+    cap = 512 if save_z else 1024
     tb = min(_round_up(B, 8), cap)
     to = min(_round_up(O, LANE), cap)
     if K <= 1024:

@@ -206,3 +206,34 @@ def test_mapped_op(nb, jb):
     g = m >> P.sum_rows((4,))
     _, grads = ir.value_and_grad(g, nb, (xs, ys))
     np.testing.assert_allclose(grads[0], ys, atol=1e-10)
+
+
+def test_train_batch_matches_mean_of_singles(nb, jb):
+    """Batched-sequence SGD == averaging per-sequence gradients."""
+    net = make_rnn(nb, i=2, o=2, seed=51)
+    loss = squared_error(2)
+    xb = r(60, 3, 4, 2)   # B=3 sequences of length 4
+    tb = r(61, 3, 4, 2)
+    # manual mean of per-sequence grads
+    gS_acc = [np.zeros_like(s) for s in net.states]
+    gP_acc = [np.zeros_like(p) for p in net.params]
+    for i in range(3):
+        _, gS, gP = net.seq_grad(loss, nb, xb[i], tb[i])
+        for a, g in zip(gS_acc, gS):
+            a += np.asarray(g)
+        for a, g in zip(gP_acc, gP):
+            a += np.asarray(g)
+    want_s = [s - 0.1 * a / 3 for s, a in zip(net.states, gS_acc)]
+    want_p = [p - 0.2 * a / 3 for p, a in zip(net.params, gP_acc)]
+    got = net.train_batch(loss, 0.1, 0.2, nb, xb, tb)
+    for a, b in zip(got.states, want_s):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-10)
+    for a, b in zip(got.params, want_p):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-10)
+    # jax path parity
+    jnet = RecurrentNetwork(net.op,
+                            tuple(jb.asarray(s) for s in net.states),
+                            tuple(jb.asarray(p) for p in net.params))
+    got_j = jnet.train_batch(loss, 0.1, 0.2, jb, jb.asarray(xb), jb.asarray(tb))
+    for a, b in zip(got_j.params, want_p):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
