@@ -233,9 +233,9 @@ def main(argv=None):
                 if args.induce is not None:
                     target = be.asarray(one_hot(args.induce, o))
                     x0 = rng.draw(T.uniform(0, 0.05), (784,))
-                    x1 = x0
-                    for _ in range(5000):
-                        x1 = net.induce(loss, 1.0, be, target, x1)
+                    # 5000 induction steps in one jitted program
+                    # (induceNum, MNIST.hs:399-411)
+                    x1 = net.induce_many(loss, 1.0, be, target, x0, 5000)
                     print(render_digit(np.asarray(x1)))
                     yhat = np.asarray(batched_run(net, be)(
                         be.asarray(np.asarray(x1)[None]), *net.params))[0]

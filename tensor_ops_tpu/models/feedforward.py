@@ -133,6 +133,40 @@ class Network:
         dx = self.net_grad(loss, be, x, y)[0]
         return x - rate * dx
 
+    def induce_many(self, loss: TOp, rate: float, be: Backend, y: Any,
+                    x: Any, steps: int) -> Any:
+        """``steps`` induction iterations in ONE jitted program
+        (``induceNum`` runs 5000 sequential ``induceNetwork`` calls,
+        ``app/MNIST.hs:399-411`` — dispatching those individually through
+        a high-latency link takes minutes; a ``fori_loop`` takes ms)."""
+        composed = self._loss_op(loss)
+        key = ("induce", id(loss), int(steps), be.name)
+        fn = self.op._compiled.get(key)
+        if fn is None:
+            if be.name == "jax":
+                import jax
+                from jax import lax
+
+                def run(rate_, y_, x_, *params):
+                    def body(_, xc):
+                        grads = ir.grad(composed, be, (xc,) + params + (y_,))
+                        return xc - rate_ * grads[0]
+
+                    return lax.fori_loop(0, steps, body, x_)
+
+                fn = jax.jit(run)
+            else:
+
+                def fn(rate_, y_, x_, *params):
+                    xc = x_
+                    for _ in range(steps):
+                        grads = ir.grad(composed, be, (xc,) + tuple(params) + (y_,))
+                        xc = xc - rate_ * grads[0]
+                    return xc
+
+            self.op._compiled[key] = fn
+        return fn(rate, y, x, *self.params)
+
 
 def lift_net(op: TOp) -> Network:
     """``liftNet`` — a parameterless network (``FeedForward.hs:110-113``)."""
