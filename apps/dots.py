@@ -26,7 +26,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import tensor_ops_tpu as T
 from tensor_ops_tpu.backend.rng import Rng
 from tensor_ops_tpu.models import act_logistic, gen_net, squared_error
-from tensor_ops_tpu.models.training import train_minibatch
+from tensor_ops_tpu.models.training import train_fold, train_minibatch
 from tensor_ops_tpu.utils.timing import timed
 
 BACKEND_ALIASES = {
@@ -82,6 +82,10 @@ def net_test(backend_name: str, rate: float, n: int, hidden: List[int],
             yb = be.asarray(outs)
             for k in range(0, n, minibatch):
                 _, m = train_minibatch(m, loss, be, rate, xb[k:k + minibatch], yb[k:k + minibatch])
+        elif be.name == "jax":
+            # per-sample SGD fold as one scanned program (same semantics
+            # as the reference's foldl' trainNetwork)
+            m = train_fold(m, loss, be, rate, be.asarray(inps), be.asarray(outs))
         else:
             for x, y in zip(inps, outs):
                 m = m.train(loss, rate, be, be.asarray(x), be.asarray(y))

@@ -34,6 +34,7 @@ from tensor_ops_tpu.models.training import (
     accuracy,
     batched_run,
     confusion,
+    train_fold,
     train_minibatch,
 )
 from tensor_ops_tpu.utils.mnist_data import load_mnist
@@ -196,6 +197,9 @@ def main(argv=None):
                                 be.asarray(xs[k : k + args.minibatch]),
                                 be.asarray(ys[k : k + args.minibatch]),
                             )
+                    elif be.name == "jax":
+                        net = train_fold(net, loss, be, args.rate,
+                                         be.asarray(xs), be.asarray(ys))
                     else:
                         for x, y in zip(xs, ys):
                             net = net.train(loss, args.rate, be,

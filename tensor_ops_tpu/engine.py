@@ -31,7 +31,7 @@ def compile_run(op: TOp, be: Backend) -> Callable:
         def fwd(*xs):
             return op.apply(be, tuple(xs))
 
-        fn = _maybe_jit(fwd, be)
+        fn = maybe_jit(fwd, be)
         op._compiled[key] = fn
     return fn
 
@@ -46,7 +46,7 @@ def compile_grad(op: TOp, be: Backend) -> Callable:
         def gradf(*xs):
             return ir.grad(op, be, xs)
 
-        fn = _maybe_jit(gradf, be)
+        fn = maybe_jit(gradf, be)
         op._compiled[key] = fn
     return fn
 
@@ -59,7 +59,7 @@ def compile_value_and_grad(op: TOp, be: Backend) -> Callable:
         def vag(*xs):
             return ir.value_and_grad(op, be, xs)
 
-        fn = _maybe_jit(vag, be)
+        fn = maybe_jit(vag, be)
         op._compiled[key] = fn
     return fn
 
@@ -73,14 +73,18 @@ def compile_vjp(op: TOp, be: Backend) -> Callable:
         def vjpf(xs, cts):
             return ir.vjp(op, be, xs, cts)
 
-        fn = _maybe_jit(vjpf, be)
+        fn = maybe_jit(vjpf, be)
         op._compiled[key] = fn
     return fn
 
 
-def _maybe_jit(fn: Callable, be: Backend) -> Callable:
+def maybe_jit(fn: Callable, be: Backend) -> Callable:
+    """jit ``fn`` for jax backends; identity for the oracle."""
     if be.name == "jax":
         import jax
 
         return jax.jit(fn)
     return fn
+
+
+_maybe_jit = maybe_jit

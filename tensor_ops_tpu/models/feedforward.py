@@ -20,7 +20,7 @@ from ..backend.rng import Rng
 from ..ops import ir
 from ..ops import prim as P
 from ..ops.ir import TOp
-from ..ops.shapes import ShapeError, check_stack_eq
+from ..ops.shapes import ShapeError
 from .neuralnet import Activation
 
 
@@ -122,7 +122,7 @@ class Network:
                 grads = ir.grad(composed, be, (x_,) + params + (y_,))
                 return tuple(p - rate_ * g for p, g in zip(params, grads[1:-1]))
 
-            fn = engine._maybe_jit(step, be)
+            fn = engine.maybe_jit(step, be)
             self.op._compiled[key] = fn
         new_params = fn(rate, x, y, *self.params)
         return Network(self.op, new_params)

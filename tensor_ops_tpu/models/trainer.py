@@ -10,7 +10,7 @@ metrics, and periodic checkpoints — with the whole optimizer step jitted
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import numpy as np

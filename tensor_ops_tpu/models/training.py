@@ -102,6 +102,48 @@ def batched_step(net: Network, loss: TOp, be: Backend) -> Callable:
     return _cache(net, key, build)
 
 
+def train_fold(net: Network, loss: TOp, be: Backend, rate: float, X: Any, Y: Any) -> Network:
+    """The reference's per-sample SGD fold (``trainAll = foldl'
+    trainNetwork``, ``app/MNIST.hs:390-396``) as ONE jitted program: a
+    ``lax.scan`` over the samples carrying the parameters.  Semantics are
+    identical to calling :meth:`Network.train` per sample — the scan just
+    removes the per-sample dispatch cost."""
+    composed = net._loss_op(loss)
+    key = ("fold", id(loss), be.name, str(getattr(be, "dtype", None)))
+    fn = _cache(net, key, lambda: _build_fold(net, composed, be))
+    new_params = fn(rate, X, Y, *net.params)
+    return Network(net.op, tuple(new_params))
+
+
+def _build_fold(net: Network, composed: TOp, be: Backend):
+    if be.name == "jax":
+        import jax
+        from jax import lax
+
+        def run(rate, X, Y, *params):
+            def body(params, xy):
+                x, y = xy
+                grads = ir.grad(composed, be, (x,) + params + (y,))
+                return (
+                    tuple(p - rate * g for p, g in zip(params, grads[1:-1])),
+                    None,
+                )
+
+            params, _ = lax.scan(body, tuple(params), (X, Y))
+            return params
+
+        return jax.jit(run)
+
+    def run(rate, X, Y, *params):
+        params = tuple(params)
+        for x, y in zip(X, Y):
+            grads = ir.grad(composed, be, (x,) + params + (y,))
+            params = tuple(p - rate * g for p, g in zip(params, grads[1:-1]))
+        return params
+
+    return run
+
+
 def train_minibatch(
     net: Network, loss: TOp, be: Backend, rate: float, xb: Any, yb: Any
 ) -> Tuple[float, Network]:

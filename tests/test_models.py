@@ -101,3 +101,27 @@ def test_network_compose_and_maps(nb):
     np.testing.assert_allclose(got, wb @ (wa @ x + ba) + bb, atol=1e-12)
     doubled = net.nmap(lambda v: v * 2.0)
     np.testing.assert_allclose(doubled.run(nb, x), 2 * got, atol=1e-12)
+
+
+def test_train_fold_matches_per_sample_loop(nb, jb):
+    """Scanned per-sample SGD == the sequential fold (reference trainAll
+    semantics, MNIST.hs:390-396)."""
+    from tensor_ops_tpu.models.feedforward import Network
+    from tensor_ops_tpu.models.training import train_fold
+
+    rng = Rng(nb, seed=11)
+    net = gen_net(nb, 3, 2, [(4, act_logistic())], act_logistic(), rng)
+    loss = squared_error(2)
+    r = np.random.default_rng(0)
+    X = r.uniform(-1, 1, size=(7, 3))
+    Y = r.uniform(0.1, 0.9, size=(7, 2))
+    seq = net
+    for x, y in zip(X, Y):
+        seq = seq.train(loss, 0.3, nb, x, y)
+    folded = train_fold(net, loss, nb, 0.3, X, Y)
+    for a, b in zip(seq.params, folded.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    jnet = Network(net.op, tuple(jb.asarray(p) for p in net.params))
+    jfold = train_fold(jnet, loss, jb, 0.3, jb.asarray(X), jb.asarray(Y))
+    for a, b in zip(seq.params, jfold.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
