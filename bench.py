@@ -137,6 +137,46 @@ def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
     return tflops, tflops / V5E_BF16_PEAK_TFLOPS
 
 
+def bench_megakernel_train(batch=8192, steps=200):
+    """Whole-training-step mega-kernel (fwd+bwd+SGD in ONE pallas_call,
+    weights + grad accumulators VMEM-resident)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tensor_ops_tpu.ops.pallas_kernels import fused_mlp_train_step
+
+    r = np.random.default_rng(0)
+    dims = [784, 300, 100, 10]
+    ws = tuple(
+        jnp.asarray(r.normal(size=(dims[k + 1], dims[k])) * 0.1, jnp.float32)
+        for k in range(3)
+    )
+    bs = tuple(jnp.asarray(r.normal(size=(dims[k + 1],)) * 0.1, jnp.float32)
+               for k in range(3))
+    x, y = make_data(batch)
+    xb = jnp.asarray(x, jnp.float32)
+    yb = jnp.asarray(y, jnp.float32)
+
+    @jax.jit
+    def loop(ws, bs, xb, yb):
+        def body(i, carry):
+            ws, bs = carry
+            _, nws, nbs = fused_mlp_train_step(
+                xb, yb, list(ws), list(bs), 0.02,
+                ["logistic", "logistic", "identity"])
+            return (tuple(nws), tuple(nbs))
+        return lax.fori_loop(0, steps, body, (ws, bs))
+
+    out = loop(ws, bs, xb, yb)
+    _ = float(jnp.sum(out[0][0]))
+    t0 = time.perf_counter()
+    out = loop(ws, bs, xb, yb)
+    _ = float(jnp.sum(out[0][0]))
+    dt = time.perf_counter() - t0
+    return steps / dt, batch * steps / dt
+
+
 def bench_cpu_baseline(n_samples=60):
     """Per-sample SGD on the NumPy float64 oracle — the reference-shaped
     CPU path (per-sample SGD over dense kernels)."""
@@ -158,16 +198,20 @@ def bench_cpu_baseline(n_samples=60):
 
 def main():
     steps_per_sec, samples_per_sec = bench_mnist_train()
+    mk_steps, mk_samples = bench_megakernel_train()
     deep_tflops, roofline = bench_fused_deep()
     base = bench_cpu_baseline()
+    best_samples = max(samples_per_sec, mk_samples)
     result = {
         "metric": "mnist_mlp_train_throughput",
-        "value": round(samples_per_sec, 1),
+        "value": round(best_samples, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / base, 2),
+        "vs_baseline": round(best_samples / base, 2),
         "detail": {
-            "batch": 1024,
-            "tpu_steps_per_sec": round(steps_per_sec, 2),
+            "ir_xla_batch1024_steps_per_sec": round(steps_per_sec, 2),
+            "ir_xla_batch1024_samples_per_sec": round(samples_per_sec, 1),
+            "megakernel_batch8192_steps_per_sec": round(mk_steps, 2),
+            "megakernel_batch8192_samples_per_sec": round(mk_samples, 1),
             "cpu_oracle_per_sample_sgd_samples_per_sec": round(base, 1),
             "deep_fused_mlp_tflops": round(deep_tflops, 1),
             "deep_fused_mlp_pct_of_v5e_bf16_peak": round(100 * roofline, 1),

@@ -144,3 +144,27 @@ class FusedMLP:
         m = FusedMLP(ws, bs, self.acts, self.softmax_out, self.precision,
                      self._cache)
         return v, m
+
+    def train_fullfused(self, rate: float, xb, yb) -> Tuple[float, "FusedMLP"]:
+        """The ENTIRE SGD step (forward, backward, update) as one Pallas
+        kernel — weights and gradient accumulators VMEM-resident for the
+        whole step (``fused_mlp_train_step``).  Requires softmax output +
+        cross-entropy (the flagship configuration); exact to f32 ulp vs
+        XLA autodiff, ~1.3x faster at large batch."""
+        if not self.softmax_out:
+            raise ValueError("train_fullfused requires softmax_out")
+        from ..ops.pallas_kernels import fused_mlp_train_step
+
+        fn = self._cache.get("fullstep")
+        if fn is None:
+            fn = jax.jit(
+                lambda xb, yb, ws, bs, rate: fused_mlp_train_step(
+                    xb, yb, list(ws), list(bs), rate, self.acts,
+                    precision=self.precision,
+                )
+            )
+            self._cache["fullstep"] = fn
+        v, ws, bs = fn(xb, yb, self.weights, self.biases, rate)
+        m = FusedMLP(tuple(ws), tuple(bs), self.acts, self.softmax_out,
+                     self.precision, self._cache)
+        return float(v), m

@@ -316,3 +316,189 @@ def fused_mlp_forward(x, weights, biases, acts: Sequence[str],
         interpret=_interpret(),
     )(xp, *wts, *bs)
     return y[:B, :out_dim]
+
+
+# ---------------------------------------------------------------------------
+# whole-training-step fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _mlp_train_kernel(*refs, n_layers: int, acts, nb_tiles: int,
+                      batch_total: int, out_dim: int, precision: str):
+    """One FULL training step for an MLP with softmax + cross-entropy:
+    forward, backward, and the SGD update, fused.  Grid = batch tiles;
+    every weight/bias and every weight-gradient accumulator lives in VMEM
+    for the entire step, so HBM traffic is just the batch (x, y) and one
+    read+write of the parameters.
+
+    refs layout:
+      in : x, y, lr(1,1 SMEM), w1..wL, b1..bL
+      out: loss(1,1), nw1..nwL, nb1..nbL
+      scratch: gw1..gwL, gb1..gbL (f32)
+    """
+    prec = _precision(precision)
+    x_ref, y_ref, lr_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3 : 3 + n_layers]
+    b_refs = refs[3 + n_layers : 3 + 2 * n_layers]
+    base = 3 + 2 * n_layers
+    loss_ref = refs[base]
+    nw_refs = refs[base + 1 : base + 1 + n_layers]
+    nb_refs = refs[base + 1 + n_layers : base + 1 + 2 * n_layers]
+    sbase = base + 1 + 2 * n_layers
+    gw_refs = refs[sbase : sbase + n_layers]
+    gb_refs = refs[sbase + n_layers : sbase + 2 * n_layers]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+        for k in range(n_layers):
+            gw_refs[k][:] = jnp.zeros_like(gw_refs[k])
+            gb_refs[k][:] = jnp.zeros_like(gb_refs[k])
+
+    # ---- forward (save activations in registers/VMEM values) ----
+    h = x_ref[:]
+    hs = [h]          # inputs to each layer
+    zs = []
+    for k in range(n_layers):
+        z = lax.dot_general(h, w_refs[k][:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) + b_refs[k][:]
+        zs.append(z)
+        if k == n_layers - 1:
+            lanes = lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            zm = jnp.where(lanes < out_dim, z, -jnp.inf)
+            zmax = jnp.max(zm, axis=1, keepdims=True)
+            e = jnp.exp(zm - zmax)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            h = p
+        else:
+            h = _act_fn(acts[k])(z)
+            hs.append(h)
+
+    y = y_ref[:]
+    # cross-entropy: -<y, log p>; log p safe where y > 0
+    logp = jnp.log(jnp.where(p > 0, p, 1.0))
+    loss_ref[0, 0] += -jnp.sum(y * logp) / batch_total
+
+    # ---- backward ----
+    dz = (p - y) / batch_total  # softmax+CE fused gradient
+    # zero the batch-padding rows (their p is nonzero but they are not
+    # real samples)
+    tile_rows = p.shape[0]
+    row_ids = i * tile_rows + lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    dz = jnp.where(row_ids < batch_total, dz, 0.0)
+    for k in range(n_layers - 1, -1, -1):
+        # dW_k += dz.T @ h_in ; db_k += sum dz
+        gw_refs[k][:] += lax.dot_general(
+            dz, hs[k], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        gb_refs[k][:] += jnp.sum(dz, axis=0, keepdims=True)
+        if k > 0:
+            dh = lax.dot_general(dz, w_refs[k][:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+            dz = dh * _act_grad(acts[k - 1])(zs[k - 1])
+
+    # ---- SGD update on the last tile ----
+    @pl.when(i == nb_tiles - 1)
+    def _():
+        lr = lr_ref[0, 0]
+        for k in range(n_layers):
+            nw_refs[k][:] = w_refs[k][:] - lr * gw_refs[k][:]
+            nb_refs[k][:] = b_refs[k][:] - lr * gb_refs[k][:]
+
+
+def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
+                         block_b: int = 1024, precision: str = "default"):
+    """Entire softmax/cross-entropy MLP SGD step in ONE pallas_call.
+
+    x: (B, i) inputs, y: (B, o) one-hot targets, weights[k]: (o_k, i_k),
+    lr: scalar learning rate.  Returns (mean_loss, new_weights,
+    new_biases).  Weights, activations gradients and accumulators stay
+    VMEM-resident across all batch tiles — HBM sees the batch once and the
+    parameters twice.  Hidden activations in ``acts`` (last entry
+    ignored: the output layer is masked softmax).
+    """
+    n_layers = len(weights)
+    out_dim = weights[-1].shape[0]
+    B = x.shape[0]
+    block_b = min(_round_up(B, 8), block_b)
+    xp = _pad2(x.astype(jnp.float32), block_b, LANE)
+    yp = _pad2(y.astype(jnp.float32), block_b, LANE)
+    wps, bps = [], []
+    din = xp.shape[1]
+    for w, b in zip(weights, biases):
+        wp = _pad2(w.astype(jnp.float32), LANE, LANE)
+        # ensure input dim matches previous padded output dim
+        if wp.shape[1] < din:
+            wp = jnp.pad(wp, ((0, 0), (0, din - wp.shape[1])))
+        wps.append(wp)
+        bps.append(jnp.pad(b.astype(jnp.float32),
+                           (0, wp.shape[0] - b.shape[0])).reshape(1, -1))
+        din = wp.shape[0]
+    vmem_bytes = sum(2 * w.size * 4 for w in wps)
+    if vmem_bytes > 8 * 1024 * 1024:
+        raise ValueError(
+            f"fused_mlp_train_step: weights+grads need {vmem_bytes} bytes of "
+            "VMEM (>8MB); use the XLA path for models this large")
+    Bp = xp.shape[0]
+    nb_tiles = Bp // block_b
+    grid = (nb_tiles,)
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _mlp_train_kernel, n_layers=n_layers, acts=tuple(acts),
+        nb_tiles=nb_tiles, batch_total=B, out_dim=out_dim,
+        precision=precision)
+
+    in_specs = [
+        pl.BlockSpec((block_b, xp.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, yp.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    for w in wps:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in bps:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    for w in wps:
+        out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for b in bps:
+        out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM(w.shape, jnp.float32) for w in wps]
+    scratch += [pltpu.VMEM(b.shape, jnp.float32) for b in bps]
+
+    flops = 6 * Bp * sum(w.shape[0] * w.shape[1] for w in wps)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(Bp * (xp.shape[1] + yp.shape[1])
+                            + 3 * sum(w.size for w in wps)) * 4,
+            transcendentals=Bp * sum(w.shape[0] for w in wps),
+        ),
+        interpret=_interpret(),
+    )(xp, yp, lr_arr, *wps, *bps)
+    loss = outs[0][0, 0]
+    new_ws = [outs[1 + k][: w.shape[0], : w.shape[1]].astype(weights[k].dtype)
+              for k, w in enumerate(weights)]
+    new_bs = [outs[1 + n_layers + k][0, : b.shape[0]].astype(biases[k].dtype)
+              for k, b in enumerate(biases)]
+    return loss, new_ws, new_bs

@@ -100,3 +100,60 @@ def test_fused_mlp_model_roundtrip(jb):
     np.testing.assert_allclose(y_f, y_ir, atol=1e-6)
     v, fm2 = fm.train(0.1, xb, jb.asarray(np.eye(4)[[0, 1, 2, 3, 0, 1]]))
     assert np.isfinite(float(v))
+
+
+def test_fused_mlp_train_step_matches_xla_autodiff():
+    """The whole-step mega-kernel == XLA value_and_grad + SGD update
+    (exact at highest precision)."""
+    from tensor_ops_tpu.ops.pallas_kernels import fused_mlp_train_step
+
+    rr = np.random.default_rng(0)
+    B, dims = 16, [12, 8, 6, 4]
+    ws = [jnp.asarray(rr.normal(size=(dims[k + 1], dims[k])) * 0.3, jnp.float32)
+          for k in range(3)]
+    bs = [jnp.asarray(rr.normal(size=(dims[k + 1],)) * 0.3, jnp.float32)
+          for k in range(3)]
+    x = jnp.asarray(rr.uniform(0, 1, size=(B, 12)), jnp.float32)
+    y = jnp.asarray(np.eye(4)[rr.integers(0, 4, size=B)], jnp.float32)
+
+    def loss_fn(ws, bs):
+        h = x
+        for k in range(2):
+            h = jax.nn.sigmoid(
+                jnp.dot(h, ws[k].T, precision=lax.Precision.HIGHEST) + bs[k])
+        z = jnp.dot(h, ws[2].T, precision=lax.Precision.HIGHEST) + bs[2]
+        p = jax.nn.softmax(z, axis=1)
+        return -jnp.mean(jnp.sum(y * jnp.log(p), axis=1))
+
+    v_ref, (gw, gb) = jax.value_and_grad(loss_fn, argnums=(0, 1))(ws, bs)
+    ws_ref = [w - 0.1 * g for w, g in zip(ws, gw)]
+    bs_ref = [b - 0.1 * g for b, g in zip(bs, gb)]
+
+    v_pal, ws_pal, bs_pal = fused_mlp_train_step(
+        x, y, ws, bs, 0.1, ["logistic", "logistic", "identity"],
+        precision="highest")
+    assert abs(float(v_ref) - float(v_pal)) < 1e-6
+    for a, b in zip(ws_ref + bs_ref, list(ws_pal) + list(bs_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fusedmlp_train_fullfused(jb):
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP
+
+    rng = Rng(jb, seed=0)
+    net = gen_net(jb, 12, 4, [(8, act_logistic())], act_softmax(), rng)
+    fm = FusedMLP.from_network(net, precision="highest")
+    # compare both paths in f32 (the mega-kernel computes in f32)
+    fm = FusedMLP(tuple(w.astype(jnp.float32) for w in fm.weights),
+                  tuple(b.astype(jnp.float32) for b in fm.biases),
+                  fm.acts, fm.softmax_out, "highest")
+    rr = np.random.default_rng(1)
+    xb = jnp.asarray(rr.uniform(0, 1, size=(10, 12)), jnp.float32)
+    yb = jnp.asarray(np.eye(4)[rr.integers(0, 4, size=10)], jnp.float32)
+    v1, fm1 = fm.train(0.1, xb, yb)
+    v2, fm2 = fm.train_fullfused(0.1, xb, yb)
+    assert abs(float(v1) - float(v2)) < 1e-5
+    for a, b in zip(fm1.weights, fm2.weights):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
