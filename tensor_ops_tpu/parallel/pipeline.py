@@ -1,0 +1,206 @@
+"""Pipeline parallelism: GPipe-style microbatched stage sharding.
+
+The reference's layer-composition points (`~*~`, ``FeedForward.hs:82-90``)
+are natural pipeline cut points (SURVEY.md §2.5).  Here a uniform-width
+ffLayer chain is split into S stages sharded over a ``stage`` mesh axis;
+microbatches flow through a ``lax.scan`` whose per-step hand-off is a
+``lax.ppermute`` ring shift inside ``shard_map`` — the standard TPU
+pipeline recipe (collectives ride ICI; XLA overlaps the permute with the
+next step's compute).  ``jax.grad`` differentiates straight through the
+pipeline (the transpose of ppermute is the reverse ppermute), so the
+backward pass is automatically pipelined too — no hand-written schedule.
+
+Input embedding (i -> h) and output projection (h -> o) run replicated
+outside the pipeline; the pipelined body is the uniform h -> h chain, so
+every stage's parameters stack into arrays with a leading stage axis that
+``shard_map`` shards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+from jax.experimental.shard_map import shard_map
+
+STAGE_AXIS = "stage"
+
+
+def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_stages:
+        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+
+
+@dataclass
+class PipelineMLP:
+    """S pipeline stages x L layers-per-stage of width h, plus replicated
+    in/out projections.  ``stage_ws``: (S, L, h, h); ``stage_bs``:
+    (S, L, h); logistic hidden activations, softmax output."""
+
+    w_in: Any    # (h, i)
+    b_in: Any    # (h,)
+    stage_ws: Any  # (S, L, h, h)
+    stage_bs: Any  # (S, L, h)
+    w_out: Any   # (o, h)
+    b_out: Any   # (o,)
+
+    @property
+    def n_stages(self) -> int:
+        return self.stage_ws.shape[0]
+
+    @classmethod
+    def init(cls, i: int, h: int, o: int, n_stages: int,
+             layers_per_stage: int, key, scale: float = 0.5) -> "PipelineMLP":
+        ks = jax.random.split(key, 4)
+        return cls(
+            w_in=scale * jax.random.normal(ks[0], (h, i), jnp.float32),
+            b_in=jnp.zeros((h,), jnp.float32),
+            stage_ws=scale / np.sqrt(h) * jax.random.normal(
+                ks[1], (n_stages, layers_per_stage, h, h), jnp.float32),
+            stage_bs=jnp.zeros((n_stages, layers_per_stage, h), jnp.float32),
+            w_out=scale * jax.random.normal(ks[2], (o, h), jnp.float32),
+            b_out=jnp.zeros((o,), jnp.float32),
+        )
+
+    def params(self):
+        return (self.w_in, self.b_in, self.stage_ws, self.stage_bs,
+                self.w_out, self.b_out)
+
+    def replace_params(self, params) -> "PipelineMLP":
+        return PipelineMLP(*params)
+
+
+def _stage_fn(ws, bs, x):
+    """One stage: L logistic ffLayers of width h.  ws: (L, h, h)."""
+    L = ws.shape[0]
+    h = x
+    for k in range(L):
+        z = lax.dot_general(h, ws[k], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bs[k]
+        h = jax.nn.sigmoid(z)
+    return h
+
+
+def _spmd_pipeline(stage_ws, stage_bs, mb_inputs):
+    """Inside shard_map over ``stage``: scan M + S - 1 ticks; stage 0
+    injects microbatches, each tick's output ring-shifts to the next
+    stage, the last stage collects (GPipe schedule, bubble = S - 1)."""
+    s = lax.axis_index(STAGE_AXIS)
+    S = lax.axis_size(STAGE_AXIS)
+    M = mb_inputs.shape[0]
+    T = M + S - 1
+    state = jnp.zeros_like(mb_inputs[0])
+    outputs = jnp.zeros_like(mb_inputs)
+    # shard_map hands each stage its own slice with a leading axis of 1
+    ws = stage_ws[0]
+    bs = stage_bs[0]
+
+    def step(carry, t):
+        state, outputs = carry
+        inject = mb_inputs[jnp.minimum(t, M - 1)]
+        x_in = jnp.where(s == 0, inject, state)
+        y = _stage_fn(ws, bs, x_in)
+        oidx = t - (S - 1)
+        updated = lax.dynamic_update_index_in_dim(
+            outputs, y, jnp.maximum(oidx, 0), 0)
+        outputs = jnp.where((s == S - 1) & (oidx >= 0), updated, outputs)
+        state = lax.ppermute(
+            y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        return (state, outputs), None
+
+    (state, outputs), _ = lax.scan(step, (state, outputs), jnp.arange(T))
+    # outputs are nonzero only on the last stage; psum replicates them
+    return lax.psum(outputs, STAGE_AXIS)
+
+
+def pipeline_forward(model: PipelineMLP, mesh: Mesh, xb, n_microbatches: int):
+    """Batched forward through the pipeline; xb: (B, i), B divisible by
+    n_microbatches."""
+    fn = _make_forward(model.n_stages, mesh, n_microbatches)
+    return fn(*model.params(), xb)
+
+
+def _make_forward(S: int, mesh: Mesh, M: int) -> Callable:
+    pipelined = shard_map(
+        _spmd_pipeline,
+        mesh=mesh,
+        in_specs=(PSpec(STAGE_AXIS), PSpec(STAGE_AXIS), PSpec()),
+        out_specs=PSpec(),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def forward(w_in, b_in, stage_ws, stage_bs, w_out, b_out, xb):
+        B = xb.shape[0]
+        h = jax.nn.sigmoid(
+            lax.dot_general(xb, w_in, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b_in)
+        mb = h.reshape(M, B // M, -1)
+        out = pipelined(stage_ws, stage_bs, mb)
+        hb = out.reshape(B, -1)
+        z = lax.dot_general(hb, w_out, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b_out
+        return jax.nn.softmax(z, axis=-1)
+
+    return forward
+
+
+def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> Callable:
+    """Jitted pipeline-parallel SGD step
+    ``fn(lr, xb, yb, *params) -> (loss, new_params)`` — cross-entropy on
+    the softmax output, gradients through the pipelined scan (backward is
+    pipelined by AD transposition of ppermute)."""
+    S = model.n_stages
+    pipelined = shard_map(
+        _spmd_pipeline,
+        mesh=mesh,
+        in_specs=(PSpec(STAGE_AXIS), PSpec(STAGE_AXIS), PSpec()),
+        out_specs=PSpec(),
+        check_rep=False,
+    )
+    M = n_microbatches
+
+    def loss_fn(params, xb, yb):
+        w_in, b_in, stage_ws, stage_bs, w_out, b_out = params
+        B = xb.shape[0]
+        h = jax.nn.sigmoid(
+            lax.dot_general(xb, w_in, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b_in)
+        mb = h.reshape(M, B // M, -1)
+        out = pipelined(stage_ws, stage_bs, mb).reshape(B, -1)
+        z = lax.dot_general(out, w_out, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b_out
+        p = jax.nn.softmax(z, axis=-1)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    @jax.jit
+    def step(lr, xb, yb, *params):
+        v, grads = jax.value_and_grad(loss_fn)(tuple(params), xb, yb)
+        new_params = tuple(p - lr * g for p, g in zip(params, grads))
+        return v, new_params
+
+    return step
+
+
+def shard_pipeline_model(model: PipelineMLP, mesh: Mesh) -> PipelineMLP:
+    """Place stage params sharded over the stage axis, the rest replicated."""
+    stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+    repl = NamedSharding(mesh, PSpec())
+    return PipelineMLP(
+        jax.device_put(model.w_in, repl),
+        jax.device_put(model.b_in, repl),
+        jax.device_put(model.stage_ws, stage_sh),
+        jax.device_put(model.stage_bs, stage_sh),
+        jax.device_put(model.w_out, repl),
+        jax.device_put(model.b_out, repl),
+    )

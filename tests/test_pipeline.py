@@ -1,0 +1,94 @@
+"""Pipeline-parallelism tests on the virtual CPU mesh: the GPipe schedule
+must compute exactly what the sequential layer chain computes, and
+training through the pipelined scan must converge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tensor_ops_tpu.parallel.pipeline import (
+    PipelineMLP,
+    make_pipeline_mesh,
+    pipeline_forward,
+    pipeline_train_step,
+    shard_pipeline_model,
+)
+
+multi = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs 4 devices (see conftest note)"
+)
+
+
+def sequential_forward(model: PipelineMLP, xb):
+    """The same network without any pipeline: plain layer chain."""
+    h = jax.nn.sigmoid(xb @ model.w_in.T + model.b_in)
+    S, L = model.stage_ws.shape[:2]
+    for s in range(S):
+        for k in range(L):
+            h = jax.nn.sigmoid(h @ model.stage_ws[s, k].T + model.stage_bs[s, k])
+    z = h @ model.w_out.T + model.b_out
+    return jax.nn.softmax(z, axis=-1)
+
+
+@multi
+def test_pipeline_forward_matches_sequential():
+    mesh = make_pipeline_mesh(4)
+    model = PipelineMLP.init(6, 16, 4, n_stages=4, layers_per_stage=2,
+                             key=jax.random.PRNGKey(0))
+    model = shard_pipeline_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(1), (8, 6))
+    got = np.asarray(pipeline_forward(model, mesh, xb, n_microbatches=4))
+    want = np.asarray(sequential_forward(model, xb))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@multi
+def test_pipeline_training_converges():
+    mesh = make_pipeline_mesh(4)
+    # larger init keeps deep logistic chains out of the vanishing-
+    # gradient regime so plain SGD converges in test time
+    model = PipelineMLP.init(4, 16, 2, n_stages=4, layers_per_stage=1,
+                             key=jax.random.PRNGKey(2), scale=4.0)
+    model = shard_pipeline_model(model, mesh)
+    step = pipeline_train_step(model, mesh, n_microbatches=4)
+
+    r = np.random.default_rng(0)
+    X = r.uniform(-1, 1, size=(64, 4)).astype(np.float32)
+    labels = (X[:, 0] > 0).astype(int)
+    Y = np.eye(2, dtype=np.float32)[labels]
+    xb, yb = jnp.asarray(X), jnp.asarray(Y)
+
+    params = model.params()
+    v0, params = step(1.0, xb, yb, *params)
+    losses = [float(v0)]
+    for _ in range(300):
+        v, params = step(1.0, xb, yb, *params)
+        losses.append(float(v))
+    assert losses[-1] < 0.1 * losses[0], losses[:3] + losses[-3:]
+
+
+@multi
+def test_pipeline_grad_matches_sequential_grad():
+    """Gradients through the pipelined scan == gradients of the plain
+    chain (the pipeline is just a schedule, not a different function)."""
+    mesh = make_pipeline_mesh(4)
+    model = PipelineMLP.init(4, 8, 3, n_stages=4, layers_per_stage=1,
+                             key=jax.random.PRNGKey(3))
+    model = shard_pipeline_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(4), (8, 4))
+    yb = jnp.asarray(np.eye(3, dtype=np.float32)[np.arange(8) % 3])
+
+    step = pipeline_train_step(model, mesh, n_microbatches=4)
+    _, new_params = step(1.0, xb, yb, *model.params())
+
+    def seq_loss(params):
+        m = PipelineMLP(*params)
+        p = sequential_forward(m, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    grads = jax.grad(seq_loss)(model.params())
+    want = [p - 1.0 * g for p, g in zip(model.params(), grads)]
+    for a, b in zip(new_params, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
