@@ -17,3 +17,4 @@ from . import recurrent, autoencoder, training
 from . import optim, trainer, fast
 from .optim import adam, momentum, sgd
 from .trainer import fit
+from .serve import Predictor

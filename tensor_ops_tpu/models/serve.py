@@ -1,0 +1,93 @@
+"""Serving: a warm, latency-tracked predictor over trained networks.
+
+The reference has no inference story beyond calling ``runNetwork`` in a
+loop; for production serving this wraps a Network (staged-IR path) or a
+FusedMLP (single-kernel whole-network path) with shape-bucketed jitted
+forwards, explicit warmup, and latency statistics.
+"""
+
+from __future__ import annotations
+
+import bisect
+import time
+from typing import Any, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..backend.base import Backend
+from ..utils.profiling import StepTimer
+from .fast import FusedMLP
+from .feedforward import Network
+from .training import batched_run
+
+
+class Predictor:
+    """Batched prediction with shape bucketing (pad to the next bucket so
+    jit compiles once per bucket, not once per request size)."""
+
+    def __init__(
+        self,
+        model: Union[Network, FusedMLP],
+        be: Optional[Backend] = None,
+        buckets: Sequence[int] = (1, 8, 32, 128, 512),
+        use_fused_kernel: bool = False,
+    ):
+        self.model = model
+        self.be = be
+        self.buckets = sorted(buckets)
+        self.use_fused_kernel = use_fused_kernel
+        self.timer = StepTimer()
+        if isinstance(model, Network) and be is None:
+            raise ValueError("Network predictor needs a backend")
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        return self.buckets[i] if i < len(self.buckets) else n
+
+    def _forward(self, xb):
+        if isinstance(self.model, FusedMLP):
+            if self.use_fused_kernel:
+                return self.model.run_fused_inference(xb)
+            return self.model.run(xb)
+        fn = batched_run(self.model, self.be)
+        return fn(xb, *self.model.params)
+
+    def warmup(self) -> None:
+        """Compile every bucket ahead of serving."""
+        if isinstance(self.model, FusedMLP):
+            i = self.model.weights[0].shape[1]
+        else:
+            i = self.model.in_shape[0]
+        for b in self.buckets:
+            x = np.zeros((b, i), dtype=np.float32)
+            np.asarray(self._forward(self._as(x)))
+
+    def _as(self, x):
+        if isinstance(self.model, FusedMLP):
+            import jax.numpy as jnp
+
+            return jnp.asarray(x, dtype=jnp.float32)
+        return self.be.asarray(x)
+
+    def predict(self, x: Any) -> np.ndarray:
+        """Class probabilities for a batch (any leading size)."""
+        x = np.asarray(x, dtype=np.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        n = x.shape[0]
+        b = self._bucket(n)
+        if b != n:
+            x = np.pad(x, ((0, b - n), (0, 0)))
+        self.timer.start()
+        out = np.asarray(self._forward(self._as(x)))
+        self.timer.stop()
+        out = out[:n]
+        return out[0] if squeeze else out
+
+    def predict_class(self, x: Any) -> np.ndarray:
+        p = self.predict(x)
+        return np.argmax(p, axis=-1)
+
+    def latency(self) -> dict:
+        return self.timer.summary()
