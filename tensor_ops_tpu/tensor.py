@@ -55,6 +55,11 @@ def outer(be: Backend, x: Any, y: Any) -> Any:
     return be.gmul(len(be.shape_of(x)), 0, len(be.shape_of(y)), x, y)
 
 
+def outer_v(be: Backend, x: Any, y: Any) -> Any:
+    """``TT.outerV`` — vector (x) vector outer product (``Tensor.hs:155-156``)."""
+    return be.gmul(1, 0, 1, x, y)
+
+
 def dot(be: Backend, x: Any, y: Any) -> Any:
     """``TT.dot`` (``Tensor.hs:158-163``)."""
     return be.gmul(0, 1, 0, x, y)
