@@ -30,8 +30,17 @@ from .base import Backend, Distribution
 class JaxBackend(Backend):
     name = "jax"
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, precision: str = "default"):
+        """``precision``: "default" lets the MXU use bf16 multiplies (the
+        TPU-native fast path); "highest" forces full f32 accumulation for
+        parity work.  CPU ignores it (always exact)."""
         self.dtype = jnp.dtype(dtype)
+        if precision not in ("default", "highest"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.precision = (
+            lax.Precision.DEFAULT if precision == "default" else lax.Precision.HIGHEST
+        )
+        self._precision_name = precision
 
     # -- construction ---------------------------------------------------
     def asarray(self, x: Any) -> jax.Array:
@@ -68,6 +77,7 @@ class JaxBackend(Backend):
             y,
             dimension_numbers=((contract_x, contract_y), ((), ())),
             preferred_element_type=self.dtype if self.dtype != jnp.bfloat16 else jnp.float32,
+            precision=self.precision,
         ).astype(self.dtype)
 
     def transp(self, t: jax.Array) -> jax.Array:

@@ -19,7 +19,8 @@ from .ops.ir import TOp
 
 
 def _key(be: Backend, mode: str) -> tuple:
-    return (be.name, str(getattr(be, "dtype", None)), mode)
+    return (be.name, str(getattr(be, "dtype", None)),
+            getattr(be, "_precision_name", None), mode)
 
 
 def compile_run(op: TOp, be: Backend) -> Callable:

@@ -139,3 +139,41 @@ def test_lead_infers_passthrough(nb):
 def test_fanout_requires_same_inputs():
     with pytest.raises(ShapeError):
         P.fanout(P.scale((2,), 1.0), P.scale((3,), 1.0))
+
+
+def test_mapped_op_multi_output(nb, jb):
+    """MappedOp over an op with several outputs (duplicate)."""
+    from tensor_ops_tpu.ops.loops import MappedOp
+
+    m = MappedOp(P.duplicate((3,)), 4)
+    xsb = r(4, 3)
+    for be in (nb, jb):
+        outs = ir.run(m, be, (be.asarray(xsb),))
+        assert len(outs) == 2
+        np.testing.assert_allclose(np.asarray(outs[0]), xsb, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(outs[1]), xsb, atol=1e-12)
+    # transpose: cotangents from both outputs sum
+    g = m >> MappedOp(P.dot(3), 4) >> P.sum_rows((4,))
+    _, grads = ir.value_and_grad(g, nb, (xsb,))
+    np.testing.assert_allclose(grads[0], 2 * xsb, atol=1e-10)
+
+
+def test_konst_multi_output_in_graph(nb):
+    op = P.konst(3.0, (2,), n=2) >> P.dot(2)
+    v = ir.run(op, nb, ())[0]
+    assert np.isclose(v, 18.0)  # [3,3].[3,3]
+    # grad over empty input stack works
+    _, grads = ir.value_and_grad(op, nb, ())
+    assert grads == ()
+
+
+def test_deep_composition_stress(nb):
+    """200-node chain builds, runs, and differentiates in O(depth)."""
+    op = P.identity([(4,)])
+    for _ in range(200):
+        op = op >> P.scale((4,), 1.001)
+    op = op >> P.duplicate((4,)) >> P.dot(4)
+    x = r(4)
+    v, grads = ir.value_and_grad(op, nb, (x,))
+    scale = 1.001 ** 200
+    np.testing.assert_allclose(grads[0], 2 * x * scale * scale, rtol=1e-9)

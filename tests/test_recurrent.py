@@ -237,3 +237,35 @@ def test_train_batch_matches_mean_of_singles(nb, jb):
     got_j = jnet.train_batch(loss, 0.1, 0.2, jb, jb.asarray(xb), jb.asarray(tb))
     for a, b in zip(got_j.params, want_p):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+def test_scan_with_two_states_composed_rnn(nb, jb):
+    """ScanOp with a 2-state step (two composed recurrent layers)."""
+    a = make_rnn(nb, i=2, o=3, seed=71)
+    bnet = make_rnn(nb, i=3, o=2, seed=72)
+    comp = a.then(bnet)
+    assert len(comp.states) == 2
+    xs, tg = r(73, 5, 2), r(74, 5, 2)
+    loss = squared_error(2)
+    # scan loss == explicit step-by-step threading
+    want = explicit_unroll(comp, nb, xs, tg, loss)
+    got = float(np.asarray(comp.seq_loss(loss, nb, xs, tg)))
+    assert np.isclose(got, want), (got, want)
+    # jax parity
+    jcomp = RecurrentNetwork(comp.op,
+                             tuple(jb.asarray(s) for s in comp.states),
+                             tuple(jb.asarray(p) for p in comp.params))
+    got_j = float(np.asarray(jcomp.seq_loss(loss, jb, jb.asarray(xs), jb.asarray(tg))))
+    assert abs(got - got_j) < 1e-9
+    # gradient spot-check vs finite differences on one param entry
+    _, gS, gP = comp.seq_grad(loss, nb, xs, tg)
+    eps = 1e-6
+    pp = [p.copy() for p in comp.params]
+    pm = [p.copy() for p in comp.params]
+    pp[0][0, 0] += eps
+    pm[0][0, 0] -= eps
+    lp = float(np.asarray(RecurrentNetwork(comp.op, comp.states, tuple(pp))
+                          .seq_loss(loss, nb, xs, tg)))
+    lm = float(np.asarray(RecurrentNetwork(comp.op, comp.states, tuple(pm))
+                          .seq_loss(loss, nb, xs, tg)))
+    assert abs((lp - lm) / (2 * eps) - gP[0][0, 0]) < 1e-5
