@@ -92,7 +92,8 @@ def bench_mnist_train(batch=1024, steps=200):
 
 def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
     """Deep fused-ffLayer sweep (BASELINE config 5): fwd+bwd through
-    `layers` Pallas fused 4096x4096 linear+relu layers."""
+    `layers` Pallas fused 4096x4096 linear+relu layers in bf16 (the
+    TPU-native training dtype; the kernel accumulates in f32)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -101,17 +102,17 @@ def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
 
     r = np.random.default_rng(0)
     ws = tuple(
-        jnp.asarray(r.normal(size=(n, n)) * (1.0 / np.sqrt(n)), dtype=jnp.float32)
+        jnp.asarray(r.normal(size=(n, n)) * (1.0 / np.sqrt(n)), dtype=jnp.bfloat16)
         for _ in range(layers)
     )
-    bs = tuple(jnp.zeros((n,), jnp.float32) for _ in range(layers))
-    x = jnp.asarray(r.normal(size=(batch, n)), dtype=jnp.float32)
+    bs = tuple(jnp.zeros((n,), jnp.bfloat16) for _ in range(layers))
+    x = jnp.asarray(r.normal(size=(batch, n)), dtype=jnp.bfloat16)
 
     def net_loss(ws, bs, x):
         h = x
         for w, b in zip(ws, bs):
             h = fused_linear(h, w, b, "relu")
-        return jnp.mean(h * h)
+        return jnp.mean((h * h).astype(jnp.float32))
 
     grad_fn = jax.value_and_grad(net_loss, argnums=(0, 1))
 
@@ -126,10 +127,10 @@ def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
         return lax.fori_loop(0, steps, body, (ws, bs))
 
     out = run_steps(ws, bs, x)
-    _ = float(jnp.sum(out[0][0]))
+    _ = float(jnp.sum(out[0][0].astype(jnp.float32)))
     t0 = time.perf_counter()
     out = run_steps(ws, bs, x)
-    _ = float(jnp.sum(out[0][0]))
+    _ = float(jnp.sum(out[0][0].astype(jnp.float32)))
     dt = time.perf_counter() - t0
     # fwd (2BNK) + bwd (2 matmuls: 4BNK) per layer
     flops = steps * layers * 6 * batch * n * n

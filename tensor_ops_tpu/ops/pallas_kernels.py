@@ -203,8 +203,11 @@ def _fused_linear_fwd_impl(x, w, b, act: str, save_z: bool,
     B, i = x.shape
     o = w.shape[0]
     block_b, block_o, block_k = pick_tiles(B, i, o, save_z)
-    xp = _pad2(x.astype(jnp.float32), block_b, block_k)
-    wp = _pad2(w.astype(jnp.float32), block_o, block_k)
+    # keep bf16 operands in bf16 (half the HBM/VMEM traffic; the kernel
+    # accumulates in f32 either way); other dtypes go through f32
+    op_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    xp = _pad2(x.astype(op_dtype), block_b, block_k)
+    wp = _pad2(w.astype(op_dtype), block_o, block_k)
     bp = jnp.pad(b.astype(jnp.float32), (0, wp.shape[0] - o)).reshape(1, -1)
     y, z = _fused_linear_padded(xp, wp, bp, act, block_b, save_z, precision)
     return y[:B, :o].astype(x.dtype), (z[:B, :o] if save_z else None)
