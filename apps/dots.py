@@ -72,7 +72,18 @@ def net_test(backend_name: str, rate: float, n: int, hidden: List[int],
     (inps, outs), tp = timed(gen_points)
     print(f"Generated test points ({tp:.3f}s)")
 
-    net = gen_net(be, 2, 1, [(h, act_logistic()) for h in hidden], act_logistic(), rng)
+    # Draw parameters on the NumPy oracle RNG regardless of backend so the
+    # same --seed yields the SAME network everywhere — this makes the
+    # reference's cross-backend consistency check (Dots.hs:139-146) a real
+    # apples-to-apples comparison here.
+    np_rng = Rng(T.NumpyBackend(), seed=seed)
+    net = gen_net(T.NumpyBackend(), 2, 1,
+                  [(h, act_logistic()) for h in hidden], act_logistic(), np_rng)
+    if be.name != "numpy":
+        from tensor_ops_tpu.models.feedforward import Network
+
+        net = Network(net.op, tuple(be.asarray(p) for p in net.params),
+                      net.act_names)
     loss = squared_error(1)
 
     def train():

@@ -99,3 +99,19 @@ def test_training_error_decreases(tmp_path):
     errs = [float(l.split()[1].rstrip("%")) for l in out.splitlines()
             if l.startswith("Training:")]
     assert len(errs) >= 2 and errs[-1] < errs[0]
+
+
+def test_dots_cross_backend_consistency():
+    """Same --seed on np and jax backends trains the same network on the
+    same data — the rasters must agree (the reference's implicit
+    cross-backend oracle, Dots.hs:139-146)."""
+    out = run_cli(dots.main, ["-s", "400", "--seed", "7", "np", "jax"])
+    # two rasters of 21 lines each at the end of each backend section
+    lines = out.splitlines()
+    starts = [i for i, l in enumerate(lines) if l.startswith("Training ")]
+    assert len(starts) == 2
+    r1 = [l for l in lines[starts[0]:starts[1]] if len(l) == 51]
+    r2 = [l for l in lines[starts[1]:] if len(l) == 51]
+    assert len(r1) == 21 and len(r2) == 21
+    same = sum(a == b for a, b in zip(r1, r2))
+    assert same >= 20, f"only {same}/21 raster rows agree"
