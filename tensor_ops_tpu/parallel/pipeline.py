@@ -33,12 +33,29 @@ from jax.experimental.shard_map import shard_map
 STAGE_AXIS = "stage"
 
 
+DATA_AXIS = "data"
+
+
 def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if len(devices) < n_stages:
         raise ValueError(f"need {n_stages} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+
+
+def make_dp_pipeline_mesh(n_data: int, n_stages: int, devices=None) -> Mesh:
+    """2D (data, stage) mesh: batch sharded over ``data``, layers over
+    ``stage`` — combined dp x pp in one train step."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_stages
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:need]).reshape(n_data, n_stages),
+        (DATA_AXIS, STAGE_AXIS),
+    )
 
 
 @dataclass
@@ -130,12 +147,24 @@ def pipeline_forward(model: PipelineMLP, mesh: Mesh, xb, n_microbatches: int):
     return fn(*model.params(), xb)
 
 
+def _pipeline_specs(mesh: Mesh):
+    """shard_map specs: stage params over the stage axis; when the mesh
+    also has a data axis, the per-microbatch batch dim shards over it
+    (combined dp x pp)."""
+    if DATA_AXIS in mesh.axis_names:
+        mb_spec = PSpec(None, DATA_AXIS, None)
+    else:
+        mb_spec = PSpec()
+    return (PSpec(STAGE_AXIS), PSpec(STAGE_AXIS), mb_spec), mb_spec
+
+
 def _make_forward(S: int, mesh: Mesh, M: int) -> Callable:
+    in_specs, out_spec = _pipeline_specs(mesh)
     pipelined = shard_map(
         _spmd_pipeline,
         mesh=mesh,
-        in_specs=(PSpec(STAGE_AXIS), PSpec(STAGE_AXIS), PSpec()),
-        out_specs=PSpec(),
+        in_specs=in_specs,
+        out_specs=out_spec,
         check_rep=False,
     )
 
@@ -161,11 +190,12 @@ def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> 
     the softmax output, gradients through the pipelined scan (backward is
     pipelined by AD transposition of ppermute)."""
     S = model.n_stages
+    in_specs, out_spec = _pipeline_specs(mesh)
     pipelined = shard_map(
         _spmd_pipeline,
         mesh=mesh,
-        in_specs=(PSpec(STAGE_AXIS), PSpec(STAGE_AXIS), PSpec()),
-        out_specs=PSpec(),
+        in_specs=in_specs,
+        out_specs=out_spec,
         check_rep=False,
     )
     M = n_microbatches

@@ -92,3 +92,33 @@ def test_pipeline_grad_matches_sequential_grad():
     want = [p - 1.0 * g for p, g in zip(model.params(), grads)]
     for a, b in zip(new_params, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@multi
+def test_dp_pipeline_combined():
+    """2D (data=2, stage=4) mesh: dp x pp in one training step, same
+    numbers as the sequential chain."""
+    from tensor_ops_tpu.parallel.pipeline import make_dp_pipeline_mesh
+
+    mesh = make_dp_pipeline_mesh(2, 4)
+    model = PipelineMLP.init(4, 8, 3, n_stages=4, layers_per_stage=1,
+                             key=jax.random.PRNGKey(5))
+    model = shard_pipeline_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(6), (16, 4))
+    got = np.asarray(pipeline_forward(model, mesh, xb, n_microbatches=4))
+    want = np.asarray(sequential_forward(model, xb))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    yb = jnp.asarray(np.eye(3, dtype=np.float32)[np.arange(16) % 3])
+    step = pipeline_train_step(model, mesh, n_microbatches=4)
+    _, new_params = step(1.0, xb, yb, *model.params())
+
+    def seq_loss(params):
+        m = PipelineMLP(*params)
+        p = sequential_forward(m, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    grads = jax.grad(seq_loss)(model.params())
+    want_p = [p - g for p, g in zip(model.params(), grads)]
+    for a, b in zip(new_params, want_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
