@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
-from typing import List, Optional, Tuple
 
 import numpy as np
 

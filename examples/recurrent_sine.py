@@ -13,7 +13,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import tensor_ops_tpu as T
 from tensor_ops_tpu.backend.rng import Rng
 from tensor_ops_tpu.models import act_logistic, squared_error
-from tensor_ops_tpu.models.recurrent import fully_connected, gen_net
+from tensor_ops_tpu.models.recurrent import gen_net
 
 
 def main():

@@ -24,7 +24,7 @@ order*::
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 from ..ops.shapes import Shape
 from ..ops.vfunc import VFunc

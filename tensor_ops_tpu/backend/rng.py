@@ -14,7 +14,7 @@ from typing import Any, Sequence
 
 import numpy as np
 
-from ..ops.shapes import Shape, as_shape
+from ..ops.shapes import as_shape
 from .base import Backend, Distribution
 
 

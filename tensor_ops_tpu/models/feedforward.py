@@ -12,7 +12,7 @@ single XLA program per backend.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 from .. import engine
 from ..backend.base import Backend, normal

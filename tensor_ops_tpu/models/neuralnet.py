@@ -9,9 +9,8 @@ memoized per size.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 from ..ops import prim as P
 from ..ops.ir import TOp

@@ -8,7 +8,7 @@ usable inside ``lax.fori_loop`` training loops)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Sequence, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 Params = Tuple[Any, ...]
 Grads = Tuple[Any, ...]

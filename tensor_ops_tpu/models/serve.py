@@ -9,8 +9,7 @@ forwards, explicit warmup, and latency statistics.
 from __future__ import annotations
 
 import bisect
-import time
-from typing import Any, List, Optional, Sequence, Union
+from typing import Any, Optional, Sequence, Union
 
 import numpy as np
 

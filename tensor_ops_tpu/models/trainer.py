@@ -11,7 +11,7 @@ metrics, and periodic checkpoints — with the whole optimizer step jitted
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 

@@ -12,11 +12,10 @@ transposition (vmap maps over it); ``jax.grad`` is never used on the model.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import numpy as np
 
-from .. import engine
 from ..backend.base import Backend
 from ..ops import ir
 from ..ops.ir import TOp

@@ -38,7 +38,6 @@ from .shapes import (
     as_stack,
     check_prefix,
     check_stack_eq,
-    fmt_shape,
     fmt_stack,
 )
 from .vfunc import VFunc

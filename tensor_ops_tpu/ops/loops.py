@@ -17,12 +17,10 @@ batching into a single vmapped XLA program.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
-
 import numpy as np
 
-from .ir import TOp, Arrays
-from .shapes import ShapeError, as_shape, as_stack, fmt_stack
+from .ir import TOp
+from .shapes import ShapeError, fmt_stack
 
 
 class ScanOp(TOp):

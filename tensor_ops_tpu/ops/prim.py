@@ -30,7 +30,7 @@ from .ir import (
     TOp,
     Transp,
 )
-from .shapes import SCALAR, Shape, Stack, ShapeError, as_shape, as_stack
+from .shapes import as_shape, as_stack
 from .vfunc import VFunc, vfunc1, vfunc2, vfuncN
 
 # -- structure ---------------------------------------------------------------

@@ -12,7 +12,7 @@ the scaling playbook: mesh -> shardings -> XLA collectives -> profile.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 

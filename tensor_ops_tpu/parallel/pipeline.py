@@ -19,8 +19,7 @@ every stage's parameters stack into arrays with a leading stage axis that
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable
 
 import numpy as np
 

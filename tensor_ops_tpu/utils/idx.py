@@ -11,7 +11,6 @@ dims, then row-major data.
 from __future__ import annotations
 
 import struct
-from typing import Tuple
 
 import numpy as np
 
