@@ -64,6 +64,55 @@ def load_network(path: str, net, be) -> Any:
     return Network(net.op, params)
 
 
+def save_fused(path: str, model, extra_meta: Optional[dict] = None) -> None:
+    """Save a FusedMLP (weights, biases, activation names)."""
+    arrays = {f"w_{i}": w for i, w in enumerate(model.weights)}
+    arrays.update({f"b_{i}": b for i, b in enumerate(model.biases)})
+    meta = {
+        "kind": "fused_mlp",
+        "acts": list(model.acts),
+        "softmax_out": bool(model.softmax_out),
+        "precision": model.precision,
+    }
+    meta.update(extra_meta or {})
+    save_arrays(path, arrays, meta)
+
+
+def load_fused(path: str):
+    from ..models.fast import FusedMLP
+
+    arrays, meta = load_arrays(path)
+    n = sum(1 for k in arrays if k.startswith("w_"))
+    ws = tuple(arrays[f"w_{i}"] for i in range(n))
+    bs = tuple(arrays[f"b_{i}"] for i in range(n))
+    return FusedMLP(ws, bs, tuple(meta["acts"]), meta["softmax_out"],
+                    meta.get("precision", "default"))
+
+
+def save_pipeline(path: str, model, extra_meta: Optional[dict] = None) -> None:
+    """Save a PipelineMLP."""
+    arrays = {
+        "w_in": model.w_in, "b_in": model.b_in,
+        "stage_ws": model.stage_ws, "stage_bs": model.stage_bs,
+        "w_out": model.w_out, "b_out": model.b_out,
+    }
+    meta = {"kind": "pipeline_mlp"}
+    meta.update(extra_meta or {})
+    save_arrays(path, arrays, meta)
+
+
+def load_pipeline(path: str):
+    from ..models.recurrent import RecurrentNetwork  # noqa: F401 (import cycle guard)
+    from ..parallel.pipeline import PipelineMLP
+
+    arrays, _ = load_arrays(path)
+    import jax.numpy as jnp
+
+    return PipelineMLP(*(jnp.asarray(arrays[k]) for k in
+                         ("w_in", "b_in", "stage_ws", "stage_bs",
+                          "w_out", "b_out")))
+
+
 def save_recurrent(path: str, net, extra_meta: Optional[dict] = None) -> None:
     arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
     arrays.update({f"state_{i}": s for i, s in enumerate(net.states)})

@@ -75,3 +75,36 @@ def test_metrics_logger(tmp_path):
         m.log(1, loss=np.float64(1.2))
     lines = [json.loads(l) for l in open(p)]
     assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
+
+
+def test_fused_checkpoint_roundtrip(tmp_path, jb):
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP
+    from tensor_ops_tpu.utils.checkpoint import load_fused, save_fused
+
+    rng = Rng(jb, seed=0)
+    net = gen_net(jb, 4, 2, [(3, act_logistic())], act_softmax(), rng)
+    fm = FusedMLP.from_network(net, precision="highest")
+    p = str(tmp_path / "fm.npz")
+    save_fused(p, fm)
+    fm2 = load_fused(p)
+    assert fm2.acts == fm.acts and fm2.softmax_out == fm.softmax_out
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, size=(3, 4)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fm.run(x)), np.asarray(fm2.run(x)), atol=1e-6)
+
+
+def test_pipeline_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from tensor_ops_tpu.parallel.pipeline import PipelineMLP
+    from tensor_ops_tpu.utils.checkpoint import load_pipeline, save_pipeline
+
+    model = PipelineMLP.init(4, 8, 2, n_stages=2, layers_per_stage=1,
+                             key=jax.random.PRNGKey(0))
+    p = str(tmp_path / "pipe.npz")
+    save_pipeline(p, model)
+    m2 = load_pipeline(p)
+    for a, b in zip(model.params(), m2.params()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
