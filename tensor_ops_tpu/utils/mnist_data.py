@@ -70,6 +70,12 @@ def load_mnist(data_dir: str, allow_synthetic: bool = True) -> List[List[Sample]
                 if os.path.exists(path):
                     with open(path, "rb") as f:
                         raw = f.read()
+                elif os.path.exists(path + ".gz"):
+                    # user-provided compressed files (airgapped hosts)
+                    with open(path + ".gz", "rb") as f:
+                        raw = gzip.decompress(f.read())
+                    with open(path, "wb") as f:
+                        f.write(raw)
                 else:
                     print(f"'{name}' not found; downloading from {MNIST_BASE} ...")
                     raw = gzip.decompress(_fetch(f"{MNIST_BASE}/{name}.gz"))

@@ -115,3 +115,24 @@ def test_dots_cross_backend_consistency():
     assert len(r1) == 21 and len(r2) == 21
     same = sum(a == b for a, b in zip(r1, r2))
     assert same >= 20, f"only {same}/21 raster rows agree"
+
+
+def test_mnist_loader_accepts_local_gz(tmp_path):
+    """Real-data path for airgapped hosts: drop the .gz files in the data
+    dir and the loader decompresses and caches them."""
+    import gzip
+
+    from tensor_ops_tpu.utils.idx import encode_idx
+    from tensor_ops_tpu.utils.mnist_data import MNIST_FILES
+
+    rng = np.random.default_rng(0)
+    for img_name, lbl_name in MNIST_FILES:
+        n = 20
+        imgs = rng.integers(0, 255, size=(n, 28, 28)).astype(np.uint8)
+        lbls = rng.integers(0, 10, size=n).astype(np.uint8)
+        for name, arr in ((img_name, imgs), (lbl_name, lbls)):
+            with open(tmp_path / (name + ".gz"), "wb") as f:
+                f.write(gzip.compress(encode_idx(arr)))
+    tr, te = load_mnist(str(tmp_path), allow_synthetic=False)
+    assert len(tr) == 20 and len(te) == 20
+    assert tr[0][1].shape == (784,)
