@@ -71,3 +71,42 @@ def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
         return (t, m, v), new_params
 
     return Optimizer(init, update, "adam")
+
+
+def clip_by_global_norm(grads: Grads, max_norm: float) -> Grads:
+    """Scale the gradient pytree so its global L2 norm is <= max_norm
+    (jit-friendly: works on numpy and traced jax arrays alike)."""
+    import numpy as np
+
+    total = 0.0
+    for g in grads:
+        total = total + (g * g).sum()
+    norm = total ** 0.5
+    if isinstance(norm, (float, np.floating, np.ndarray)):
+        scale = min(max_norm / (float(norm) + 1e-12), 1.0)
+    else:  # traced jax value — keep it jit-friendly
+        import jax.numpy as jnp
+
+        scale = jnp.minimum(max_norm / (norm + 1e-12), 1.0)
+    return tuple(g * scale for g in grads)
+
+
+def cosine_schedule(base_lr: float, total_steps: int, final_frac: float = 0.0):
+    """lr(step): cosine decay from base_lr to final_frac * base_lr."""
+    import math
+
+    def lr(step: int) -> float:
+        t = min(step, total_steps) / max(total_steps, 1)
+        return base_lr * (final_frac + (1 - final_frac)
+                          * 0.5 * (1 + math.cos(math.pi * t)))
+
+    return lr
+
+
+def exponential_schedule(base_lr: float, decay: float, every: int = 1):
+    """lr(step) = base_lr * decay**(step // every)."""
+
+    def lr(step: int) -> float:
+        return base_lr * decay ** (step // every)
+
+    return lr

@@ -190,3 +190,25 @@ class MappedOp(TOp):
         return tuple(
             np.stack([o[k] for o in outs]) for k in range(len(self.op.in_stack))
         )
+
+
+class Remat(TOp):
+    """Rematerialization wrapper: store only the wrapped op's *inputs* on
+    the tape and recompute its forward inside the backward pass — the
+    IR-level ``jax.checkpoint``, trading FLOPs for residual memory (the
+    standard TPU recipe for deep chains; HBM is the usual bottleneck).
+    Gradients are identical to the unwrapped op."""
+
+    __slots__ = ("op",)
+
+    def __init__(self, op: TOp):
+        self.op = op
+        super().__init__(op.in_stack, op.out_stack)
+
+    def apply_tape(self, be, xs, with_tape=True):
+        ys, _ = self.op.apply_tape(be, xs, with_tape=False)
+        return ys, (xs if with_tape else None)
+
+    def transpose(self, be, tape, cts):
+        _, inner_tape = self.op.apply_tape(be, tape, with_tape=True)
+        return self.op.transpose(be, inner_tape, cts)

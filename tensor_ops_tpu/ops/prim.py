@@ -241,3 +241,11 @@ def vec_mat(m: int, n: int) -> TOp:
 def mat_mat(m: int, n: int, o: int) -> TOp:
     """``TO.matMat : [[m,n],[n,o]] -> [[m,o]]`` (``TOp.hs:339-343``)."""
     return GMul((m,), (n,), (o,))
+
+
+def remat(op: TOp) -> TOp:
+    """Checkpoint ``op``: keep only its inputs as residuals and recompute
+    the forward during the backward pass (IR-level ``jax.checkpoint``)."""
+    from .loops import Remat
+
+    return Remat(op)

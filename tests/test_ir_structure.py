@@ -177,3 +177,24 @@ def test_deep_composition_stress(nb):
     v, grads = ir.value_and_grad(op, nb, (x,))
     scale = 1.001 ** 200
     np.testing.assert_allclose(grads[0], 2 * x * scale * scale, rtol=1e-9)
+
+
+def test_remat_gradients_identical(nb):
+    """remat(op) computes the same values and gradients as op, storing
+    only inputs as residuals."""
+    import jax.numpy as jnp
+
+    chain = P.map_op((3,), lambda a: jnp.tanh(a)) >> P.map_op((3,), lambda a: a * a + a)
+    plain = chain >> P.duplicate((3,)) >> P.dot(3)
+    ckpt = P.remat(chain) >> P.duplicate((3,)) >> P.dot(3)
+    x = r(3)
+    v1, g1 = ir.value_and_grad(plain, nb, (x,))
+    v2, g2 = ir.value_and_grad(ckpt, nb, (x,))
+    assert np.isclose(v1, v2)
+    np.testing.assert_allclose(g1[0], g2[0], atol=1e-12)
+    # the remat tape is exactly the input tuple
+    from tensor_ops_tpu.ops.loops import Remat
+
+    node = Remat(chain)
+    _, tape = node.apply_tape(nb, (x,))
+    assert isinstance(tape, tuple) and len(tape) == 1 and tape[0] is x

@@ -69,3 +69,25 @@ def test_fit_numpy_backend(nb):
               verbose=False, log_every=1)
     assert res.steps == 6
     assert res.history[-1]["loss"] < res.history[0]["loss"] * 1.5
+
+
+def test_clip_and_schedules():
+    import numpy as np
+
+    from tensor_ops_tpu.models.optim import (
+        clip_by_global_norm,
+        cosine_schedule,
+        exponential_schedule,
+    )
+
+    g = (np.array([3.0, 4.0]),)  # norm 5
+    clipped = clip_by_global_norm(g, 1.0)
+    assert np.isclose(np.linalg.norm(clipped[0]), 1.0, atol=1e-6)
+    small = (np.array([0.3, 0.4]),)  # norm 0.5 < 1 -> untouched
+    same = clip_by_global_norm(small, 1.0)
+    np.testing.assert_allclose(same[0], small[0], atol=1e-9)
+
+    lr = cosine_schedule(1.0, 100)
+    assert np.isclose(lr(0), 1.0) and lr(100) < 1e-9 and 0.4 < lr(50) < 0.6
+    lre = exponential_schedule(1.0, 0.5, every=10)
+    assert lre(0) == 1.0 and lre(10) == 0.5 and lre(25) == 0.25
