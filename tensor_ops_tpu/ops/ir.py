@@ -119,8 +119,18 @@ class TOp:
 
 
 def _check_args(op: TOp, be: Backend, xs: Arrays) -> None:
+    """Validate argument count AND array shapes against the declared input
+    stack.  Shapes are static even under jit tracing, so this check is
+    free inside compiled code and turns deep backend errors (or silent
+    broadcasts) into immediate ShapeErrors at the call site."""
     if len(xs) != len(op.in_stack):
         raise ShapeError(f"{op!r}: expected {len(op.in_stack)} args, got {len(xs)}")
+    for i, (x, want) in enumerate(zip(xs, op.in_stack)):
+        got = tuple(getattr(x, "shape", ()))
+        if got != tuple(want):
+            raise ShapeError(
+                f"{op!r}: input slot {i} has shape {got}, expected {tuple(want)}"
+            )
 
 
 # ---------------------------------------------------------------------------

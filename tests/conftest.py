@@ -7,13 +7,19 @@ backend at interpreter start and JAX_PLATFORMS=axon sits in the global
 env, so plain env tweaks are too late/ignored; instead the platform is
 switched through jax.config and the backend cache is cleared."""
 
+import os
+
 import jax
 import jax._src.xla_bridge as _xb
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-_xb._clear_backends()
-assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+if os.environ.get("TOPS_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    _xb._clear_backends()
+    assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+# TOPS_TEST_TPU=1 leaves the ambient (TPU) backend in place: the whole
+# suite then runs against real hardware (slow through a tunnel; multi-
+# device tests skip themselves when only one chip is visible).
 
 jax.config.update("jax_enable_x64", True)
 

@@ -198,3 +198,13 @@ def test_remat_gradients_identical(nb):
     node = Remat(chain)
     _, tape = node.apply_tape(nb, (x,))
     assert isinstance(tape, tuple) and len(tape) == 1 and tape[0] is x
+
+
+def test_runtime_shape_validation(nb):
+    """Arrays that do not match the declared stack fail loudly at the
+    entry point, not deep inside a backend op."""
+    op = P.mat_vec(3, 2)
+    with pytest.raises(ShapeError, match="slot 1"):
+        ir.run(op, nb, (r(3, 2), r(3)))  # vec should be (2,)
+    with pytest.raises(ShapeError, match="slot 0"):
+        ir.value_and_grad(P.dot(3), nb, (r(4), r(3)))

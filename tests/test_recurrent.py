@@ -269,3 +269,29 @@ def test_scan_with_two_states_composed_rnn(nb, jb):
     lm = float(np.asarray(RecurrentNetwork(comp.op, comp.states, tuple(pm))
                           .seq_loss(loss, nb, xs, tg)))
     assert abs((lp - lm) / (2 * eps) - gP[0][0, 0]) < 1e-5
+
+
+def test_recurrent_compose_associative(nb):
+    """(a . b) . c == a . (b . c) in outputs and state threading."""
+    a = make_rnn(nb, i=2, o=3, seed=81)
+    b = make_rnn(nb, i=3, o=4, seed=82)
+    c = make_rnn(nb, i=4, o=2, seed=83)
+    left = a.then(b).then(c)
+    right = a.then(b.then(c))
+    xs = r(84, 4, 2)
+    yl = left
+    yr = right
+    for t in range(4):
+        out_l, yl = yl.run(nb, xs[t])
+        out_r, yr = yr.run(nb, xs[t])
+        np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_r), atol=1e-12)
+    # same multiset of final states (ordering differs by association)
+    sl = sorted(float(np.asarray(s).sum()) for s in yl.states)
+    sr = sorted(float(np.asarray(s).sum()) for s in yr.states)
+    np.testing.assert_allclose(sl, sr, atol=1e-12)
+    # sequence training agrees too
+    tg = r(85, 4, 2)
+    loss = squared_error(2)
+    ll = float(np.asarray(left.seq_loss(loss, nb, xs, tg)))
+    lr_ = float(np.asarray(right.seq_loss(loss, nb, xs, tg)))
+    assert np.isclose(ll, lr_)
