@@ -138,6 +138,36 @@ def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
     return tflops, tflops / V5E_BF16_PEAK_TFLOPS
 
 
+def bench_fused_matmul_roofline(n=4096, steps=30):
+    """Single fused 4096x4096 linear+relu Pallas kernel on independent
+    invocations (the standard throughput setting — no inter-layer
+    dependency): the BASELINE 'fused matmul >=80% of v5e roofline' gate."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tensor_ops_tpu.ops.pallas_kernels import fused_linear
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(n, n)) * 0.01, dtype=jnp.bfloat16)
+    w = jnp.asarray(r.normal(size=(n, n)) * 0.01, dtype=jnp.bfloat16)
+    b = jnp.zeros((n,), jnp.bfloat16)
+
+    @jax.jit
+    def loop(x, w, b):
+        def body(i, acc):
+            y = fused_linear(x, w, b, "relu")
+            return acc + jnp.sum(y[:8, :8].astype(jnp.float32)) * 1e-9
+        return lax.fori_loop(0, steps, body, 0.0)
+
+    _ = float(loop(x, w, b))
+    t0 = time.perf_counter()
+    _ = float(loop(x, w, b))
+    dt = (time.perf_counter() - t0) / steps
+    tflops = 2 * n * n * n / dt / 1e12
+    return tflops, tflops / V5E_BF16_PEAK_TFLOPS
+
+
 def bench_megakernel_train(batch=8192, steps=200):
     """Whole-training-step mega-kernel (fwd+bwd+SGD in ONE pallas_call,
     weights + grad accumulators VMEM-resident)."""
@@ -201,6 +231,7 @@ def main():
     steps_per_sec, samples_per_sec = bench_mnist_train()
     mk_steps, mk_samples = bench_megakernel_train()
     deep_tflops, roofline = bench_fused_deep()
+    mm_tflops, mm_roofline = bench_fused_matmul_roofline()
     base = bench_cpu_baseline()
     best_samples = max(samples_per_sec, mk_samples)
     result = {
@@ -216,6 +247,8 @@ def main():
             "cpu_oracle_per_sample_sgd_samples_per_sec": round(base, 1),
             "deep_fused_mlp_tflops": round(deep_tflops, 1),
             "deep_fused_mlp_pct_of_v5e_bf16_peak": round(100 * roofline, 1),
+            "fused_matmul_tflops": round(mm_tflops, 1),
+            "fused_matmul_pct_of_v5e_bf16_peak": round(100 * mm_roofline, 1),
         },
     }
     print(json.dumps(result))
