@@ -168,3 +168,53 @@ class FusedMLP:
         m = FusedMLP(tuple(ws), tuple(bs), self.acts, self.softmax_out,
                      self.precision, self._cache)
         return float(v), m
+
+
+@dataclass
+class QuantizedMLP:
+    """Weight-only int8 serving model: per-channel symmetric quantization
+    of every ffLayer weight, dequantized in-kernel (``fused_linear_w8``).
+    Quarter the weight HBM traffic of f32 at <0.5% typical accuracy cost
+    for logistic MLPs."""
+
+    wqs: Tuple[Any, ...]
+    scales: Tuple[Any, ...]
+    biases: Tuple[Any, ...]
+    acts: Tuple[str, ...]
+    softmax_out: bool = True
+
+    _cache: dict = None
+
+    def __post_init__(self):
+        if self._cache is None:
+            object.__setattr__(self, "_cache", {})
+
+    @classmethod
+    def from_fused(cls, fm: FusedMLP) -> "QuantizedMLP":
+        from ..ops.pallas_kernels import quantize_weights_int8
+
+        qs, ss = zip(*(quantize_weights_int8(w) for w in fm.weights))
+        return cls(tuple(qs), tuple(ss), fm.biases, fm.acts, fm.softmax_out)
+
+    def run(self, x) -> Any:
+        from ..ops.pallas_kernels import fused_linear_w8
+
+        fn = self._cache.get("fwd")
+        if fn is None:
+
+            def forward(x, wqs, scales, biases):
+                h = x
+                n = len(wqs)
+                for k in range(n):
+                    act = self.acts[k]
+                    if k == n - 1 and self.softmax_out:
+                        z = fused_linear_w8(h, wqs[k], scales[k], biases[k],
+                                            "identity")
+                        h = jax.nn.softmax(z, axis=-1)
+                    else:
+                        h = fused_linear_w8(h, wqs[k], scales[k], biases[k], act)
+                return h
+
+            fn = jax.jit(forward)
+            self._cache["fwd"] = fn
+        return fn(x, self.wqs, self.scales, self.biases)

@@ -505,3 +505,89 @@ def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
     new_bs = [outs[1 + n_layers + k][0, : b.shape[0]].astype(biases[k].dtype)
               for k, b in enumerate(biases)]
     return loss, new_ws, new_bs
+
+
+# ---------------------------------------------------------------------------
+# weight-only int8 quantized inference
+# ---------------------------------------------------------------------------
+
+
+def quantize_weights_int8(w) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 quantization of an ffLayer weight
+    ``w: (o, i)``: returns (int8 values (o, i), f32 scales (o, 1)) with
+    ``w ~= values * scales``.  Halves (vs bf16) or quarters (vs f32) the
+    weight HBM traffic — the serving-path bandwidth win."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _linear_w8_kernel(x_ref, wq_ref, scale_ref, b_ref, y_ref, acc_ref, *,
+                      act: str, nk: int, precision: str):
+    """Weight-only int8 fused linear: dequantize the weight tile on the
+    VPU (int8 -> f32 multiply by per-row scale) and feed the MXU."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_tile = wq_ref[:].astype(jnp.float32) * scale_ref[:]
+    acc_ref[:] += lax.dot_general(
+        x_ref[:], w_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(precision),
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        z = acc_ref[:] + b_ref[:]
+        y_ref[:] = _act_fn(act)(z).astype(y_ref.dtype)
+
+
+def fused_linear_w8(x, wq, scale, b, act: str = "identity",
+                    precision: str = "default"):
+    """``act(x @ (wq * scale).T + b)`` with int8 weights dequantized
+    in-kernel.  x: (B, i), wq: (o, i) int8, scale: (o, 1) f32, b: (o,)."""
+    B, i = x.shape
+    o = wq.shape[0]
+    block_b, block_o, block_k = pick_tiles(B, i, o)
+    xp = _pad2(x.astype(jnp.float32), block_b, block_k)
+    wqp = _pad2(wq, block_o, block_k)
+    sp = jnp.pad(scale.astype(jnp.float32), ((0, wqp.shape[0] - o), (0, 0)),
+                 constant_values=1.0)
+    bp = jnp.pad(b.astype(jnp.float32), (0, wqp.shape[0] - o)).reshape(1, -1)
+    K = xp.shape[1]
+    O = wqp.shape[0]
+    nk = K // block_k
+    grid = (xp.shape[0] // block_b, O // block_o, nk)
+    kernel = functools.partial(_linear_w8_kernel, act=act, nk=nk,
+                               precision=precision)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, block_k), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, 1), lambda i, j, k: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, block_o), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], O), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xp.shape[0] * K * O,
+            bytes_accessed=xp.shape[0] * K * 4 + K * O + xp.shape[0] * O * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xp, wqp, sp, bp)
+    return y[:B, :o]

@@ -157,3 +157,50 @@ def test_fusedmlp_train_fullfused(jb):
     assert abs(float(v1) - float(v2)) < 1e-5
     for a, b in zip(fm1.weights, fm2.weights):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_int8_weight_quantization_roundtrip():
+    from tensor_ops_tpu.ops.pallas_kernels import quantize_weights_int8
+
+    w = jnp.asarray(r(20, 6, 10) * 0.7, jnp.float32)
+    q, s = quantize_weights_int8(w)
+    assert q.dtype == jnp.int8 and s.shape == (6, 1)
+    w2 = q.astype(jnp.float32) * s
+    # per-channel max error bounded by half a quantization step
+    step = np.asarray(s)[:, 0] if np.asarray(s).ndim == 2 else np.asarray(s)
+    err = np.abs(np.asarray(w) - np.asarray(w2)).max(axis=1)
+    assert (err <= step * 0.5 + 1e-7).all()
+
+
+def test_fused_linear_w8_close_to_full_precision():
+    from tensor_ops_tpu.ops.pallas_kernels import (
+        fused_linear,
+        fused_linear_w8,
+        quantize_weights_int8,
+    )
+
+    x = jnp.asarray(r(21, 8, 16), jnp.float32)
+    w = jnp.asarray(r(22, 6, 16) * 0.3, jnp.float32)
+    b = jnp.asarray(r(23, 6) * 0.1, jnp.float32)
+    q, s = quantize_weights_int8(w)
+    y8 = fused_linear_w8(x, q, s, b, "logistic", "highest")
+    y32 = fused_linear(x, w, b, "logistic", "highest")
+    # int8 weight error propagates mildly through logistic
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y32), atol=0.02)
+
+
+def test_quantized_mlp_matches_fused(jb):
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP, QuantizedMLP
+
+    rng = Rng(jb, seed=0)
+    net = gen_net(jb, 10, 4, [(8, act_logistic())], act_softmax(), rng)
+    fm = FusedMLP.from_network(net, precision="highest")
+    qm = QuantizedMLP.from_fused(fm)
+    x = jnp.asarray(r(24, 5, 10), jnp.float32)
+    pf = np.asarray(fm.run(x))
+    pq = np.asarray(qm.run(x))
+    np.testing.assert_allclose(pq.sum(axis=1), 1.0, atol=1e-5)
+    assert (pf.argmax(axis=1) == pq.argmax(axis=1)).all()
+    np.testing.assert_allclose(pq, pf, atol=0.05)
