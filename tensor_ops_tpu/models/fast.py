@@ -174,8 +174,12 @@ class FusedMLP:
 class QuantizedMLP:
     """Weight-only int8 serving model: per-channel symmetric quantization
     of every ffLayer weight, dequantized in-kernel (``fused_linear_w8``).
-    Quarter the weight HBM traffic of f32 at <0.5% typical accuracy cost
-    for logistic MLPs."""
+    Quarters the weight HBM traffic of f32 (argmax-preserving accuracy in
+    tests).  Measured on v5e at 4096-wide/batch-8 the end-to-end latency
+    currently matches the f32 path (both are grid-latency-bound, not
+    bandwidth-bound, at that shape) — the traffic win materializes for
+    models large enough to be weight-streaming-bound; in-kernel int8 MXU
+    feeds are round-2 work (ROADMAP)."""
 
     wqs: Tuple[Any, ...]
     scales: Tuple[Any, ...]
