@@ -57,6 +57,25 @@ def make_dp_pipeline_mesh(n_data: int, n_stages: int, devices=None) -> Mesh:
     )
 
 
+MODEL_AXIS = "model"
+
+
+def make_3d_pipeline_mesh(n_data: int, n_stages: int, n_model: int,
+                          devices=None) -> Mesh:
+    """3D (data, stage, model) mesh: batch over ``data``, layer chain over
+    ``stage``, hidden width inside each stage over ``model`` — combined
+    dp x pp x tp in one train step."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_stages * n_model
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:need]).reshape(n_data, n_stages, n_model),
+        (DATA_AXIS, STAGE_AXIS, MODEL_AXIS),
+    )
+
+
 @dataclass
 class PipelineMLP:
     """S pipeline stages x L layers-per-stage of width h, plus replicated
@@ -107,10 +126,28 @@ def _stage_fn(ws, bs, x):
     return h
 
 
-def _spmd_pipeline(stage_ws, stage_bs, mb_inputs):
+def _stage_fn_tp(ws_local, bs_local, x):
+    """Tensor-parallel stage: weights row-sharded over ``model``
+    (local ws: (L, h/tp, h)), so each model shard computes its slice of
+    the pre-activation; an ``all_gather`` over the model axis restores the
+    full activation between layers (the simple row-parallel Megatron
+    pattern; AD transposes the gather to a reduce-scatter)."""
+    L = ws_local.shape[0]
+    h = x  # full width, replicated across the model axis
+    for k in range(L):
+        z_local = lax.dot_general(h, ws_local[k], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32) + bs_local[k]
+        a_local = jax.nn.sigmoid(z_local)
+        h = lax.all_gather(a_local, MODEL_AXIS, axis=1, tiled=True)
+    return h
+
+
+def _spmd_pipeline(stage_ws, stage_bs, mb_inputs, tp: bool = False):
     """Inside shard_map over ``stage``: scan M + S - 1 ticks; stage 0
     injects microbatches, each tick's output ring-shifts to the next
-    stage, the last stage collects (GPipe schedule, bubble = S - 1)."""
+    stage, the last stage collects (GPipe schedule, bubble = S - 1).
+    With ``tp`` the per-stage layers are additionally tensor-parallel over
+    the ``model`` axis (``_stage_fn_tp``)."""
     s = lax.axis_index(STAGE_AXIS)
     S = lax.axis_size(STAGE_AXIS)
     M = mb_inputs.shape[0]
@@ -120,12 +157,13 @@ def _spmd_pipeline(stage_ws, stage_bs, mb_inputs):
     # shard_map hands each stage its own slice with a leading axis of 1
     ws = stage_ws[0]
     bs = stage_bs[0]
+    fn = _stage_fn_tp if tp else _stage_fn
 
     def step(carry, t):
         state, outputs = carry
         inject = mb_inputs[jnp.minimum(t, M - 1)]
         x_in = jnp.where(s == 0, inject, state)
-        y = _stage_fn(ws, bs, x_in)
+        y = fn(ws, bs, x_in)
         oidx = t - (S - 1)
         updated = lax.dynamic_update_index_in_dim(
             outputs, y, jnp.maximum(oidx, 0), 0)
@@ -148,19 +186,28 @@ def pipeline_forward(model: PipelineMLP, mesh: Mesh, xb, n_microbatches: int):
 
 def _pipeline_specs(mesh: Mesh):
     """shard_map specs: stage params over the stage axis; when the mesh
-    also has a data axis, the per-microbatch batch dim shards over it
-    (combined dp x pp)."""
-    if DATA_AXIS in mesh.axis_names:
-        mb_spec = PSpec(None, DATA_AXIS, None)
+    also has a data axis the per-microbatch batch dim shards over it
+    (dp x pp); when it also has a model axis the weights' output dim
+    shards over it too (dp x pp x tp).  Returns
+    ((ws, bs, mb) in_specs, out_spec, tp?)."""
+    has_data = DATA_AXIS in mesh.axis_names
+    has_model = MODEL_AXIS in mesh.axis_names
+    mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
+    if has_model:
+        ws_spec = PSpec(STAGE_AXIS, None, MODEL_AXIS, None)
+        bs_spec = PSpec(STAGE_AXIS, None, MODEL_AXIS)
     else:
-        mb_spec = PSpec()
-    return (PSpec(STAGE_AXIS), PSpec(STAGE_AXIS), mb_spec), mb_spec
+        ws_spec = PSpec(STAGE_AXIS)
+        bs_spec = PSpec(STAGE_AXIS)
+    return (ws_spec, bs_spec, mb_spec), mb_spec, has_model
 
 
 def _make_forward(S: int, mesh: Mesh, M: int) -> Callable:
-    in_specs, out_spec = _pipeline_specs(mesh)
+    from functools import partial
+
+    in_specs, out_spec, tp = _pipeline_specs(mesh)
     pipelined = shard_map(
-        _spmd_pipeline,
+        partial(_spmd_pipeline, tp=tp),
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -188,10 +235,12 @@ def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> 
     ``fn(lr, xb, yb, *params) -> (loss, new_params)`` — cross-entropy on
     the softmax output, gradients through the pipelined scan (backward is
     pipelined by AD transposition of ppermute)."""
+    from functools import partial
+
     S = model.n_stages
-    in_specs, out_spec = _pipeline_specs(mesh)
+    in_specs, out_spec, tp = _pipeline_specs(mesh)
     pipelined = shard_map(
-        _spmd_pipeline,
+        partial(_spmd_pipeline, tp=tp),
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -222,14 +271,20 @@ def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> 
 
 
 def shard_pipeline_model(model: PipelineMLP, mesh: Mesh) -> PipelineMLP:
-    """Place stage params sharded over the stage axis, the rest replicated."""
-    stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+    """Place stage params over the stage (and model, if present) axes,
+    the rest replicated."""
+    if MODEL_AXIS in mesh.axis_names:
+        ws_sh = NamedSharding(mesh, PSpec(STAGE_AXIS, None, MODEL_AXIS, None))
+        bs_sh = NamedSharding(mesh, PSpec(STAGE_AXIS, None, MODEL_AXIS))
+    else:
+        ws_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+        bs_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
     repl = NamedSharding(mesh, PSpec())
     return PipelineMLP(
         jax.device_put(model.w_in, repl),
         jax.device_put(model.b_in, repl),
-        jax.device_put(model.stage_ws, stage_sh),
-        jax.device_put(model.stage_bs, stage_sh),
+        jax.device_put(model.stage_ws, ws_sh),
+        jax.device_put(model.stage_bs, bs_sh),
         jax.device_put(model.w_out, repl),
         jax.device_put(model.b_out, repl),
     )

@@ -122,3 +122,33 @@ def test_dp_pipeline_combined():
     want_p = [p - g for p, g in zip(model.params(), grads)]
     for a, b in zip(new_params, want_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@multi
+def test_3d_dp_pp_tp_combined():
+    """3D (data=2, stage=2, model=2) mesh: dp x pp x tp in one training
+    step — forward and gradients exactly equal the sequential chain."""
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    model = PipelineMLP.init(4, 8, 3, n_stages=2, layers_per_stage=2,
+                             key=jax.random.PRNGKey(7))
+    model = shard_pipeline_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(8), (8, 4))
+    got = np.asarray(pipeline_forward(model, mesh, xb, n_microbatches=2))
+    want = np.asarray(sequential_forward(model, xb))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    yb = jnp.asarray(np.eye(3, dtype=np.float32)[np.arange(8) % 3])
+    step = pipeline_train_step(model, mesh, n_microbatches=2)
+    _, new_params = step(1.0, xb, yb, *model.params())
+
+    def seq_loss(params):
+        m = PipelineMLP(*params)
+        p = sequential_forward(m, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    grads = jax.grad(seq_loss)(model.params())
+    want_p = [p - g for p, g in zip(model.params(), grads)]
+    for a, b in zip(new_params, want_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
