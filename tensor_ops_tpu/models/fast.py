@@ -222,3 +222,86 @@ class QuantizedMLP:
             fn = jax.jit(forward)
             self._cache["fwd"] = fn
         return fn(x, self.wqs, self.scales, self.biases)
+
+
+@dataclass
+class FusedRNN:
+    """Fused Elman recurrent layer (the ``fullyConnected`` cell,
+    ``Recurrent.hs:97-125``) driven by ``lax.scan`` over the fused Pallas
+    step kernel; batched over sequences.  Parameters follow the reference
+    layout: wS (o, o), wX (o, i), b (o,)."""
+
+    wX: Any
+    wS: Any
+    b: Any
+    s0: Any            # initial state (o,)
+    act: str = "logistic"
+    precision: str = "default"
+
+    _cache: dict = None
+
+    def __post_init__(self):
+        if self._cache is None:
+            object.__setattr__(self, "_cache", {})
+
+    @classmethod
+    def from_recurrent(cls, net, act: str = "logistic",
+                       precision: str = "default") -> "FusedRNN":
+        """From a single-layer ``fully_connected`` RecurrentNetwork."""
+        wS, wX, b = (jnp.asarray(p, jnp.float32) for p in net.params)
+        (s0,) = net.states
+        return cls(wX, wS, jnp.asarray(b, jnp.float32),
+                   jnp.asarray(s0, jnp.float32), act, precision)
+
+    def seq_forward(self, xs):
+        """xs: (n, i) -> (ys: (n, o) pre-activations, final state)."""
+        from ..ops.pallas_kernels import fused_rnn_step
+
+        fn = self._cache.get("seq")
+        if fn is None:
+
+            def run(xs, wX, wS, b, s0):
+                def step(s, xt):
+                    y, snew = fused_rnn_step(xt[None], s[None], wX, wS, b,
+                                             self.act, self.precision)
+                    return snew[0], y[0]
+
+                s_final, ys = jax.lax.scan(step, s0, xs)
+                return ys, s_final
+
+            fn = jax.jit(run)
+            self._cache["seq"] = fn
+        return fn(jnp.asarray(xs, jnp.float32), self.wX, self.wS, self.b, self.s0)
+
+    def train(self, rate_state: float, rate_param: float, xs, targets
+              ) -> Tuple[float, "FusedRNN"]:
+        """One SGD step on the summed squared sequence loss with the
+        reference's dual state/param rates (``trainNetwork'``)."""
+        from ..ops.pallas_kernels import fused_rnn_step
+
+        fn = self._cache.get("train")
+        if fn is None:
+
+            def loss(wX, wS, b, s0, xs, tg):
+                def step(s, xt):
+                    y, snew = fused_rnn_step(xt[None], s[None], wX, wS, b,
+                                             self.act, self.precision)
+                    return snew[0], y[0]
+
+                _, ys = jax.lax.scan(step, s0, xs)
+                return jnp.sum((tg - ys) ** 2)
+
+            def stepfn(rS, rP, wX, wS, b, s0, xs, tg):
+                v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                    wX, wS, b, s0, xs, tg)
+                return v, wX - rP * g[0], wS - rP * g[1], b - rP * g[2], \
+                    s0 - rS * g[3]
+
+            fn = jax.jit(stepfn)
+            self._cache["train"] = fn
+        v, wX, wS, b, s0 = fn(rate_state, rate_param, self.wX, self.wS,
+                              self.b, self.s0,
+                              jnp.asarray(xs, jnp.float32),
+                              jnp.asarray(targets, jnp.float32))
+        return float(v), FusedRNN(wX, wS, b, s0, self.act, self.precision,
+                                  self._cache)

@@ -591,3 +591,115 @@ def fused_linear_w8(x, wq, scale, b, act: str = "identity",
         interpret=_interpret(),
     )(xp, wqp, sp, bp)
     return y[:B, :o]
+
+
+# ---------------------------------------------------------------------------
+# fused recurrent (Elman) step
+# ---------------------------------------------------------------------------
+
+
+def _rnn_step_kernel(x_ref, s_ref, wx_ref, ws_ref, b_ref, y_ref, snew_ref, *,
+                     act: str, precision: str):
+    """One Elman step for a batch tile: ``z = x @ Wx^T + s @ Ws^T + b``;
+    output y = z (pre-activation, the reference's ``fullyConnected``
+    convention, ``Recurrent.hs:97-125``), new state = act(z).  Both
+    weights stay VMEM-resident; the two matmuls and the activation fuse
+    into one kernel."""
+    prec = _precision(precision)
+    z = (
+        lax.dot_general(x_ref[:], wx_ref[:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+        + lax.dot_general(s_ref[:], ws_ref[:], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32, precision=prec)
+        + b_ref[:]
+    )
+    y_ref[:] = z.astype(y_ref.dtype)
+    snew_ref[:] = _act_fn(act)(z).astype(snew_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_rnn_step(x, s, wx, ws, b, act: str = "logistic",
+                   precision: str = "default"):
+    """Fused Elman recurrent step (batched over sequences):
+    x: (B, i), s: (B, o), wx: (o, i), ws: (o, o), b: (o,) ->
+    (y: (B, o) pre-activation, s_new: (B, o) = act(z)).  Differentiable
+    (custom VJP); drive over time with ``lax.scan`` for fused BPTT."""
+    y, snew, _ = _rnn_step_impl(x, s, wx, ws, b, act, precision)
+    return y, snew
+
+
+def _rnn_step_impl(x, s, wx, ws, b, act, precision):
+    B, i = x.shape
+    o = wx.shape[0]
+    block_b = min(_round_up(B, 8), 512)
+    I = _round_up(i, LANE)
+    O = _round_up(o, LANE)
+    xp = _pad2(x.astype(jnp.float32), block_b, LANE)          # (Bp, I)
+    sp = _pad2(s.astype(jnp.float32), block_b, LANE)          # (Bp, O)
+    wxp = jnp.pad(wx.astype(jnp.float32), ((0, O - o), (0, I - i)))
+    wsp = jnp.pad(ws.astype(jnp.float32), ((0, O - o), (0, O - o)))
+    bp = jnp.pad(b.astype(jnp.float32), (0, O - o)).reshape(1, -1)
+    grid = (xp.shape[0] // block_b,)
+    kernel = functools.partial(_rnn_step_kernel, act=act, precision=precision)
+    y, snew = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, xp.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, sp.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wxp.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wsp.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bp.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, O), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, O), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((xp.shape[0], O), x.dtype),
+            jax.ShapeDtypeStruct((xp.shape[0], O), x.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xp.shape[0] * (xp.shape[1] + sp.shape[1]) * O,
+            bytes_accessed=(xp.size + sp.size + wxp.size + wsp.size) * 4,
+            transcendentals=xp.shape[0] * O,
+        ),
+        interpret=_interpret(),
+    )(xp, sp, wxp, wsp, bp)
+    z = y[:B, :o]
+    return z, snew[:B, :o], z
+
+
+def _rnn_step_fwd(x, s, wx, ws, b, act, precision):
+    y, snew, z = _rnn_step_impl(x, s, wx, ws, b, act, precision)
+    return (y, snew), (x, s, wx, ws, z)
+
+
+def _rnn_step_bwd(act, precision, res, cts):
+    x, s, wx, ws, z = res
+    dy, dsnew = cts
+    prec = _precision(precision)
+    dz = (dy.astype(jnp.float32)
+          + dsnew.astype(jnp.float32) * _act_grad(act)(z.astype(jnp.float32)))
+    dz = dz.astype(x.dtype)
+    dx = lax.dot_general(dz, wx, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=prec).astype(x.dtype)
+    ds = lax.dot_general(dz, ws, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=prec).astype(s.dtype)
+    dwx = lax.dot_general(dz, x, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32,
+                          precision=prec).astype(wx.dtype)
+    dws = lax.dot_general(dz, s, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32,
+                          precision=prec).astype(ws.dtype)
+    db = jnp.sum(dz, axis=0).astype(x.dtype)
+    return dx, ds, dwx, dws, db
+
+
+fused_rnn_step.defvjp(_rnn_step_fwd, _rnn_step_bwd)

@@ -204,3 +204,84 @@ def test_quantized_mlp_matches_fused(jb):
     np.testing.assert_allclose(pq.sum(axis=1), 1.0, atol=1e-5)
     assert (pf.argmax(axis=1) == pq.argmax(axis=1)).all()
     np.testing.assert_allclose(pq, pf, atol=0.05)
+
+
+def test_fused_rnn_step_matches_recurrent_network(nb):
+    """fused_rnn_step == the IR fullyConnected step: y is the
+    pre-activation, new state is logistic(z) (Recurrent.hs:97-125)."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic
+    from tensor_ops_tpu.models.recurrent import fully_connected
+    from tensor_ops_tpu.ops.pallas_kernels import fused_rnn_step
+
+    rng = Rng(nb, seed=31)
+    net = fully_connected(act_logistic(), nb, 3, 5, rng)
+    wS, wX, bb = net.params
+    (s0,) = net.states
+    x = r(30, 3)
+    y_ref, net2 = net.run(nb, x)
+    y, snew = fused_rnn_step(
+        jnp.asarray(x[None], jnp.float32), jnp.asarray(s0[None], jnp.float32),
+        jnp.asarray(wX, jnp.float32), jnp.asarray(wS, jnp.float32),
+        jnp.asarray(bb, jnp.float32), "logistic", "highest")
+    np.testing.assert_allclose(np.asarray(y)[0], np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(snew)[0], np.asarray(net2.states[0]),
+                               atol=1e-5)
+
+
+def test_fused_rnn_scan_bptt_matches_ir(nb):
+    """lax.scan over fused_rnn_step: sequence loss and parameter
+    gradients match the IR ScanOp path."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, squared_error
+    from tensor_ops_tpu.models.recurrent import fully_connected
+    from tensor_ops_tpu.ops.pallas_kernels import fused_rnn_step
+
+    rng = Rng(nb, seed=32)
+    net = fully_connected(act_logistic(), nb, 2, 3, rng)
+    wS, wX, bb = (jnp.asarray(p, jnp.float32) for p in net.params)
+    s0 = jnp.asarray(net.states[0], jnp.float32)
+    xs = r(33, 4, 2).astype(np.float32)
+    tg = r(34, 4, 3).astype(np.float32)
+
+    def seq_loss(wX, wS, bb, s0):
+        def step(s, xt):
+            y, snew = fused_rnn_step(xt[None], s[None], wX, wS, bb,
+                                     "logistic", "highest")
+            return snew[0], y[0]
+
+        _, ys = lax.scan(step, s0, jnp.asarray(xs))
+        return jnp.sum((jnp.asarray(tg) - ys) ** 2)
+
+    v = float(seq_loss(wX, wS, bb, s0))
+    want = float(np.asarray(net.seq_loss(squared_error(3), nb, xs, tg)))
+    assert abs(v - want) < 1e-4, (v, want)
+
+    g = jax.grad(seq_loss, argnums=(0, 1, 2))(wX, wS, bb, s0)
+    _, gS_ir, gP_ir = net.seq_grad(squared_error(3), nb, xs, tg)
+    # IR params order: (wS, wX, b)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gP_ir[1]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gP_ir[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g[2]), np.asarray(gP_ir[2]), atol=1e-4)
+
+
+def test_fused_rnn_model_trains(nb):
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic
+    from tensor_ops_tpu.models.fast import FusedRNN
+    from tensor_ops_tpu.models.recurrent import fully_connected
+
+    rng = Rng(nb, seed=41)
+    net = fully_connected(act_logistic(), nb, 1, 4, rng)
+    frnn = FusedRNN.from_recurrent(net)
+    t = np.linspace(0, 2 * np.pi, 13, dtype=np.float32)
+    xs = np.sin(t[:-1]).reshape(-1, 1)
+    # target only the first output unit tracks the next sample
+    tg = np.zeros((12, 4), np.float32)
+    tg[:, 0] = np.sin(t[1:])
+    v0, m = frnn.train(0.02, 0.05, xs, tg)
+    for _ in range(60):
+        v, m = m.train(0.02, 0.05, xs, tg)
+    assert v < 0.7 * v0, (v0, v)
+    ys, s_final = m.seq_forward(xs)
+    assert np.asarray(ys).shape == (12, 4) and np.asarray(s_final).shape == (4,)
