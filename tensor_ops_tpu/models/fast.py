@@ -35,6 +35,7 @@ class FusedMLP:
     acts: Tuple[str, ...]
     softmax_out: bool = True
     precision: str = "default"
+    loss_kind: str = "ce"  # "ce" (cross-entropy) or "mse" (squared error)
 
     _cache: dict = None
 
@@ -118,6 +119,8 @@ class FusedMLP:
     # -- training -----------------------------------------------------------
     def _loss(self, x, y, weights, biases):
         p = self._layers_forward(x, weights, biases)
+        if self.loss_kind == "mse":
+            return jnp.mean(jnp.sum((y - p) ** 2, axis=-1))
         eps = jnp.asarray(1e-30, p.dtype)  # match crossEntropy = -<log p, y>
         return -jnp.mean(jnp.sum(y * jnp.log(p + eps), axis=-1))
 
@@ -142,7 +145,7 @@ class FusedMLP:
     def train(self, rate: float, xb, yb) -> Tuple[float, "FusedMLP"]:
         v, ws, bs = self.step_fn()(rate, xb, yb, self.weights, self.biases)
         m = FusedMLP(ws, bs, self.acts, self.softmax_out, self.precision,
-                     self._cache)
+                     self.loss_kind, self._cache)
         return v, m
 
     def train_fullfused(self, rate: float, xb, yb) -> Tuple[float, "FusedMLP"]:
@@ -166,7 +169,7 @@ class FusedMLP:
             self._cache["fullstep"] = fn
         v, ws, bs = fn(xb, yb, self.weights, self.biases, rate)
         m = FusedMLP(tuple(ws), tuple(bs), self.acts, self.softmax_out,
-                     self.precision, self._cache)
+                     self.precision, self.loss_kind, self._cache)
         return float(v), m
 
 

@@ -285,3 +285,28 @@ def test_fused_rnn_model_trains(nb):
     assert v < 0.7 * v0, (v0, v)
     ys, s_final = m.seq_forward(xs)
     assert np.asarray(ys).shape == (12, 4) and np.asarray(s_final).shape == (4,)
+
+
+def test_fused_autoencoder_style_mse_training(jb):
+    """FusedMLP with loss_kind='mse' and no softmax trains an
+    encoder-decoder reconstruction (the autoencoder fast path)."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP
+
+    rng = Rng(jb, seed=51)
+    # 8 -> 3 -> 8 bottleneck as one chain
+    net = gen_net(jb, 8, 8, [(3, act_logistic())], act_logistic(), rng)
+    fm = FusedMLP.from_network(net, softmax_out=False, precision="highest")
+    fm = FusedMLP(fm.weights, fm.biases, fm.acts, False, "highest", "mse")
+    rr = np.random.default_rng(0)
+    # rank-2 data through a logistic squashing -> reconstructable via a
+    # 3-unit bottleneck
+    z = rr.uniform(-1, 1, size=(16, 2))
+    proj = rr.normal(size=(2, 8))
+    xb = jnp.asarray(1 / (1 + np.exp(-(z @ proj))), jnp.float32)
+    v0, m = fm.train(0.5, xb, xb)
+    for _ in range(400):
+        v, m = m.train(0.5, xb, xb)
+    assert m.loss_kind == "mse"
+    assert v < 0.3 * v0, (v0, v)
