@@ -106,6 +106,9 @@ def main(argv=None):
     p.add_argument("--backend", choices=["jax", "np"], default="jax")
     p.add_argument("--minibatch", type=int, default=0,
                    help="Vmapped minibatch size (0 = per-sample SGD like the reference)")
+    p.add_argument("--fused", action="store_true",
+                   help="Train minibatches with the whole-step Pallas mega-kernel "
+                        "(fwd+bwd+SGD in one kernel; requires --minibatch and jax backend)")
     p.add_argument("--limit", type=int, default=0,
                    help="Subsample the training set to N samples (0 = all)")
     p.add_argument("--metrics", type=str, default=None,
@@ -164,6 +167,7 @@ def main(argv=None):
         return xs, np.full(n, 10)
 
     epoch = 1
+    fused_model = None
     try:
         while args.epochs == 0 or epoch <= args.epochs:
             print(f"[Epoch {epoch}]")
@@ -187,8 +191,23 @@ def main(argv=None):
                 print(f"Batch {bnum} ...")
 
                 def train_chunk():
-                    nonlocal net
-                    if args.minibatch > 1:
+                    nonlocal net, fused_model
+                    if args.fused and args.minibatch > 1:
+                        from tensor_ops_tpu.models.fast import FusedMLP
+
+                        if fused_model is None:
+                            fused_model = FusedMLP.from_network(net)
+                        for k in range(0, len(xs), args.minibatch):
+                            _, fused_model = fused_model.train_fullfused(
+                                args.rate,
+                                be.asarray(xs[k : k + args.minibatch]),
+                                be.asarray(ys[k : k + args.minibatch]),
+                            )
+                        # reflect updated params back into the IR network
+                        # for validation/induction
+                        net = net.__class__(net.op, fused_model.to_params(),
+                                            net.act_names)
+                    elif args.minibatch > 1:
                         for k in range(0, len(xs), args.minibatch):
                             _, net = train_minibatch(
                                 net, loss, be, args.rate,

@@ -103,6 +103,12 @@ class Network:
         grads = fn(x, *self.params, y)
         return grads[:-1]
 
+    def network_gradient(self, loss: TOp, be: Backend, x: Any, y: Any
+                         ) -> Tuple[Any, ...]:
+        """Parameter gradients only (``networkGradient``,
+        ``FeedForward.hs:166-176``)."""
+        return self.net_grad(loss, be, x, y)[1:]
+
     def loss_value(self, loss: TOp, be: Backend, x: Any, y: Any) -> Any:
         composed = self._loss_op(loss)
         fn = engine.compile_run(composed, be)

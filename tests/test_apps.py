@@ -136,3 +136,12 @@ def test_mnist_loader_accepts_local_gz(tmp_path):
     tr, te = load_mnist(str(tmp_path), allow_synthetic=False)
     assert len(tr) == 20 and len(te) == 20
     assert tr[0][1].shape == (784,)
+
+
+def test_mnist_cli_fused_megakernel(tmp_path):
+    out = run_cli(
+        mnist.main,
+        ["--epochs", "1", "--limit", "400", "-b", "400", "--minibatch", "100",
+         "--fused", "-r", "0.3", "-d", str(tmp_path), "-c"],
+    )
+    assert "Training:" in out and "Validation:" in out
