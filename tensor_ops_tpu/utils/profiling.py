@@ -67,3 +67,12 @@ class StepTimer:
             "p90_s": s[min(n - 1, int(0.9 * n))],
             "total_s": sum(s),
         }
+
+
+def enable_nan_checks(enable: bool = True) -> None:
+    """Turn on jax's NaN debugging (``jax_debug_nans``) — the numerical
+    analog of the race detection the reference gets for free from purity
+    (SURVEY.md §5)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(enable))

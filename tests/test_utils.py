@@ -108,3 +108,42 @@ def test_pipeline_checkpoint_roundtrip(tmp_path):
     m2 = load_pipeline(p)
     for a, b in zip(model.params(), m2.params()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_device_trace_writes_profile(tmp_path, jb):
+    import glob
+
+    from tensor_ops_tpu.utils.profiling import StepTimer, device_trace
+
+    with device_trace(str(tmp_path)):
+        x = jb.asarray(np.ones((8, 8)))
+        from tensor_ops_tpu import prim as P
+        from tensor_ops_tpu.ops import ir
+
+        ir.run(P.mat_mat(8, 8, 8), jb, (x, x))
+    files = glob.glob(str(tmp_path / "**" / "*"), recursive=True)
+    assert files, "profiler wrote nothing"
+
+
+def test_step_timer_summary():
+    import time as _t
+
+    from tensor_ops_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(5):
+        with t.step():
+            _t.sleep(0.001)
+    s = t.summary()
+    assert s["n"] == 5 and s["mean_s"] > 0 and s["p90_s"] >= s["p50_s"]
+
+
+def test_enable_nan_checks_roundtrip():
+    import jax
+
+    from tensor_ops_tpu.utils.profiling import enable_nan_checks
+
+    enable_nan_checks(True)
+    assert jax.config.jax_debug_nans
+    enable_nan_checks(False)
+    assert not jax.config.jax_debug_nans
