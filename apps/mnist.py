@@ -119,6 +119,10 @@ def main(argv=None):
 
     if args.induce is not None and not (0 <= args.induce <= 9):
         p.error(f"Number {args.induce} out of range (9)")
+    if args.fused and args.minibatch <= 1:
+        p.error("--fused requires --minibatch N (the mega-kernel trains minibatches)")
+    if args.fused and args.backend != "jax":
+        p.error("--fused requires the jax backend")
 
     layers = [int(x) for x in args.layers.split(",") if x]
 

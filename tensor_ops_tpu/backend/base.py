@@ -79,6 +79,13 @@ class Backend:
 
     name: str = "abstract"
 
+    def cache_key(self) -> tuple:
+        """Identity of everything that changes compiled semantics — used
+        to key jit caches.  Subclasses append their settings (dtype,
+        precision, native-kernel mode); two backends with equal keys must
+        compile to identical programs."""
+        return (self.name, str(getattr(self, "dtype", None)))
+
     # -- construction / conversion ------------------------------------
     def asarray(self, x: Any) -> Any:
         raise NotImplementedError

@@ -42,6 +42,9 @@ class JaxBackend(Backend):
         )
         self._precision_name = precision
 
+    def cache_key(self) -> tuple:
+        return (self.name, str(self.dtype), self._precision_name)
+
     # -- construction ---------------------------------------------------
     def asarray(self, x: Any) -> jax.Array:
         return jnp.asarray(x, dtype=self.dtype)

@@ -31,11 +31,16 @@ class NumpyBackend(Backend):
         cross-check each other in tests."""
         self.dtype = np.dtype(dtype)
         self.use_native = use_native
+        # (cache_key below reflects use_native so oracle-vs-native runs
+        # on one op object compile/evaluate separately)
         if use_native:
             from ..utils.native import get_lib
 
             if get_lib() is None:
                 raise RuntimeError("native library unavailable (no g++?)")
+
+    def cache_key(self) -> tuple:
+        return (self.name, str(self.dtype), self.use_native)
 
     # -- construction ---------------------------------------------------
     def asarray(self, x: Any) -> np.ndarray:

@@ -19,8 +19,7 @@ from .ops.ir import TOp
 
 
 def _key(be: Backend, mode: str) -> tuple:
-    return (be.name, str(getattr(be, "dtype", None)),
-            getattr(be, "_precision_name", None), mode)
+    return be.cache_key() + (mode,)
 
 
 def compile_run(op: TOp, be: Backend) -> Callable:
@@ -87,5 +86,3 @@ def maybe_jit(fn: Callable, be: Backend) -> Callable:
         return jax.jit(fn)
     return fn
 
-
-_maybe_jit = maybe_jit

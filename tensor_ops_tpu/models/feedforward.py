@@ -120,7 +120,7 @@ class Network:
         the update jit into one XLA program; the rate is a traced argument
         so changing it never recompiles."""
         composed = self._loss_op(loss)
-        key = ("train", id(loss), be.name, str(getattr(be, "dtype", None)))
+        key = ("train", id(loss)) + be.cache_key()
         fn = self.op._compiled.get(key)
         if fn is None:
 
@@ -131,7 +131,7 @@ class Network:
             fn = engine.maybe_jit(step, be)
             self.op._compiled[key] = fn
         new_params = fn(rate, x, y, *self.params)
-        return Network(self.op, new_params)
+        return Network(self.op, new_params, self.act_names)
 
     def induce(self, loss: TOp, rate: float, be: Backend, y: Any, x: Any) -> Any:
         """Gradient descent *on the input*, params fixed
@@ -146,7 +146,7 @@ class Network:
         ``app/MNIST.hs:399-411`` — dispatching those individually through
         a high-latency link takes minutes; a ``fori_loop`` takes ms)."""
         composed = self._loss_op(loss)
-        key = ("induce", id(loss), int(steps), be.name)
+        key = ("induce", id(loss), int(steps)) + be.cache_key()
         fn = self.op._compiled.get(key)
         if fn is None:
             if be.name == "jax":

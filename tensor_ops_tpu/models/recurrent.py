@@ -200,7 +200,7 @@ class RecurrentNetwork:
         n = int(be.shape_of(xs_batch)[1])
         g = self._seq_graph(loss, n)
         k = len(self.states)
-        key = ("seq_batch", id(loss), n, be.name)
+        key = ("seq_batch", id(loss), n) + be.cache_key()
         fn = self.op._compiled.get(key)
         if fn is None:
             if be.name == "jax":

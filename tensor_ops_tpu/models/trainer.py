@@ -35,7 +35,9 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer) -> Calla
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
-    key = ("optstep", id(loss), opt.name, be.name, str(getattr(be, "dtype", None)))
+    # id(opt.update) distinguishes same-name optimizers with different
+    # hyperparameters (each optimizer factory call makes a fresh closure)
+    key = ("optstep", id(loss), opt.name, id(opt.update)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -135,8 +137,9 @@ def fit(
                 if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
                     from ..utils.checkpoint import save_network
 
-                    save_network(checkpoint_path, Network(net.op, params))
+                    save_network(checkpoint_path,
+                                 Network(net.op, params, net.act_names))
     finally:
         loader.close()
         logger.close()
-    return FitResult(Network(net.op, params), history, step)
+    return FitResult(Network(net.op, params, net.act_names), history, step)

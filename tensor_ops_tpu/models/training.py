@@ -32,7 +32,7 @@ def _cache(net: Network, key, build):
 
 def batched_run(net: Network, be: Backend) -> Callable:
     """Jitted batched inference ``fn(xb, *params) -> yb``."""
-    key = ("brun", be.name, str(getattr(be, "dtype", None)))
+    key = ("brun",) + be.cache_key()
 
     def build():
         if be.name == "jax":
@@ -58,7 +58,7 @@ def batched_step(net: Network, loss: TOp, be: Backend) -> Callable:
     ``fn(rate, xb, yb, *params) -> (mean_loss, new_params)`` using the
     framework's transposition AD per sample, vmapped, mean-reduced."""
     composed = net._loss_op(loss)
-    key = ("bstep", id(loss), be.name, str(getattr(be, "dtype", None)))
+    key = ("bstep", id(loss)) + be.cache_key()
 
     def build():
         if be.name == "jax":
@@ -108,10 +108,10 @@ def train_fold(net: Network, loss: TOp, be: Backend, rate: float, X: Any, Y: Any
     identical to calling :meth:`Network.train` per sample — the scan just
     removes the per-sample dispatch cost."""
     composed = net._loss_op(loss)
-    key = ("fold", id(loss), be.name, str(getattr(be, "dtype", None)))
+    key = ("fold", id(loss)) + be.cache_key()
     fn = _cache(net, key, lambda: _build_fold(net, composed, be))
     new_params = fn(rate, X, Y, *net.params)
-    return Network(net.op, tuple(new_params))
+    return Network(net.op, tuple(new_params), net.act_names)
 
 
 def _build_fold(net: Network, composed: TOp, be: Backend):
@@ -149,7 +149,7 @@ def train_minibatch(
     """One minibatch SGD step; returns (mean loss, updated network)."""
     step = batched_step(net, loss, be)
     v, new_params = step(rate, xb, yb, *net.params)
-    return v, Network(net.op, new_params)
+    return v, Network(net.op, new_params, net.act_names)
 
 
 def accuracy(net: Network, be: Backend, xb: Any, yb_idx: Any) -> float:

@@ -107,7 +107,7 @@ def shard_network(net: Network, mesh: Mesh) -> Network:
     params = tuple(
         jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(net.params, specs)
     )
-    return Network(net.op, params)
+    return Network(net.op, params, net.act_names)
 
 
 def sharded_train_step(

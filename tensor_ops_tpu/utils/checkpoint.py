@@ -23,7 +23,10 @@ def save_arrays(path: str, arrays: Dict[str, Any], meta: Optional[dict] = None) 
     np_arrays["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8
     )
-    np.savez(path, **np_arrays)
+    # write through a file handle so np.savez cannot append ".npz" and
+    # diverge from the path load_arrays will open
+    with open(path, "wb") as f:
+        np.savez(f, **np_arrays)
 
 
 def load_arrays(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
@@ -61,7 +64,7 @@ def load_network(path: str, net, be) -> Any:
             raise ShapeError(
                 f"checkpoint param shape {tuple(p.shape)} != expected {tuple(s)}"
             )
-    return Network(net.op, params)
+    return Network(net.op, params, net.act_names)
 
 
 def save_fused(path: str, model, extra_meta: Optional[dict] = None) -> None:

@@ -145,3 +145,8 @@ def test_mnist_cli_fused_megakernel(tmp_path):
          "--fused", "-r", "0.3", "-d", str(tmp_path), "-c"],
     )
     assert "Training:" in out and "Validation:" in out
+
+
+def test_mnist_fused_requires_minibatch(tmp_path):
+    with pytest.raises(SystemExit):
+        run_cli(mnist.main, ["--fused", "-d", str(tmp_path)])
