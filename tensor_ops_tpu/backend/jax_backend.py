@@ -133,6 +133,11 @@ class JaxBackend(Backend):
         import numpy as np
 
         lead = t.shape[:k]
+        if 0 in lead:
+            from ..ops.shapes import ShapeError
+
+            raise ShapeError("ix_rows over an empty leading axis: the slice "
+                             "function's output shape is unknowable")
         rows = []
         for idx in np.ndindex(*lead):
             rows.append(jnp.asarray(f(idx, t[idx]), dtype=self.dtype))

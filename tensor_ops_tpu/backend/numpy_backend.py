@@ -134,6 +134,11 @@ class NumpyBackend(Backend):
 
     def ix_rows(self, k: int, f: Callable, t: np.ndarray) -> np.ndarray:
         lead = t.shape[:k]
+        if 0 in lead:
+            from ..ops.shapes import ShapeError
+
+            raise ShapeError("ix_rows over an empty leading axis: the slice "
+                             "function's output shape is unknowable")
         outs = {}
         for idx in np.ndindex(*lead):
             outs[idx] = np.asarray(f(idx, t[idx]), dtype=self.dtype)

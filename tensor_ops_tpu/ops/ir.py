@@ -110,11 +110,7 @@ class TOp:
 
     # -- convenience ----------------------------------------------------
     def __call__(self, be: Backend, *xs):
-        if len(xs) != len(self.in_stack):
-            raise ShapeError(
-                f"{self!r}: expected {len(self.in_stack)} inputs, got {len(xs)}"
-            )
-        ys = self.apply(be, tuple(xs))
+        ys = run(self, be, xs)  # validates arity AND array shapes
         return ys[0] if len(ys) == 1 else ys
 
 

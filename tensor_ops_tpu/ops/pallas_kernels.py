@@ -215,11 +215,11 @@ def _fused_linear_fwd_impl(x, w, b, act: str, save_z: bool,
 
 def _fused_linear_fwd(x, w, b, act, precision):
     y, z = _fused_linear_fwd_impl(x, w, b, act, save_z=True, precision=precision)
-    return y, (x, w, z)
+    return y, (x, w, b, z)
 
 
 def _fused_linear_bwd(act, precision, res, dy):
-    x, w, z = res
+    x, w, b, z = res
     prec = _precision(precision)
     dz = (dy.astype(jnp.float32) * _act_grad(act)(z)).astype(x.dtype)
     dx = lax.dot_general(dz, w, (((1,), (0,)), ((), ())),
@@ -228,7 +228,7 @@ def _fused_linear_bwd(act, precision, res, dy):
     dw = lax.dot_general(dz, x, (((0,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32,
                          precision=prec).astype(w.dtype)
-    db = jnp.sum(dz, axis=0).astype(x.dtype)
+    db = jnp.sum(dz, axis=0).astype(b.dtype)
     return dx, dw, db
 
 
@@ -240,7 +240,7 @@ fused_linear.defvjp(_fused_linear_fwd, _fused_linear_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _mlp_kernel(x_ref, *refs, acts: Sequence[str], dims: Sequence[int],
+def _mlp_kernel(x_ref, *refs, acts: Sequence[str],
                 softmax_out: bool, out_dim: int, precision: str = "default"):
     n_layers = len(acts)
     w_refs = refs[:n_layers]
@@ -289,7 +289,6 @@ def fused_mlp_forward(x, weights, biases, acts: Sequence[str],
     kernel = functools.partial(
         _mlp_kernel,
         acts=tuple(acts),
-        dims=tuple(w.shape[1] for w in wts),
         softmax_out=softmax_out,
         out_dim=out_dim,
         precision=precision,
@@ -676,11 +675,11 @@ def _rnn_step_impl(x, s, wx, ws, b, act, precision):
 
 def _rnn_step_fwd(x, s, wx, ws, b, act, precision):
     y, snew, z = _rnn_step_impl(x, s, wx, ws, b, act, precision)
-    return (y, snew), (x, s, wx, ws, z)
+    return (y, snew), (x, s, wx, ws, b, z)
 
 
 def _rnn_step_bwd(act, precision, res, cts):
-    x, s, wx, ws, z = res
+    x, s, wx, ws, b, z = res
     dy, dsnew = cts
     prec = _precision(precision)
     dz = (dy.astype(jnp.float32)
@@ -698,7 +697,7 @@ def _rnn_step_bwd(act, precision, res, cts):
     dws = lax.dot_general(dz, s, (((0,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32,
                           precision=prec).astype(ws.dtype)
-    db = jnp.sum(dz, axis=0).astype(x.dtype)
+    db = jnp.sum(dz, axis=0).astype(b.dtype)
     return dx, ds, dwx, dws, db
 
 

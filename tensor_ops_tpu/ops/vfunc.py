@@ -13,7 +13,6 @@ scalar signature, the TPU-native analog of the ``ad`` package.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -45,8 +44,11 @@ class VFunc:
         return _autodiff_grads(self.f, self.n_args)
 
 
-@functools.lru_cache(maxsize=None)
-def _autodiff_grads_cached(f: Callable, n_args: int) -> Callable:
+def _autodiff_grads(f: Callable, n_args: int) -> Callable:
+    """Derive elementwise partials with jax.grad + vmap.  Built per call:
+    map/zip functions are usually fresh lambdas, so identity-keyed caching
+    would only leak memory; under jit the derivation happens once at trace
+    time anyway, and the oracle path is not performance-sensitive."""
     import jax
     import jax.numpy as jnp
 
@@ -59,24 +61,6 @@ def _autodiff_grads_cached(f: Callable, n_args: int) -> Callable:
         return tuple(jnp.reshape(o, shape) for o in outs)
 
     return grads
-
-
-def _autodiff_grads(f: Callable, n_args: int) -> Callable:
-    try:
-        return _autodiff_grads_cached(f, n_args)
-    except TypeError:  # unhashable callable
-        import jax
-        import jax.numpy as jnp
-
-        g_scalar = jax.grad(f, argnums=tuple(range(n_args)))
-
-        def grads(*xs):
-            shape = jnp.shape(xs[0])
-            flat = [jnp.ravel(jnp.asarray(x)) for x in xs]
-            outs = jax.vmap(g_scalar)(*flat)
-            return tuple(jnp.reshape(o, shape) for o in outs)
-
-        return grads
 
 
 def vfunc1(f: Callable, df: Optional[Callable] = None, name: str = "map") -> VFunc:

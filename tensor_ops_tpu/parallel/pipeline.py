@@ -29,10 +29,10 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 from jax.experimental.shard_map import shard_map
 
+# axis names shared with parallel/mesh.py — one contract for both modules
+from .mesh import DATA_AXIS, MODEL_AXIS  # noqa: E402
+
 STAGE_AXIS = "stage"
-
-
-DATA_AXIS = "data"
 
 
 def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
@@ -55,9 +55,6 @@ def make_dp_pipeline_mesh(n_data: int, n_stages: int, devices=None) -> Mesh:
         np.asarray(devices[:need]).reshape(n_data, n_stages),
         (DATA_AXIS, STAGE_AXIS),
     )
-
-
-MODEL_AXIS = "model"
 
 
 def make_3d_pipeline_mesh(n_data: int, n_stages: int, n_model: int,
@@ -177,10 +174,33 @@ def _spmd_pipeline(stage_ws, stage_bs, mb_inputs, tp: bool = False):
     return lax.psum(outputs, STAGE_AXIS)
 
 
+def _chain_forward(pipelined, M, params, xb):
+    """The full embed -> pipelined body -> project -> softmax chain,
+    shared by inference and the training loss so they cannot diverge."""
+    w_in, b_in, stage_ws, stage_bs, w_out, b_out = params
+    B = xb.shape[0]
+    h = jax.nn.sigmoid(
+        lax.dot_general(xb, w_in, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) + b_in)
+    mb = h.reshape(M, B // M, -1)
+    out = pipelined(stage_ws, stage_bs, mb).reshape(B, -1)
+    z = lax.dot_general(out, w_out, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) + b_out
+    return jax.nn.softmax(z, axis=-1)
+
+
+_FWD_CACHE: dict = {}
+
+
 def pipeline_forward(model: PipelineMLP, mesh: Mesh, xb, n_microbatches: int):
     """Batched forward through the pipeline; xb: (B, i), B divisible by
-    n_microbatches."""
-    fn = _make_forward(model.n_stages, mesh, n_microbatches)
+    n_microbatches.  The jitted callable is cached per (mesh, M) so
+    repeated calls don't retrace."""
+    key = (mesh, n_microbatches)
+    fn = _FWD_CACHE.get(key)
+    if fn is None:
+        fn = _make_forward(mesh, n_microbatches)
+        _FWD_CACHE[key] = fn
     return fn(*model.params(), xb)
 
 
@@ -202,7 +222,7 @@ def _pipeline_specs(mesh: Mesh):
     return (ws_spec, bs_spec, mb_spec), mb_spec, has_model
 
 
-def _make_forward(S: int, mesh: Mesh, M: int) -> Callable:
+def _make_forward(mesh: Mesh, M: int) -> Callable:
     from functools import partial
 
     in_specs, out_spec, tp = _pipeline_specs(mesh)
@@ -216,16 +236,9 @@ def _make_forward(S: int, mesh: Mesh, M: int) -> Callable:
 
     @jax.jit
     def forward(w_in, b_in, stage_ws, stage_bs, w_out, b_out, xb):
-        B = xb.shape[0]
-        h = jax.nn.sigmoid(
-            lax.dot_general(xb, w_in, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b_in)
-        mb = h.reshape(M, B // M, -1)
-        out = pipelined(stage_ws, stage_bs, mb)
-        hb = out.reshape(B, -1)
-        z = lax.dot_general(hb, w_out, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b_out
-        return jax.nn.softmax(z, axis=-1)
+        return _chain_forward(pipelined, M,
+                              (w_in, b_in, stage_ws, stage_bs, w_out, b_out),
+                              xb)
 
     return forward
 
@@ -237,7 +250,6 @@ def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> 
     pipelined by AD transposition of ppermute)."""
     from functools import partial
 
-    S = model.n_stages
     in_specs, out_spec, tp = _pipeline_specs(mesh)
     pipelined = shard_map(
         partial(_spmd_pipeline, tp=tp),
@@ -249,16 +261,7 @@ def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> 
     M = n_microbatches
 
     def loss_fn(params, xb, yb):
-        w_in, b_in, stage_ws, stage_bs, w_out, b_out = params
-        B = xb.shape[0]
-        h = jax.nn.sigmoid(
-            lax.dot_general(xb, w_in, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b_in)
-        mb = h.reshape(M, B // M, -1)
-        out = pipelined(stage_ws, stage_bs, mb).reshape(B, -1)
-        z = lax.dot_general(out, w_out, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b_out
-        p = jax.nn.softmax(z, axis=-1)
+        p = _chain_forward(pipelined, M, params, xb)
         return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
 
     @jax.jit
