@@ -310,3 +310,18 @@ def test_fused_autoencoder_style_mse_training(jb):
         v, m = m.train(0.5, xb, xb)
     assert m.loss_kind == "mse"
     assert v < 0.3 * v0, (v0, v)
+
+
+def test_fused_linear_mixed_dtype_grads():
+    """bf16 activations with an f32 bias: custom-VJP cotangent dtypes must
+    match the primal dtypes (regression)."""
+    x = jnp.asarray(r(60, 8, 16), jnp.bfloat16)
+    w = jnp.asarray(r(61, 4, 16) * 0.2, jnp.bfloat16)
+    b = jnp.asarray(r(62, 4) * 0.1, jnp.float32)
+
+    def f(x, w, b):
+        return jnp.sum(fused_linear(x, w, b, "relu").astype(jnp.float32))
+
+    gx, gw, gb = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+    assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    assert gb.dtype == jnp.float32
