@@ -183,8 +183,8 @@ def ff_layer(be: Backend, i: int, o: int, rng: Rng) -> Network:
     """One fully-connected layer: weights/bias ~ N(0, 0.5), op =
     ``firstOp (swap >>> matVec) >>> add``
     (``ffLayer``, ``FeedForward.hs:201-214``)."""
-    w = rng.draw(normal(0.0, 0.5), (o, i))
-    b = rng.draw(normal(0.0, 0.5), (o,))
+    w = be.asarray(rng.draw(normal(0.0, 0.5), (o, i)))
+    b = be.asarray(rng.draw(normal(0.0, 0.5), (o,)))
     op = P.first(P.swap((i,), (o, i)) >> P.mat_vec(o, i), rest=[(o,)]) >> P.add((o,))
     return Network(op, (w, b))
 

@@ -45,18 +45,23 @@ def act_map2(f: Callable, df: Callable, name: str = "act") -> Activation:
     return Activation(name, lambda n: P.map_op((n,), f, df, name=name))
 
 
-def _exp(x):
-    import jax.numpy as jnp
-    import numpy as np
+def _dispatch(name):
+    """One elementwise fn usable from both backends: numpy arrays go to
+    numpy's ufunc, everything else (jax arrays/tracers) to jnp's."""
 
-    return np.exp(x) if isinstance(x, np.ndarray) else jnp.exp(x)
+    def f(x, *rest):
+        import jax.numpy as jnp
+        import numpy as np
+
+        mod = np if isinstance(x, np.ndarray) else jnp
+        return getattr(mod, name)(x, *rest)
+
+    f.__name__ = name
+    return f
 
 
-def _log(x):
-    import jax.numpy as jnp
-    import numpy as np
-
-    return np.log(x) if isinstance(x, np.ndarray) else jnp.log(x)
+_exp = _dispatch("exp")
+_log = _dispatch("log")
 
 
 def logistic(x):
@@ -75,11 +80,7 @@ def act_logistic() -> Activation:
     return act_map2(logistic, logistic_prime, "logistic")
 
 
-def _where(c, a, b):
-    import jax.numpy as jnp
-    import numpy as np
-
-    return np.where(c, a, b) if isinstance(c, np.ndarray) else jnp.where(c, a, b)
+_where = _dispatch("where")
 
 
 def act_relu() -> Activation:
@@ -89,11 +90,7 @@ def act_relu() -> Activation:
                     lambda x: _where(x > 0, 1.0 + 0.0 * x, 0.0 * x), "relu")
 
 
-def _tanh(x):
-    import jax.numpy as jnp
-    import numpy as np
-
-    return np.tanh(x) if isinstance(x, np.ndarray) else jnp.tanh(x)
+_tanh = _dispatch("tanh")
 
 
 def act_tanh() -> Activation:

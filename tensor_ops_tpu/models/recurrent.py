@@ -207,8 +207,6 @@ class RecurrentNetwork:
                 import jax
                 import jax.numpy as jnp
 
-                n_in = 1 + k + len(self.params) + 1
-
                 def one(xs, tgt, *sp):
                     grads = ir.grad(g, be, (xs,) + sp + (tgt,))
                     return grads[1:-1]  # state+param grads
@@ -270,10 +268,10 @@ def fully_connected(
     """Elman-style fully connected recurrent layer: pre-activation
     ``z = Ws.s + Wx.x + b`` is the *output*, the new state is ``act(z)``
     (``fullyConnected``, ``Recurrent.hs:97-125``)."""
-    s0 = rng.draw(normal(0.0, 0.5), (o,))
-    wS = rng.draw(normal(0.0, 0.5), (o, o))
-    wX = rng.draw(normal(0.0, 0.5), (o, i))
-    b = rng.draw(normal(0.0, 0.5), (o,))
+    s0 = be.asarray(rng.draw(normal(0.0, 0.5), (o,)))
+    wS = be.asarray(rng.draw(normal(0.0, 0.5), (o, o)))
+    wX = be.asarray(rng.draw(normal(0.0, 0.5), (o, i)))
+    b = be.asarray(rng.draw(normal(0.0, 0.5), (o,)))
     sh_i, sh_o = (i,), (o,)
     # stack: [x, s, wS, wX, b]
     op = (

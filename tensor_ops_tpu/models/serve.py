@@ -41,7 +41,12 @@ class Predictor:
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
-        return self.buckets[i] if i < len(self.buckets) else n
+        if i < len(self.buckets):
+            return self.buckets[i]
+        # beyond the largest bucket: round up to a multiple of it so jit
+        # specializations stay bounded instead of one per request size
+        top = self.buckets[-1]
+        return ((n + top - 1) // top) * top
 
     def _forward(self, xb):
         if isinstance(self.model, FusedMLP):

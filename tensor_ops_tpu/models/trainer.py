@@ -46,11 +46,9 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer) -> Calla
         import jax
         import jax.numpy as jnp
 
-        def sample_vag(x, y, *params):
-            v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
-            return v, grads[1:-1]
+        from .training import make_vmapped_grads
 
-        vmapped = jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+        vmapped = make_vmapped_grads(net, loss, be)
 
         def step(lr, xb, yb, opt_state, params):
             vals, grads = vmapped(xb, yb, *params)

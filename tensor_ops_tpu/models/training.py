@@ -30,6 +30,24 @@ def _cache(net: Network, key, build):
     return fn
 
 
+def make_vmapped_grads(net: Network, loss: TOp, be: Backend) -> Callable:
+    """The shared core of every batched trainer: the per-sample staged
+    graph's value_and_grad (framework transposition AD), vmapped over the
+    batch with params broadcast.  Returns
+    ``fn(xb, yb, *params) -> (per-sample losses, per-sample param grads)``.
+    jax backends only."""
+    import jax
+
+    composed = net._loss_op(loss)
+    n_params = len(net.params)
+
+    def sample_vag(x, y, *params):
+        v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
+        return v, grads[1:-1]
+
+    return jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+
+
 def batched_run(net: Network, be: Backend) -> Callable:
     """Jitted batched inference ``fn(xb, *params) -> yb``."""
     key = ("brun",) + be.cache_key()
@@ -65,15 +83,7 @@ def batched_step(net: Network, loss: TOp, be: Backend) -> Callable:
             import jax
             import jax.numpy as jnp
 
-            n_params = len(net.params)
-
-            def sample_vag(x, y, *params):
-                v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
-                return v, grads[1:-1]
-
-            vmapped = jax.vmap(
-                sample_vag, in_axes=(0, 0) + (None,) * n_params
-            )
+            vmapped = make_vmapped_grads(net, loss, be)
 
             def step(rate, xb, yb, *params):
                 vals, grads = vmapped(xb, yb, *params)

@@ -120,14 +120,9 @@ def sharded_train_step(
     over the batch; the batch is sharded over the ``data`` axis and params
     over the ``model`` axis, so XLA emits psum-style gradient reductions
     over ICI from the shardings alone."""
-    composed = net._loss_op(loss)
-    n_params = len(net.params)
+    from ..models.training import make_vmapped_grads
 
-    def sample_vag(x, y, *params):
-        v, grads = ir.value_and_grad(composed, be, (x,) + params + (y,))
-        return v, grads[1:-1]
-
-    vmapped = jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+    vmapped = make_vmapped_grads(net, loss, be)
 
     def step(rate, xb, yb, *params):
         import jax.numpy as jnp

@@ -67,21 +67,32 @@ def load_mnist(data_dir: str, allow_synthetic: bool = True) -> List[List[Sample]
             arrays = []
             for name in (img_name, lbl_name):
                 path = os.path.join(data_dir, name)
+                raw = None
                 if os.path.exists(path):
                     with open(path, "rb") as f:
                         raw = f.read()
-                elif os.path.exists(path + ".gz"):
+                    try:
+                        arrays.append(decode_idx(raw))
+                        continue
+                    except ValueError:
+                        # corrupt/truncated cache (e.g. killed mid-write):
+                        # discard and fall through to re-acquire
+                        print(f"cached '{name}' is corrupt; refetching")
+                        os.remove(path)
+                        raw = None
+                if raw is None and os.path.exists(path + ".gz"):
                     # user-provided compressed files (airgapped hosts)
                     with open(path + ".gz", "rb") as f:
                         raw = gzip.decompress(f.read())
-                    with open(path, "wb") as f:
-                        f.write(raw)
-                else:
+                if raw is None:
                     print(f"'{name}' not found; downloading from {MNIST_BASE} ...")
                     raw = gzip.decompress(_fetch(f"{MNIST_BASE}/{name}.gz"))
-                    with open(path, "wb") as f:
-                        f.write(raw)
-                arrays.append(decode_idx(raw))
+                arr = decode_idx(raw)  # validate before caching
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(raw)
+                os.replace(tmp, path)  # atomic: no truncated cache files
+                arrays.append(arr)
             images, labels = arrays
             out.append(labeled_data(labels, images))
         return out

@@ -28,8 +28,10 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    # portable flags: the .so may be built on one host and (re)used on
+    # another; -march=native would SIGILL on a weaker ISA
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         "-pthread", _SRC, "-o", _SO,
     ]
     try:
@@ -134,6 +136,14 @@ class NativeLoader:
                  seed: int = 0, drop_last: bool = False):
         self.X = np.ascontiguousarray(X, dtype=np.float32)
         self.Y = np.ascontiguousarray(Y, dtype=np.float32)
+        if self.X.ndim != 2 or self.Y.ndim != 2:
+            raise ValueError(
+                f"NativeLoader expects 2-D X and Y, got {self.X.shape} / "
+                f"{self.Y.shape} (one-hot or reshape labels to (n, 1))")
+        if drop_last and self.X.shape[0] < batch:
+            raise ValueError(
+                f"drop_last with dataset ({self.X.shape[0]}) smaller than "
+                f"one batch ({batch}) would never yield a batch")
         self.batch = int(batch)
         self.seed = int(seed)
         self.drop_last = drop_last
@@ -165,6 +175,11 @@ class NativeLoader:
             self._perm = self._rng.permutation(n)
             self._cursor = 0
         take = min(self.batch, n - self._cursor)
+        if self.drop_last and take < self.batch:
+            # mirror the native path: reshuffle and emit a full batch
+            self._perm = self._rng.permutation(n)
+            self._cursor = 0
+            take = self.batch
         idx = self._perm[self._cursor : self._cursor + take]
         self._cursor += take
         return self.X[idx], self.Y[idx]
