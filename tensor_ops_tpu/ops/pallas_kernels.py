@@ -33,6 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def _f32_kernel_scope(fn):
+    """Trace the wrapped pallas invocation with x64 disabled: under
+    jax_enable_x64 the grid index maps emit i64 indices that Mosaic
+    rejects (remote-compile HTTP 500); all these kernels are f32/bf16
+    internally anyway, so narrowing the trace is semantics-preserving."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _interpret() -> bool:
     """Pallas interpret mode off-TPU so the same kernels run (slowly but
     exactly) under the CPU test mesh."""
@@ -132,6 +147,7 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
     return tb, to, tk
 
 
+@_f32_kernel_scope
 def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
                          precision: str = "default"):
     """x:(B,K) @ w:(O,K)^T + b:(1,O), all padded to tile multiples."""
@@ -265,6 +281,7 @@ def _mlp_kernel(x_ref, *refs, acts: Sequence[str],
     y_ref[:] = h.astype(y_ref.dtype)
 
 
+@_f32_kernel_scope
 def fused_mlp_forward(x, weights, biases, acts: Sequence[str],
                       softmax_out: bool = True, block_b: int = 256,
                       precision: str = "default"):
@@ -412,6 +429,7 @@ def _mlp_train_kernel(*refs, n_layers: int, acts, nb_tiles: int,
             nb_refs[k][:] = b_refs[k][:] - lr * gb_refs[k][:]
 
 
+@_f32_kernel_scope
 def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
                          block_b: int = 1024, precision: str = "default"):
     """Entire softmax/cross-entropy MLP SGD step in ONE pallas_call.
@@ -547,6 +565,7 @@ def _linear_w8_kernel(x_ref, wq_ref, scale_ref, b_ref, y_ref, acc_ref, *,
         y_ref[:] = _act_fn(act)(z).astype(y_ref.dtype)
 
 
+@_f32_kernel_scope
 def fused_linear_w8(x, wq, scale, b, act: str = "identity",
                     precision: str = "default"):
     """``act(x @ (wq * scale).T + b)`` with int8 weights dequantized
@@ -627,6 +646,7 @@ def fused_rnn_step(x, s, wx, ws, b, act: str = "logistic",
     return y, snew
 
 
+@_f32_kernel_scope
 def _rnn_step_impl(x, s, wx, ws, b, act, precision):
     B, i = x.shape
     o = wx.shape[0]
