@@ -1,0 +1,112 @@
+"""Randomized graph fuzzing: build random well-shaped op graphs from the
+full combinator/primitive vocabulary, then check (a) NumPy-oracle vs
+JAX/XLA parity of forward and gradients, and (b) gradients vs central
+finite differences.  This probes interactions (fanout-inside-first,
+shuffle feeding gmul, remat around par, ...) that directed tests can't
+enumerate."""
+
+import numpy as np
+import pytest
+
+from tensor_ops_tpu import prim as P
+from tensor_ops_tpu.ops import ir
+from tensor_ops_tpu.ops.ir import TOp
+
+from helpers import fd_grad
+
+DIMS = (2, 3, 4)
+
+
+def rand_shape(rng):
+    rank = rng.integers(1, 3)
+    return tuple(int(rng.choice(DIMS)) for _ in range(rank))
+
+
+def rand_primitive(rng, in_stack):
+    """A random op consuming a prefix of `in_stack`; returns (op, n_used)."""
+    import jax.numpy as jnp
+
+    choices = []
+    s0 = in_stack[0]
+    # unary ops on slot 0
+    choices.append((P.map_op(s0, lambda a: jnp.tanh(a)), 1))
+    choices.append((P.scale(s0, float(rng.uniform(0.5, 1.5))), 1))
+    choices.append((P.transp_op(s0), 1))
+    choices.append((P.duplicate(s0), 1))
+    choices.append((P.remat(P.map_op(s0, lambda a: a * a + a)), 1))
+    if len(s0) >= 1:
+        choices.append((P.sum_rows(s0), 1))
+    # binary ops when the next slot matches
+    if len(in_stack) >= 2:
+        s1 = in_stack[1]
+        if s1 == s0:
+            choices.append((P.add(s0), 2))
+            choices.append((P.zip_op(s0, lambda a, b: a * b), 2))
+            choices.append((P.swap(s0, s1), 2))
+        # gmul: need s1 == reversed(contract of s0) ++ ns; use full
+        # contraction when s1 == reversed(s0)
+        if s1 == tuple(reversed(s0)):
+            choices.append((P.gmul((), s0, ()), 2))
+    i = int(rng.integers(0, len(choices)))
+    return choices[i]
+
+
+def rand_graph(rng, in_stack, depth=4):
+    """Compose `depth` random layers over the stack."""
+    op = P.identity(in_stack)
+    stack = tuple(in_stack)
+    for _ in range(depth):
+        prim, used = rand_primitive(rng, stack)
+        rest = stack[used:]
+        layer = P.first(prim, rest=rest)
+        if rng.uniform() < 0.25 and prim.in_stack == prim.out_stack:
+            layer = P.first(P.fanout(prim, P.identity(prim.in_stack))
+                            >> P.take(prim.out_stack, prim.in_stack),
+                            rest=rest)
+        op = op >> layer
+        stack = op.out_stack
+    return op
+
+
+def scalarize(op):
+    """Reduce all outputs to one scalar: square-contract each slot and sum."""
+    out = op
+    while len(out.out_stack) > 1 or out.out_stack[0] != ():
+        st = out.out_stack
+        s0 = st[0]
+        if s0 == ():
+            if len(st) == 1:
+                break
+            if st[1] == ():
+                out = out >> P.first(P.add(()), rest=st[2:])
+            else:
+                # rotate the scalar to the back
+                out = out >> P.swap_blocks([()], st[1:])
+        else:
+            red = (P.duplicate(s0)
+                   >> P.second(P.transp_op(s0), front=[s0])
+                   >> P.gmul((), s0, ()))
+            out = out >> P.first(red, rest=st[1:])
+    return out
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_graphs_parity_and_fd(seed, nb, jb):
+    rng = np.random.default_rng(seed)
+    n_in = int(rng.integers(1, 4))
+    in_stack = tuple(rand_shape(rng) for _ in range(n_in))
+    op = scalarize(rand_graph(rng, in_stack, depth=int(rng.integers(2, 6))))
+    assert op.out_stack == ((),)
+
+    xs = tuple(rng.normal(size=s) * 0.5 for s in in_stack)
+
+    v_n, g_n = ir.value_and_grad(op, nb, xs)
+    v_j, g_j = ir.value_and_grad(op, jb, tuple(jb.asarray(x) for x in xs))
+    assert abs(float(v_n) - float(v_j)) < 1e-8 * max(1.0, abs(float(v_n)))
+    for a, b in zip(g_n, g_j):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-8, rtol=1e-6)
+
+    # finite differences on the numpy oracle (slot 0 only, for speed)
+    fd = fd_grad(op, nb, xs, slot=0)
+    np.testing.assert_allclose(np.asarray(g_n[0]), fd, atol=1e-4, rtol=1e-3)
