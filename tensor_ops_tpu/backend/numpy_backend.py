@@ -56,13 +56,33 @@ class NumpyBackend(Backend):
         return np.full(shape, value, dtype=self.dtype)
 
     # -- primitives -----------------------------------------------------
+    @staticmethod
+    def _cpu_scope():
+        """Pointwise user functions may be written with jnp; when a TPU is
+        the default device its emulated f64 transcendentals would silently
+        degrade the oracle, so any jax escape is pinned to the CPU."""
+        import contextlib
+
+        try:
+            import jax
+
+            cpu = jax.local_devices(backend="cpu")
+            if cpu:
+                return jax.default_device(cpu[0])
+        except Exception:
+            pass
+        return contextlib.nullcontext()
+
     def lift(self, vf: VFunc, xs: Sequence[Any]) -> np.ndarray:
-        out = vf.f(*xs)
+        with self._cpu_scope():
+            out = vf.f(*xs)
         return np.asarray(out, dtype=self.dtype)
 
     def lift_vjp(self, vf: VFunc, xs: Sequence[Any], ct: Any) -> Tuple[np.ndarray, ...]:
-        gs = vf.derived_grads()(*xs)
-        return tuple(np.asarray(ct * np.asarray(g, dtype=self.dtype)) for g in gs)
+        with self._cpu_scope():
+            gs = vf.derived_grads()(*xs)
+            gs = [np.asarray(g, dtype=self.dtype) for g in gs]
+        return tuple(np.asarray(ct * g) for g in gs)
 
     def gmul(self, lm: int, lo: int, ln: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         if self.use_native and lo > 0:
