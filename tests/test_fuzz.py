@@ -102,10 +102,12 @@ def test_random_graphs_parity_and_fd(seed, nb, jb):
 
     v_n, g_n = ir.value_and_grad(op, nb, xs)
     v_j, g_j = ir.value_and_grad(op, jb, tuple(jb.asarray(x) for x in xs))
-    assert abs(float(v_n) - float(v_j)) < 1e-8 * max(1.0, abs(float(v_n)))
+    # 1e-6: tight enough to catch real defects, loose enough for the
+    # real-TPU f64 emulation (~1e-8 relative) under TOPS_TEST_TPU=1
+    assert abs(float(v_n) - float(v_j)) < 1e-6 * max(1.0, abs(float(v_n)))
     for a, b in zip(g_n, g_j):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-8, rtol=1e-6)
+                                   atol=1e-6, rtol=1e-5)
 
     # finite differences on the numpy oracle (slot 0 only, for speed)
     fd = fd_grad(op, nb, xs, slot=0)
