@@ -291,3 +291,134 @@ def shard_pipeline_model(model: PipelineMLP, mesh: Mesh) -> PipelineMLP:
         jax.device_put(model.w_out, repl),
         jax.device_put(model.b_out, repl),
     )
+
+
+# ---------------------------------------------------------------------------
+# circular (interleaved) pipeline schedule
+# ---------------------------------------------------------------------------
+
+
+def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int):
+    """Circular schedule: each device holds V round-robin chunks of the
+    global stage chain (chunk c = v*S + d lives on device d as local
+    chunk v), so the activation ring wraps V times and the pipeline
+    bubble shrinks from (S_total-1)/T to (S-1)/T.  Requires
+    n_microbatches == n_devices so the wrapped activation arrives exactly
+    when needed (the no-FIFO interleaved variant).
+
+    Device d processes local chunk v's microbatch m at tick
+    t = v*M + m + d; total ticks T = V*M + S - 1."""
+    d = lax.axis_index(STAGE_AXIS)
+    S = lax.axis_size(STAGE_AXIS)
+    M = mb_inputs.shape[0]
+    T = V * M + S - 1
+    state = jnp.zeros_like(mb_inputs[0])
+    outputs = jnp.zeros_like(mb_inputs)
+    ws = stage_ws  # local: (V, L, h, h)
+    bs = stage_bs
+
+    def step(carry, t):
+        state, outputs = carry
+        k = t - d
+        kc = jnp.clip(k, 0, V * M - 1)
+        v = kc // M
+        m = kc % M
+        inject = mb_inputs[m]
+        x_in = jnp.where((d == 0) & (v == 0), inject, state)
+        w_v = lax.dynamic_index_in_dim(ws, v, axis=0, keepdims=False)
+        b_v = lax.dynamic_index_in_dim(bs, v, axis=0, keepdims=False)
+        y = _stage_fn(w_v, b_v, x_in)
+        collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
+        updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
+        outputs = jnp.where(collect, updated, outputs)
+        state = lax.ppermute(
+            y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        return (state, outputs), None
+
+    (state, outputs), _ = lax.scan(step, (state, outputs), jnp.arange(T))
+    return lax.psum(outputs, STAGE_AXIS)
+
+
+def _interleave_chunks(stage_arr, S: int):
+    """Permute global chunks (S_total = S*V) so chunk v*S + d lands at
+    sharded position d*V + v (device d's local chunk v)."""
+    total = stage_arr.shape[0]
+    V = total // S
+    rest = stage_arr.shape[1:]
+    return (stage_arr.reshape((V, S) + rest)
+            .swapaxes(0, 1)
+            .reshape((total,) + rest))
+
+
+def shard_circular_model(model: PipelineMLP, mesh: Mesh) -> PipelineMLP:
+    """Shard a PipelineMLP for the circular schedule: stage chunks are
+    round-robin interleaved across devices before the stage-axis shard."""
+    S = mesh.shape[STAGE_AXIS]
+    if model.n_stages % S != 0:
+        raise ValueError(
+            f"circular pipeline needs n_stages ({model.n_stages}) divisible "
+            f"by the stage-axis size ({S})")
+    ws = _interleave_chunks(jnp.asarray(model.stage_ws), S)
+    bs = _interleave_chunks(jnp.asarray(model.stage_bs), S)
+    perm = PipelineMLP(model.w_in, model.b_in, ws, bs,
+                       model.w_out, model.b_out)
+    return shard_pipeline_model(perm, mesh)
+
+
+def circular_pipeline_train_step(model: PipelineMLP, mesh: Mesh,
+                                 n_microbatches: int) -> Callable:
+    """Jitted circular-schedule SGD step; ``model`` must be sharded with
+    :func:`shard_circular_model` and ``n_microbatches`` must equal the
+    stage-axis size."""
+    from functools import partial
+
+    S = mesh.shape[STAGE_AXIS]
+    if n_microbatches != S:
+        raise ValueError(
+            f"circular schedule requires n_microbatches ({n_microbatches}) "
+            f"== stage-axis size ({S})")
+    V = model.n_stages // S
+    in_specs, out_spec, tp = _pipeline_specs(mesh)
+    if tp:
+        raise NotImplementedError("circular schedule with tp: round-2")
+    pipelined = shard_map(
+        partial(_spmd_pipeline_circular, V=V),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    M = n_microbatches
+
+    def loss_fn(params, xb, yb):
+        p = _chain_forward(pipelined, M, params, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    @jax.jit
+    def step(lr, xb, yb, *params):
+        v, grads = jax.value_and_grad(loss_fn)(tuple(params), xb, yb)
+        new_params = tuple(p - lr * g for p, g in zip(params, grads))
+        return v, new_params
+
+    return step
+
+
+def circular_pipeline_forward(model: PipelineMLP, mesh: Mesh, xb,
+                              n_microbatches: int):
+    """Circular-schedule inference (see circular_pipeline_train_step)."""
+    from functools import partial
+
+    S = mesh.shape[STAGE_AXIS]
+    V = model.n_stages // S
+    in_specs, out_spec, _ = _pipeline_specs(mesh)
+    pipelined = shard_map(
+        partial(_spmd_pipeline_circular, V=V),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    return jax.jit(
+        lambda *params_and_x: _chain_forward(
+            pipelined, n_microbatches, params_and_x[:-1], params_and_x[-1])
+    )(*model.params(), xb)

@@ -152,3 +152,70 @@ def test_3d_dp_pp_tp_combined():
     want_p = [p - g for p, g in zip(model.params(), grads)]
     for a, b in zip(new_params, want_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@multi
+def test_circular_schedule_matches_sequential():
+    """Circular (interleaved) pipeline: 8 global stages on 4 devices
+    (V=2) computes exactly the sequential chain, forward and gradients."""
+    from tensor_ops_tpu.parallel.pipeline import (
+        circular_pipeline_forward,
+        circular_pipeline_train_step,
+        shard_circular_model,
+    )
+
+    mesh = make_pipeline_mesh(4)
+    model = PipelineMLP.init(4, 8, 3, n_stages=8, layers_per_stage=1,
+                             key=jax.random.PRNGKey(9))
+    cmodel = shard_circular_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(10), (8, 4))
+    got = np.asarray(circular_pipeline_forward(cmodel, mesh, xb,
+                                               n_microbatches=4))
+    want = np.asarray(sequential_forward(model, xb))  # unpermuted chunks
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    yb = jnp.asarray(np.eye(3, dtype=np.float32)[np.arange(8) % 3])
+    step = circular_pipeline_train_step(cmodel, mesh, n_microbatches=4)
+    _, new_params = step(1.0, xb, yb, *cmodel.params())
+
+    def seq_loss(params):
+        m = PipelineMLP(*params)
+        p = sequential_forward(m, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    grads = jax.grad(seq_loss)(model.params())
+    # compare on the permuted layout: permute the sequential grads too
+    from tensor_ops_tpu.parallel.pipeline import _interleave_chunks
+
+    want_ws = np.asarray(model.stage_ws) - np.asarray(grads[2])
+    want_bs = np.asarray(model.stage_bs) - np.asarray(grads[3])
+    np.testing.assert_allclose(
+        np.asarray(new_params[2]),
+        np.asarray(_interleave_chunks(jnp.asarray(want_ws), 4)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params[3]),
+        np.asarray(_interleave_chunks(jnp.asarray(want_bs), 4)), atol=1e-5)
+    # non-stage params compare directly
+    for i in (0, 1, 4, 5):
+        np.testing.assert_allclose(
+            np.asarray(new_params[i]),
+            np.asarray(model.params()[i]) - np.asarray(grads[i]), atol=1e-5)
+
+
+@multi
+def test_circular_schedule_guards():
+    from tensor_ops_tpu.parallel.pipeline import (
+        circular_pipeline_train_step,
+        shard_circular_model,
+    )
+
+    mesh = make_pipeline_mesh(4)
+    model = PipelineMLP.init(4, 8, 2, n_stages=8, layers_per_stage=1,
+                             key=jax.random.PRNGKey(11))
+    cmodel = shard_circular_model(model, mesh)
+    with pytest.raises(ValueError, match="n_microbatches"):
+        circular_pipeline_train_step(cmodel, mesh, n_microbatches=8)
+    bad = PipelineMLP.init(4, 8, 2, n_stages=6, layers_per_stage=1,
+                           key=jax.random.PRNGKey(12))
+    with pytest.raises(ValueError, match="divisible"):
+        shard_circular_model(bad, mesh)
