@@ -403,22 +403,37 @@ def circular_pipeline_train_step(model: PipelineMLP, mesh: Mesh,
     return step
 
 
+_CIRC_FWD_CACHE: dict = {}
+
+
 def circular_pipeline_forward(model: PipelineMLP, mesh: Mesh, xb,
                               n_microbatches: int):
-    """Circular-schedule inference (see circular_pipeline_train_step)."""
+    """Circular-schedule inference (see circular_pipeline_train_step).
+    The jitted callable is cached per (mesh, V, M) so repeated calls
+    don't retrace."""
     from functools import partial
 
     S = mesh.shape[STAGE_AXIS]
     V = model.n_stages // S
-    in_specs, out_spec, _ = _pipeline_specs(mesh)
-    pipelined = shard_map(
-        partial(_spmd_pipeline_circular, V=V),
-        mesh=mesh,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        check_rep=False,
-    )
-    return jax.jit(
-        lambda *params_and_x: _chain_forward(
-            pipelined, n_microbatches, params_and_x[:-1], params_and_x[-1])
-    )(*model.params(), xb)
+    key = (mesh, V, n_microbatches)
+    fn = _CIRC_FWD_CACHE.get(key)
+    if fn is None:
+        in_specs, out_spec, _ = _pipeline_specs(mesh)
+        pipelined = shard_map(
+            partial(_spmd_pipeline_circular, V=V),
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            check_rep=False,
+        )
+        M = n_microbatches
+
+        @jax.jit
+        def fwd(w_in, b_in, stage_ws, stage_bs, w_out, b_out, xb):
+            return _chain_forward(
+                pipelined, M, (w_in, b_in, stage_ws, stage_bs, w_out, b_out),
+                xb)
+
+        fn = fwd
+        _CIRC_FWD_CACHE[key] = fn
+    return fn(*model.params(), xb)
