@@ -150,3 +150,28 @@ def test_mnist_cli_fused_megakernel(tmp_path):
 def test_mnist_fused_requires_minibatch(tmp_path):
     with pytest.raises(SystemExit):
         run_cli(mnist.main, ["--fused", "-d", str(tmp_path)])
+
+
+def test_dots_seed_determinism():
+    """Same --seed twice -> byte-identical output (the reproducibility
+    the reference lacks, MNIST.hs:250-251 / Dots.hs:130)."""
+    import re
+
+    strip = lambda s: re.sub(r"\(\d+\.\d+s\)", "(Xs)", s)
+    a = strip(run_cli(dots.main, ["-s", "300", "--seed", "13", "np"]))
+    b = strip(run_cli(dots.main, ["-s", "300", "--seed", "13", "np"]))
+    assert a == b
+    c = strip(run_cli(dots.main, ["-s", "300", "--seed", "14", "np"]))
+    assert a != c  # and the seed actually matters
+
+
+def test_mnist_seed_determinism(tmp_path):
+    args = ["--epochs", "1", "--limit", "200", "-b", "200", "--minibatch",
+            "50", "-r", "0.2", "-d", str(tmp_path), "-c", "--seed", "3"]
+    a = run_cli(mnist.main, args)
+    b = run_cli(mnist.main, args)
+    # strip the wall-clock timing line before comparing
+    import re
+
+    strip = lambda s: re.sub(r"in \d+\.\d+s", "in Xs", s)
+    assert strip(a) == strip(b)
