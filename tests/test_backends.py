@@ -85,3 +85,32 @@ def test_jit_cache_reuse(jb):
     f1 = engine.compile_run(op, jb)
     f2 = engine.compile_run(op, jb)
     assert f1 is f2
+
+
+def test_loss_curve_parity_across_backends(nb, jb):
+    """BASELINE north star: reproducible loss curves — per-sample SGD on
+    the dots task tracks between the NumPy-f64 oracle and the JAX-f64
+    path to 1e-9 at every step over a 60-step run."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, gen_net, squared_error
+
+    rng = Rng(nb, seed=20)
+    net_n = gen_net(nb, 2, 1, [(8, act_logistic())], act_logistic(), rng)
+    net_j = Network(net_n.op, _to_jax(jb, net_n.params), net_n.act_names)
+    loss = squared_error(1)
+
+    r_ = np.random.default_rng(21)
+    X = r_.uniform(-1, 1, size=(60, 2))
+    Y = (np.linalg.norm(X, axis=1) < 0.7).astype(np.float64).reshape(-1, 1)
+
+    curve_n, curve_j = [], []
+    for k in range(60):
+        curve_n.append(float(np.asarray(net_n.loss_value(loss, nb, X[k], Y[k]))))
+        curve_j.append(float(np.asarray(net_j.loss_value(
+            loss, jb, jb.asarray(X[k]), jb.asarray(Y[k])))))
+        net_n = net_n.train(loss, 1.0, nb, X[k], Y[k])
+        net_j = net_j.train(loss, 1.0, jb, jb.asarray(X[k]), jb.asarray(Y[k]))
+    diffs = np.abs(np.asarray(curve_n) - np.asarray(curve_j))
+    assert diffs.max() < 1e-9, diffs.max()
+    # and the curve actually went somewhere
+    assert np.mean(curve_n[-10:]) < np.mean(curve_n[:10])
