@@ -14,11 +14,12 @@ reference seeds from the system RNG, ``MNIST.hs:250-251``).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tensor_ops_tpu as T
 from tensor_ops_tpu.backend.rng import Rng

@@ -3,11 +3,12 @@
 bottleneck and report reconstruction loss — the reference's
 ``AutoEncoder.hs`` workflow (trainEncoder on squared error)."""
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tensor_ops_tpu as T
 from tensor_ops_tpu.backend.rng import Rng

@@ -11,11 +11,12 @@ virtual CPU devices.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -27,11 +28,11 @@ def main():
     import jax
 
     if len(jax.devices()) < 8:
-        import jax._src.xla_bridge as xb
+        import jax._src.xla_bridge as _xb
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-        xb._clear_backends()
+        _xb._clear_backends()
 
     import jax.numpy as jnp
 

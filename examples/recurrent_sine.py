@@ -4,11 +4,12 @@ Elman-style fully connected recurrent layer trained by scan-based BPTT
 (the reference's ``Recurrent.hs`` workflow: fullyConnected + trainNetwork'
 with dual state/param learning rates)."""
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tensor_ops_tpu as T
 from tensor_ops_tpu.backend.rng import Rng

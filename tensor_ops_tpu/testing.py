@@ -15,6 +15,11 @@ import numpy as np
 from .ops import ir
 
 
+def rand(seed: int, *shape) -> np.ndarray:
+    """Seeded standard-normal test data (the convention every suite uses)."""
+    return np.random.default_rng(seed).normal(size=shape)
+
+
 def loop_gmul(lm: int, lo: int, ln: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Triple-loop oracle for gmul:
     ``out[m, n] = sum_o x[m, o1..ok] * y[ok..o1, n]``."""

@@ -19,8 +19,7 @@ from tensor_ops_tpu.backend.rng import Rng
 TOL = 1e-9
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 def _to_jax(jb, xs):

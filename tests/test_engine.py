@@ -9,8 +9,7 @@ from tensor_ops_tpu import prim as P
 from tensor_ops_tpu.ops import ir
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 def test_compile_vjp_general_cotangents(nb, jb):
@@ -97,7 +96,7 @@ def test_cache_distinguishes_precision_and_native(nb):
     try:
         nb_native = T.NumpyBackend(use_native=True)
     except RuntimeError:
-        return  # no toolchain
+        pytest.skip("no native toolchain")
     assert engine.compile_run(op, nb_plain) is not engine.compile_run(op, nb_native)
 
 

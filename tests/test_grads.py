@@ -11,8 +11,7 @@ from tensor_ops_tpu.ops import ir
 from helpers import check_grads
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 def sq(shape):

@@ -16,8 +16,7 @@ from tensor_ops_tpu.utils.native import (
 needs_native = pytest.mark.skipif(get_lib() is None, reason="no native toolchain")
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 @needs_native

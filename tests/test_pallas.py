@@ -16,8 +16,7 @@ from tensor_ops_tpu.ops.pallas_kernels import (
 )
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 def test_fused_linear_matches_xla():

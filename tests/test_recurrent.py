@@ -21,8 +21,7 @@ from tensor_ops_tpu.ops import ir
 from tensor_ops_tpu.ops.loops import MappedOp, ScanOp
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 def make_rnn(be, i=3, o=2, seed=11):
@@ -32,7 +31,6 @@ def make_rnn(be, i=3, o=2, seed=11):
 
 def explicit_unroll(net, be, xs, targets, loss):
     """Reference semantics by hand: thread state, sum per-step losses."""
-    s = net.states
     total = 0.0
     m = net
     for t in range(xs.shape[0]):

@@ -7,8 +7,7 @@ from tensor_ops_tpu import tensor as TT
 from tensor_ops_tpu.ops.shapes import ShapeError
 
 
-def r(seed, *shape):
-    return np.random.default_rng(seed).normal(size=shape)
+from tensor_ops_tpu.testing import rand as r  # noqa: E402
 
 
 def test_konst_map_zip(backends):
