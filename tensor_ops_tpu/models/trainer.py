@@ -31,13 +31,20 @@ class FitResult:
     steps: int
 
 
-def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer) -> Callable:
-    """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``."""
+def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
+                  accum_steps: int = 1) -> Callable:
+    """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
+
+    With ``accum_steps > 1`` the batch is split into that many
+    micro-batches whose gradients are accumulated sequentially inside a
+    ``lax.scan`` before one optimizer update — big effective batches
+    without the activation memory (jax path only)."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
     # id(opt.update) distinguishes same-name optimizers with different
     # hyperparameters (each optimizer factory call makes a fresh closure)
-    key = ("optstep", id(loss), opt.name, id(opt.update)) + be.cache_key()
+    key = ("optstep", id(loss), opt.name, id(opt.update),
+           int(accum_steps)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -50,11 +57,39 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer) -> Calla
 
         vmapped = make_vmapped_grads(net, loss, be)
 
-        def step(lr, xb, yb, opt_state, params):
-            vals, grads = vmapped(xb, yb, *params)
-            mean_grads = tuple(jnp.mean(g, axis=0) for g in grads)
-            opt_state, params = opt.update(opt_state, params, mean_grads, lr)
-            return jnp.mean(vals), opt_state, params
+        if accum_steps <= 1:
+
+            def step(lr, xb, yb, opt_state, params):
+                vals, grads = vmapped(xb, yb, *params)
+                mean_grads = tuple(jnp.mean(g, axis=0) for g in grads)
+                opt_state, params = opt.update(opt_state, params, mean_grads, lr)
+                return jnp.mean(vals), opt_state, params
+
+        else:
+            from jax import lax
+
+            def step(lr, xb, yb, opt_state, params):
+                B = xb.shape[0]
+                micro = B // accum_steps
+                xm = xb[: micro * accum_steps].reshape(accum_steps, micro,
+                                                       *xb.shape[1:])
+                ym = yb[: micro * accum_steps].reshape(accum_steps, micro,
+                                                       *yb.shape[1:])
+
+                def body(carry, chunk):
+                    vsum, gsum = carry
+                    xc, yc = chunk
+                    vals, grads = vmapped(xc, yc, *params)
+                    gsum = tuple(a + jnp.mean(g, axis=0)
+                                 for a, g in zip(gsum, grads))
+                    return (vsum + jnp.mean(vals), gsum), None
+
+                zero = tuple(jnp.zeros_like(p) for p in params)
+                (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
+                mean_grads = tuple(g / accum_steps for g in gsum)
+                opt_state, new_params = opt.update(opt_state, params,
+                                                   mean_grads, lr)
+                return vsum / accum_steps, opt_state, new_params
 
         fn = jax.jit(step)
     else:
@@ -87,6 +122,7 @@ def fit(
     batch_size: int = 128,
     lr: float = 0.01,
     optimizer: Optional[Optimizer] = None,
+    accum_steps: int = 1,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -101,7 +137,7 @@ def fit(
     assembly when available, NumPy fallback otherwise); each step is one
     jitted XLA program."""
     opt = optimizer or sgd()
-    step_fn = make_opt_step(net, loss, be, opt)
+    step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps)
     loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
     steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     opt_state = opt.init(net.params)

@@ -29,6 +29,24 @@ def save_arrays(path: str, arrays: Dict[str, Any], meta: Optional[dict] = None) 
         np.savez(f, **np_arrays)
 
 
+_ASYNC_POOL = None
+
+
+def save_arrays_async(path: str, arrays: Dict[str, Any],
+                      meta: Optional[dict] = None):
+    """Checkpoint without blocking the training loop: device arrays are
+    fetched to host synchronously (cheap), the file write happens on a
+    background thread.  Returns a Future; call ``.result()`` to join."""
+    global _ASYNC_POOL
+    import concurrent.futures
+
+    if _ASYNC_POOL is None:
+        _ASYNC_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+    host_arrays = {k: np.asarray(v) for k, v in arrays.items()}
+    return _ASYNC_POOL.submit(save_arrays, path, host_arrays, meta)
+
+
 def load_arrays(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}

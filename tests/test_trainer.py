@@ -91,3 +91,33 @@ def test_clip_and_schedules():
     assert np.isclose(lr(0), 1.0) and lr(100) < 1e-9 and 0.4 < lr(50) < 0.6
     lre = exponential_schedule(1.0, 0.5, every=10)
     assert lre(0) == 1.0 and lre(10) == 0.5 and lre(25) == 0.25
+
+
+def test_gradient_accumulation_matches_full_batch(jb):
+    """accum_steps=4 over a batch == one full-batch step (same mean
+    gradient, same update)."""
+    from tensor_ops_tpu.models.optim import sgd
+    from tensor_ops_tpu.models.trainer import make_opt_step
+
+    X, Y, _ = toy_data(32, seed=9)
+    loss = cross_entropy(2)
+    net = make_net(jb, seed=10)
+    xb, yb = jb.asarray(X), jb.asarray(Y)
+
+    full = make_opt_step(net, loss, jb, sgd())
+    acc = make_opt_step(net, loss, jb, sgd(), accum_steps=4)
+    v1, _, p1 = full(0.3, xb, yb, (), net.params)
+    v2, _, p2 = acc(0.3, xb, yb, (), net.params)
+    assert abs(float(v1) - float(v2)) < 1e-9
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_async_checkpoint(tmp_path, nb):
+    from tensor_ops_tpu.utils.checkpoint import load_arrays, save_arrays_async
+
+    fut = save_arrays_async(str(tmp_path / "a.npz"),
+                            {"x": np.arange(4)}, {"k": 2})
+    fut.result()
+    arrays, meta = load_arrays(str(tmp_path / "a.npz"))
+    assert meta["k"] == 2 and arrays["x"].tolist() == [0, 1, 2, 3]
