@@ -112,3 +112,59 @@ def test_random_graphs_parity_and_fd(seed, nb, jb):
     # finite differences on the numpy oracle (slot 0 only, for speed)
     fd = fd_grad(op, nb, xs, slot=0)
     np.testing.assert_allclose(np.asarray(g_n[0]), fd, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_recurrent_scan_fuzz(seed, nb, jb):
+    """Random recurrent cells (random widths/activations/extra params)
+    through ScanOp: numpy-vs-jax parity and FD on the initial state."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models.neuralnet import (
+        act_logistic,
+        act_relu,
+        act_tanh,
+    )
+    from tensor_ops_tpu.models.recurrent import RecurrentNetwork, fully_connected
+    from tensor_ops_tpu.models import squared_error
+
+    rng_np = np.random.default_rng(seed)
+    i = int(rng_np.choice(DIMS))
+    o = int(rng_np.choice(DIMS))
+    act = [act_logistic, act_tanh, act_relu][int(rng_np.integers(0, 3))]()
+    net = fully_connected(act, nb, i, o, Rng(nb, seed=seed + 100))
+    if rng_np.uniform() < 0.5:
+        o2 = int(rng_np.choice(DIMS))
+        net = net.then(fully_connected(act_logistic(), nb, o, o2,
+                                       Rng(nb, seed=seed + 200)))
+        o = o2
+    n = int(rng_np.integers(2, 6))
+    xs = rng_np.normal(size=(n, i)) * 0.5
+    tg = rng_np.normal(size=(n, o)) * 0.5
+    loss = squared_error(o)
+
+    v_n = float(np.asarray(net.seq_loss(loss, nb, xs, tg)))
+    jnet = RecurrentNetwork(net.op,
+                            tuple(jb.asarray(s) for s in net.states),
+                            tuple(jb.asarray(p) for p in net.params))
+    v_j = float(np.asarray(jnet.seq_loss(loss, jb, jb.asarray(xs), jb.asarray(tg))))
+    assert abs(v_n - v_j) < 1e-6 * max(1.0, abs(v_n))
+
+    _, gS, gP = net.seq_grad(loss, nb, xs, tg)
+    _, gSj, gPj = jnet.seq_grad(loss, jb, jb.asarray(xs), jb.asarray(tg))
+    for a, b in zip(gS + gP, gSj + gPj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+    # FD on the first state's first entry
+    eps = 1e-6
+    sp = [s.copy() for s in net.states]
+    sm = [s.copy() for s in net.states]
+    sp[0][0] += eps
+    sm[0][0] -= eps
+    lp = float(np.asarray(RecurrentNetwork(net.op, tuple(sp), net.params)
+                          .seq_loss(loss, nb, xs, tg)))
+    lm = float(np.asarray(RecurrentNetwork(net.op, tuple(sm), net.params)
+                          .seq_loss(loss, nb, xs, tg)))
+    assert abs((lp - lm) / (2 * eps) - float(np.asarray(gS[0][0]))) < 1e-4
