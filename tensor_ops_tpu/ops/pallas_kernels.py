@@ -98,7 +98,7 @@ def _act_grad(name: str) -> Callable:
 # ---------------------------------------------------------------------------
 
 
-def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, z_ref, acc_ref, *,
+def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, *rest,
                        act: str, save_z: bool, nk: int,
                        precision: str = "default"):
     """Tiled matmul with K-loop accumulation in a VMEM f32 scratch; bias +
@@ -108,6 +108,10 @@ def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, z_ref, acc_ref, *,
     The weight block arrives in its native ``(o, i)`` ffLayer layout and is
     contracted on its second axis — no transposed copy of the weight is
     ever materialized (dot_general drives the MXU either way)."""
+    if save_z:
+        z_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -130,7 +134,7 @@ def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, z_ref, acc_ref, *,
 
 
 def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, int]:
-    """Tile heuristic from the on-device sweep (BENCH notes): ~896^2
+    """Tile heuristic from the on-device sweep (BENCH notes): 1024^2
     output tiles with a 512-deep K loop balance VMEM double-buffering
     against HBM revisit traffic; small dims collapse to one tile.  The
     save_z (training) path double-buffers a second output block, so its
@@ -138,12 +142,7 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
     cap = 512 if save_z else 1024
     tb = min(_round_up(B, 8), cap)
     to = min(_round_up(O, LANE), cap)
-    if K <= 1024:
-        tk = _round_up(K, LANE)
-    else:
-        # large-K loop depth chosen so double-buffered inputs + accumulator
-        # + output block(s) stay inside the 16 MB VMEM budget
-        tk = 512 if cap == 512 else 256
+    tk = _round_up(K, LANE) if K <= 1024 else 512
     return tb, to, tk
 
 
@@ -158,11 +157,17 @@ def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
     grid = (B // block_b, O // block_o, nk)
     kernel = functools.partial(_linear_act_kernel, act=act, save_z=save_z,
                                nk=nk, precision=precision)
-    out_shapes = (
-        jax.ShapeDtypeStruct((B, O), x.dtype),
-        jax.ShapeDtypeStruct((B, O) if save_z else (8, 128), jnp.float32),
-    )
-    y, z = pl.pallas_call(
+    y_spec = pl.BlockSpec((block_b, block_o), lambda i, j, k: (i, j),
+                          memory_space=pltpu.VMEM)
+    if save_z:
+        out_shape = (jax.ShapeDtypeStruct((B, O), x.dtype),
+                     jax.ShapeDtypeStruct((B, O), jnp.float32))
+        out_specs = (y_spec, y_spec)
+    else:
+        # inference path emits a single output — no dead z block to DMA
+        out_shape = jax.ShapeDtypeStruct((B, O), x.dtype)
+        out_specs = y_spec
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -173,17 +178,9 @@ def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
             pl.BlockSpec((1, block_o), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((block_b, block_o), lambda i, j, k: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block_b, block_o) if save_z else (8, 128),
-                (lambda i, j, k: (i, j)) if save_z else (lambda i, j, k: (0, 0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.float32)],
-        out_shape=out_shapes,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * O,
             bytes_accessed=(B * K + K * O + B * O) * 4,
@@ -191,7 +188,7 @@ def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
         ),
         interpret=_interpret(),
     )(x, w, b)
-    return y, z
+    return out if save_z else (out, None)
 
 
 def _pad2(a, r0: int, r1: int):
