@@ -75,7 +75,9 @@ def make_data(n, seed=1):
     return x, y
 
 
-def bench_mnist_train(batch=1024, steps=200):
+def bench_mnist_train(batch=1024, steps=2000):
+    # steps must be large enough that the compute DIFFERENCE between the
+    # two timed loops (4*steps*10us ~ 80ms) dwarfs tunnel jitter (~2ms).
     """IR transposition-AD minibatch SGD, whole loop in one XLA program."""
     import jax
     import jax.numpy as jnp

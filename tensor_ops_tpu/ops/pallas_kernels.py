@@ -137,11 +137,13 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
     """Tile heuristic from the on-device sweep (BENCH notes): 1024^2
     output tiles with a 512-deep K loop balance VMEM double-buffering
     against HBM revisit traffic; small dims collapse to one tile.  The
-    save_z (training) path double-buffers a second output block, so its
-    tiles shrink to stay inside the 16 MB VMEM budget."""
-    cap = 512 if save_z else 1024
-    tb = min(_round_up(B, 8), cap)
-    to = min(_round_up(O, LANE), cap)
+    save_z (training) path double-buffers a second (f32) output block, so
+    its OUTPUT tile narrows to 512 to stay inside the VMEM budget (the
+    honest on-device sweep: (1024,512,512) = 176 TF vs (512,512,512) =
+    169 TF on the deep fwd+bwd sweep; 1024^2 save_z tiles fail to
+    compile)."""
+    tb = min(_round_up(B, 8), 1024)
+    to = min(_round_up(O, LANE), 512 if save_z else 1024)
     tk = _round_up(K, LANE) if K <= 1024 else 512
     return tb, to, tk
 
