@@ -137,14 +137,16 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
     """Tile heuristic from the on-device sweep (BENCH notes): 1024^2
     output tiles with a 512-deep K loop balance VMEM double-buffering
     against HBM revisit traffic; small dims collapse to one tile.  The
-    save_z (training) path double-buffers a second (f32) output block, so
-    its OUTPUT tile narrows to 512 to stay inside the VMEM budget (the
-    honest on-device sweep: (1024,512,512) = 176 TF vs (512,512,512) =
-    169 TF on the deep fwd+bwd sweep; 1024^2 save_z tiles fail to
-    compile)."""
-    tb = min(_round_up(B, 8), 1024)
-    to = min(_round_up(O, LANE), 512 if save_z else 1024)
-    tk = _round_up(K, LANE) if K <= 1024 else 512
+    Honest on-device sweep (differential timing, BENCH.md): 512^2 output
+    tiles with the FULL contraction dim in one pass — the MXU streams
+    the whole K extent without accumulator revisits — reach 186-188
+    TFLOP/s (94-95% of bf16 peak) at K=2048..4096, vs ~170 for 1024^2
+    tiles with a 512-deep K loop.  Needs the raised VMEM limit (the
+    512xK input blocks are 4-8 MB each, double-buffered).  K beyond 8192
+    falls back to a 512-deep K loop to bound block size."""
+    tb = min(_round_up(B, 8), 512)
+    to = min(_round_up(O, LANE), 512)
+    tk = _round_up(K, LANE) if K <= 8192 else 512
     return tb, to, tk
 
 
@@ -188,6 +190,12 @@ def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
             bytes_accessed=(B * K + K * O + B * O) * 4,
             transcendentals=B * O if act in ("logistic", "tanh") else 0,
         ),
+        # full-K input blocks are up to 8 MB each; raise Mosaic's default
+        # VMEM budget so their double-buffering fits.  56 MB is a measured
+        # sweet spot (189.5 TF): past ~64 MB Mosaic switches to a deeper
+        # buffering strategy that LOSES ~15 TF (see BENCH.md sweep).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
         interpret=_interpret(),
     )(x, w, b)
     return out if save_z else (out, None)
