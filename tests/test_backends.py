@@ -1,6 +1,8 @@
 """NumPy-oracle vs JAX/XLA backend parity (<=1e-6 forward and backward —
 BASELINE.md target; achieved at ~1e-12 in f64)."""
 
+import os
+
 import numpy as np
 
 import tensor_ops_tpu as T
@@ -110,7 +112,11 @@ def test_loss_curve_parity_across_backends(nb, jb):
         net_n = net_n.train(loss, 1.0, nb, X[k], Y[k])
         net_j = net_j.train(loss, 1.0, jb, jb.asarray(X[k]), jb.asarray(Y[k]))
     diffs = np.abs(np.asarray(curve_n) - np.asarray(curve_j))
-    assert diffs.max() < 1e-9, diffs.max()
+    # 1e-9 on CPU f64; the real TPU emulates f64 in software (~1e-8
+    # relative, same allowance as test_fuzz), so the opt-in on-device
+    # run gets the looser bound.
+    tol = 1e-6 if os.environ.get("TOPS_TEST_TPU") == "1" else 1e-9
+    assert diffs.max() < tol, diffs.max()
     assert np.isfinite(curve_n).all()
     # (convergence itself is asserted in test_models/test_apps; this test
     # pins the *bitwise-tracking* property of the two backends' curves)
