@@ -253,11 +253,12 @@ def bench_cpu_baseline(n_samples=60):
 
 def main():
     steps_per_sec, samples_per_sec = bench_mnist_train()
+    steps4k, samples4k = bench_mnist_train(batch=4096, steps=500)
     mk_steps, mk_samples = bench_megakernel_train()
     deep_tflops, roofline = bench_fused_deep()
     mm_tflops, mm_roofline = bench_fused_matmul_roofline()
     base = bench_cpu_baseline()
-    best_samples = max(samples_per_sec, mk_samples)
+    best_samples = max(samples_per_sec, samples4k, mk_samples)
     result = {
         "metric": "mnist_mlp_train_throughput",
         "value": round(best_samples, 1),
@@ -266,6 +267,8 @@ def main():
         "detail": {
             "ir_xla_batch1024_steps_per_sec": round(steps_per_sec, 2),
             "ir_xla_batch1024_samples_per_sec": round(samples_per_sec, 1),
+            "ir_xla_batch4096_steps_per_sec": round(steps4k, 2),
+            "ir_xla_batch4096_samples_per_sec": round(samples4k, 1),
             "megakernel_batch8192_steps_per_sec": round(mk_steps, 2),
             "megakernel_batch8192_samples_per_sec": round(mk_samples, 1),
             "cpu_oracle_per_sample_sgd_samples_per_sec": round(base, 1),
