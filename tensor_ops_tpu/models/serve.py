@@ -29,8 +29,11 @@ class Predictor:
         model: Union[Network, FusedMLP],
         be: Optional[Backend] = None,
         buckets: Sequence[int] = (1, 8, 32, 128, 512),
-        use_fused_kernel: bool = False,
+        use_fused_kernel: bool = True,
     ):
+        # use_fused_kernel=True (whole-MLP single pallas_call) wins or ties
+        # the per-layer path at every measured bucket (BENCH.md): 3.2 vs
+        # 3.8 us at batch 8, 6.6 vs 9.6 us at batch 1024.
         self.model = model
         self.be = be
         self.buckets = sorted(buckets)
