@@ -240,6 +240,10 @@ class FusedRNN:
     s0: Any            # initial state (o,)
     act: str = "logistic"
     precision: str = "default"
+    # "xla" fuses the two mat-vecs + bias + activation natively and wins
+    # at every measured size (BENCH.md: 1.7 vs 2.4 us/step at o=256, 92
+    # vs 103 us at o=2048); "pallas" keeps the hand kernel (custom VJP).
+    impl: str = "xla"
 
     _cache: dict = None
 
@@ -256,42 +260,53 @@ class FusedRNN:
         return cls(wX, wS, jnp.asarray(b, jnp.float32),
                    jnp.asarray(s0, jnp.float32), act, precision)
 
-    def seq_forward(self, xs):
-        """xs: (n, i) -> (ys: (n, o) pre-activations, final state)."""
-        from ..ops.pallas_kernels import fused_rnn_step
+    def _step_builder(self):
+        """(wX, wS, b) -> scan step ``(s, xt) -> (s', y)`` with y = z
+        pre-activation and s' = act(z), per the chosen ``impl``."""
+        if self.impl == "pallas":
+            from ..ops.pallas_kernels import fused_rnn_step
 
-        fn = self._cache.get("seq")
-        if fn is None:
-
-            def run(xs, wX, wS, b, s0):
+            def make(wX, wS, b):
                 def step(s, xt):
                     y, snew = fused_rnn_step(xt[None], s[None], wX, wS, b,
                                              self.act, self.precision)
                     return snew[0], y[0]
+                return step
+        else:
+            from ..ops.pallas_kernels import _act_fn
+            act = _act_fn(self.act)
 
-                s_final, ys = jax.lax.scan(step, s0, xs)
+            def make(wX, wS, b):
+                def step(s, xt):
+                    z = wX @ xt + wS @ s + b
+                    return act(z), z
+                return step
+        return make
+
+    def seq_forward(self, xs):
+        """xs: (n, i) -> (ys: (n, o) pre-activations, final state)."""
+        fn = self._cache.get(("seq", self.impl))
+        if fn is None:
+            make = self._step_builder()
+
+            def run(xs, wX, wS, b, s0):
+                s_final, ys = jax.lax.scan(make(wX, wS, b), s0, xs)
                 return ys, s_final
 
             fn = jax.jit(run)
-            self._cache["seq"] = fn
+            self._cache[("seq", self.impl)] = fn
         return fn(jnp.asarray(xs, jnp.float32), self.wX, self.wS, self.b, self.s0)
 
     def train(self, rate_state: float, rate_param: float, xs, targets
               ) -> Tuple[float, "FusedRNN"]:
         """One SGD step on the summed squared sequence loss with the
         reference's dual state/param rates (``trainNetwork'``)."""
-        from ..ops.pallas_kernels import fused_rnn_step
-
-        fn = self._cache.get("train")
+        fn = self._cache.get(("train", self.impl))
         if fn is None:
+            make = self._step_builder()
 
             def loss(wX, wS, b, s0, xs, tg):
-                def step(s, xt):
-                    y, snew = fused_rnn_step(xt[None], s[None], wX, wS, b,
-                                             self.act, self.precision)
-                    return snew[0], y[0]
-
-                _, ys = jax.lax.scan(step, s0, xs)
+                _, ys = jax.lax.scan(make(wX, wS, b), s0, xs)
                 return jnp.sum((tg - ys) ** 2)
 
             def stepfn(rS, rP, wX, wS, b, s0, xs, tg):
@@ -301,10 +316,10 @@ class FusedRNN:
                     s0 - rS * g[3]
 
             fn = jax.jit(stepfn)
-            self._cache["train"] = fn
+            self._cache[("train", self.impl)] = fn
         v, wX, wS, b, s0 = fn(rate_state, rate_param, self.wX, self.wS,
                               self.b, self.s0,
                               jnp.asarray(xs, jnp.float32),
                               jnp.asarray(targets, jnp.float32))
         return float(v), FusedRNN(wX, wS, b, s0, self.act, self.precision,
-                                  self._cache)
+                                  impl=self.impl, _cache=self._cache)
