@@ -324,3 +324,64 @@ def test_fused_linear_mixed_dtype_grads():
     gx, gw, gb = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
     assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
     assert gb.dtype == jnp.float32
+
+
+def test_pick_tiles_full_k_policy():
+    """Perf regression guard: the fwd path streams the FULL contraction
+    dim in one pass for K<=8192 (the 96%-of-peak config, BENCH.md) and
+    falls back to a 512-deep K loop beyond."""
+    from tensor_ops_tpu.ops.pallas_kernels import pick_tiles
+
+    tb, to, tk = pick_tiles(4096, 4096, 4096)
+    assert (tb, to, tk) == (512, 512, 4096)
+    tb, to, tk = pick_tiles(4096, 16384, 4096)
+    assert tk == 512
+    # small dims collapse to one padded tile
+    tb, to, tk = pick_tiles(64, 784, 300)
+    assert tb == 64 and to == 384 and tk == 896
+
+
+def test_fused_rnn_impl_parity_and_preservation():
+    """The default XLA cell and the pallas kernel produce the same
+    sequence outputs (f64 on CPU: tight), and ``impl`` survives train."""
+    import dataclasses
+
+    from tensor_ops_tpu.models.fast import FusedRNN
+
+    rr = np.random.default_rng(3)
+    i, o, T = 5, 7, 11
+    m = FusedRNN(
+        wX=jnp.asarray(rr.normal(size=(o, i)) * 0.3, jnp.float32),
+        wS=jnp.asarray(rr.normal(size=(o, o)) * 0.3, jnp.float32),
+        b=jnp.zeros((o,), jnp.float32), s0=jnp.zeros((o,), jnp.float32))
+    assert m.impl == "xla"
+    mp = dataclasses.replace(m, impl="pallas", _cache={})
+    xs = rr.normal(size=(T, i)).astype(np.float32)
+    tg = (0.3 * rr.normal(size=(T, o))).astype(np.float32)
+    ys_x, sf_x = m.seq_forward(xs)
+    ys_p, sf_p = mp.seq_forward(xs)
+    np.testing.assert_allclose(np.asarray(ys_x), np.asarray(ys_p),
+                               atol=1e-5, rtol=1e-5)
+    v_x, m2 = m.train(0.01, 0.001, xs, tg)
+    v_p, _ = mp.train(0.01, 0.001, xs, tg)
+    assert abs(v_x - v_p) < 1e-3 * max(1.0, abs(v_x))
+    assert m2.impl == "xla"
+
+
+def test_predictor_default_uses_whole_mlp_kernel():
+    """Serving default: the whole-MLP single-kernel path (fastest at the
+    latency-critical buckets, BENCH.md)."""
+    from tensor_ops_tpu.models.fast import FusedMLP
+    from tensor_ops_tpu.models.serve import Predictor
+
+    rr = np.random.default_rng(4)
+    m = FusedMLP(
+        weights=[jnp.asarray(rr.normal(size=(6, 4)) * 0.3, jnp.float32),
+                 jnp.asarray(rr.normal(size=(3, 6)) * 0.3, jnp.float32)],
+        biases=[jnp.zeros((6,), jnp.float32), jnp.zeros((3,), jnp.float32)],
+        acts=["logistic", "identity"], softmax_out=True)
+    p = Predictor(m)
+    assert p.use_fused_kernel is True
+    out = p.predict(rr.uniform(0, 1, size=(5, 4)))
+    assert out.shape == (5, 3)
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
