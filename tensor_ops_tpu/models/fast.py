@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_kernels import fused_linear, fused_mlp_forward
+from ..ops.pallas_kernels import _act_fn, fused_linear, fused_mlp_forward
 from .feedforward import Network
 
 
@@ -102,6 +102,26 @@ class FusedMLP:
 
     def run(self, x) -> Any:
         return self.forward_fn()(x, self.weights, self.biases)
+
+    def _xla_layers_forward(self, x, weights, biases):
+        """Same network via raw XLA ops — the compiler's own GEMM+epilogue
+        fusion wins over the hand kernels at batch >=64 (BENCH.md)."""
+        h = x
+        n = len(weights)
+        for k in range(n):
+            z = h @ weights[k].T + biases[k]
+            if k == n - 1 and self.softmax_out:
+                h = jax.nn.softmax(z, axis=-1)
+            else:
+                h = _act_fn(self.acts[k])(z)
+        return h
+
+    def run_xla(self, x) -> Any:
+        fn = self._cache.get("fwd_xla")
+        if fn is None:
+            fn = jax.jit(lambda x, ws, bs: self._xla_layers_forward(x, ws, bs))
+            self._cache["fwd_xla"] = fn
+        return fn(x, self.weights, self.biases)
 
     def run_fused_inference(self, x) -> Any:
         """Whole-network single-kernel forward (weights VMEM-resident)."""

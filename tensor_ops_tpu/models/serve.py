@@ -30,14 +30,18 @@ class Predictor:
         be: Optional[Backend] = None,
         buckets: Sequence[int] = (1, 8, 32, 128, 512),
         use_fused_kernel: bool = True,
+        xla_threshold: int = 64,
     ):
-        # use_fused_kernel=True (whole-MLP single pallas_call) wins or ties
-        # the per-layer path at every measured bucket (BENCH.md): 3.2 vs
-        # 3.8 us at batch 8, 6.6 vs 9.6 us at batch 1024.
+        # Measured dispatch policy (BENCH.md serving table): the whole-MLP
+        # single pallas_call wins the latency-critical small buckets (3.2
+        # vs 4.9 us at batch 8); XLA's own GEMM+epilogue fusion wins from
+        # batch ~64 up (1.8 vs 4.0 us at 64, 5.1 vs 6.6 us at 1024).
+        # use_fused_kernel=False forces the per-layer pallas path.
         self.model = model
         self.be = be
         self.buckets = sorted(buckets)
         self.use_fused_kernel = use_fused_kernel
+        self.xla_threshold = xla_threshold
         self.timer = StepTimer()
         if isinstance(model, Network) and be is None:
             raise ValueError("Network predictor needs a backend")
@@ -53,9 +57,11 @@ class Predictor:
 
     def _forward(self, xb):
         if isinstance(self.model, FusedMLP):
-            if self.use_fused_kernel:
-                return self.model.run_fused_inference(xb)
-            return self.model.run(xb)
+            if not self.use_fused_kernel:
+                return self.model.run(xb)
+            if xb.shape[0] >= self.xla_threshold:
+                return self.model.run_xla(xb)
+            return self.model.run_fused_inference(xb)
         fn = batched_run(self.model, self.be)
         return fn(xb, *self.model.params)
 
