@@ -561,10 +561,16 @@ def _linear_w8_kernel(x_ref, wq_ref, scale_ref, b_ref, y_ref, acc_ref, *,
     # dequantize to bf16: int8 magnitudes (<=127) are exact in bf16's
     # 8-bit mantissa, the per-row scale costs one rounding — negligible
     # next to the quantization error itself — and the MXU runs at full
-    # bf16 rate instead of half-rate f32
-    w_tile = (wq_ref[:].astype(jnp.float32) * scale_ref[:]).astype(jnp.bfloat16)
+    # bf16 rate instead of half-rate f32.  precision="highest" demands
+    # f32 operands (Mosaic rejects HIGHEST with bf16 lhs), so the
+    # full-precision path keeps the f32 dequant.
+    w_deq = wq_ref[:].astype(jnp.float32) * scale_ref[:]
+    if precision == "highest":
+        lhs, rhs = x_ref[:], w_deq
+    else:
+        lhs, rhs = x_ref[:].astype(jnp.bfloat16), w_deq.astype(jnp.bfloat16)
     acc_ref[:] += lax.dot_general(
-        x_ref[:].astype(jnp.bfloat16), w_tile,
+        lhs, rhs,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_precision(precision),
