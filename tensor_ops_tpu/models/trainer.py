@@ -21,7 +21,7 @@ from ..ops.ir import TOp
 from ..utils.metrics import MetricsLogger
 from ..utils.native import NativeLoader
 from .feedforward import Network
-from .optim import Optimizer, sgd
+from .optim import Optimizer, clip_by_global_norm, sgd
 
 
 @dataclass
@@ -32,19 +32,25 @@ class FitResult:
 
 
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
-                  accum_steps: int = 1) -> Callable:
+                  accum_steps: int = 1,
+                  clip_norm: Optional[float] = None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
     micro-batches whose gradients are accumulated sequentially inside a
     ``lax.scan`` before one optimizer update — big effective batches
-    without the activation memory (jax path only)."""
+    without the activation memory (jax path only).  ``clip_norm``
+    applies global-L2 gradient clipping before the update."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
+
+    def _clip(grads):
+        return clip_by_global_norm(grads, clip_norm) if clip_norm else grads
+
     # id(opt.update) distinguishes same-name optimizers with different
     # hyperparameters (each optimizer factory call makes a fresh closure)
     key = ("optstep", id(loss), opt.name, id(opt.update),
-           int(accum_steps)) + be.cache_key()
+           int(accum_steps), clip_norm) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -61,7 +67,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
 
             def step(lr, xb, yb, opt_state, params):
                 vals, grads = vmapped(xb, yb, *params)
-                mean_grads = tuple(jnp.mean(g, axis=0) for g in grads)
+                mean_grads = _clip(tuple(jnp.mean(g, axis=0) for g in grads))
                 opt_state, params = opt.update(opt_state, params, mean_grads, lr)
                 return jnp.mean(vals), opt_state, params
 
@@ -86,7 +92,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
 
                 zero = tuple(jnp.zeros_like(p) for p in params)
                 (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
-                mean_grads = tuple(g / accum_steps for g in gsum)
+                mean_grads = _clip(tuple(g / accum_steps for g in gsum))
                 opt_state, new_params = opt.update(opt_state, params,
                                                    mean_grads, lr)
                 return vsum / accum_steps, opt_state, new_params
@@ -102,7 +108,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 vals.append(v)
                 for s, g in zip(sums, grads[1:-1]):
                     s += g
-            mean_grads = tuple(s / len(xb) for s in sums)
+            mean_grads = _clip(tuple(s / len(xb) for s in sums))
             opt_state, params = opt.update(opt_state, tuple(params), mean_grads, lr)
             return float(np.mean(vals)), opt_state, params
 
@@ -123,6 +129,8 @@ def fit(
     lr: float = 0.01,
     optimizer: Optional[Optimizer] = None,
     accum_steps: int = 1,
+    clip_norm: Optional[float] = None,
+    lr_schedule: Optional[Callable[[int], float]] = None,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -135,9 +143,14 @@ def fit(
 
     Data flows through the native threaded loader (C++ shuffle/batch
     assembly when available, NumPy fallback otherwise); each step is one
-    jitted XLA program."""
+    jitted XLA program.  ``clip_norm`` clips gradients by global L2 norm
+    inside the jitted step; ``lr_schedule`` maps the global step index to
+    a learning rate (see ``optim.cosine_schedule`` /
+    ``optim.exponential_schedule``) — the lr is a traced scalar argument,
+    so schedules cause no recompilation."""
     opt = optimizer or sgd()
-    step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps)
+    step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
+                            clip_norm=clip_norm)
     loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
     steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     opt_state = opt.init(net.params)
@@ -149,8 +162,9 @@ def fit(
         for epoch in range(epochs):
             for _ in range(steps_per_epoch):
                 xb, yb = loader.next()
+                cur_lr = lr_schedule(step) if lr_schedule is not None else lr
                 v, opt_state, params = step_fn(
-                    lr, be.asarray(xb), be.asarray(yb), opt_state, params
+                    cur_lr, be.asarray(xb), be.asarray(yb), opt_state, params
                 )
                 step += 1
                 if step % log_every == 0 or step == 1:
@@ -158,7 +172,7 @@ def fit(
                     if val is not None:
                         from .training import accuracy
 
-                        cur = Network(net.op, params)
+                        cur = Network(net.op, params, net.act_names)
                         rec["val_acc"] = accuracy(
                             cur, be, be.asarray(val[0]), np.asarray(val[1])
                         )

@@ -121,3 +121,34 @@ def test_async_checkpoint(tmp_path, nb):
     fut.result()
     arrays, meta = load_arrays(str(tmp_path / "a.npz"))
     assert meta["k"] == 2 and arrays["x"].tolist() == [0, 1, 2, 3]
+
+
+def test_fit_clip_and_schedule_wiring(jb):
+    """clip_norm bounds the effective update; lr_schedule drives the
+    per-step lr without recompiling (the lr is a traced argument)."""
+    from tensor_ops_tpu.models.optim import cosine_schedule
+    from tensor_ops_tpu.models.trainer import make_opt_step
+
+    X, Y, _ = toy_data(120, seed=5)
+    loss = cross_entropy(2)
+    net = make_net(jb, seed=6)
+
+    res = fit(net, loss, jb, X, Y, epochs=4, batch_size=30, lr=0.5,
+              clip_norm=0.5, lr_schedule=cosine_schedule(0.5, 16),
+              verbose=False, log_every=1)
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+
+    # clipping semantics: with a tiny max norm the params barely move
+    step_clip = make_opt_step(net, loss, jb, sgd(), clip_norm=1e-9)
+    xb, yb = jb.asarray(X[:30]), jb.asarray(Y[:30])
+    _, _, p_clip = step_clip(1.0, xb, yb, (), net.params)
+    for a, b in zip(p_clip, net.params):
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 1e-8
+
+    # cache key separates clip settings
+    step_free = make_opt_step(net, loss, jb, sgd())
+    assert step_free is not step_clip
+    _, _, p_free = step_free(1.0, xb, yb, (), net.params)
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(p_free, net.params))
+    assert moved > 1e-4
