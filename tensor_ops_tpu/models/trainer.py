@@ -33,14 +33,21 @@ class FitResult:
 
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
-                  clip_norm: Optional[float] = None) -> Callable:
+                  clip_norm: Optional[float] = None,
+                  mixed_precision: bool = False) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
     micro-batches whose gradients are accumulated sequentially inside a
     ``lax.scan`` before one optimizer update — big effective batches
     without the activation memory (jax path only).  ``clip_norm``
-    applies global-L2 gradient clipping before the update."""
+    applies global-L2 gradient clipping before the update.
+
+    ``mixed_precision=True`` (jax only) runs the forward/backward in
+    bfloat16 — the MXU-native dtype, half the HBM traffic — while the
+    params the optimizer carries stay full-precision f32 masters;
+    gradients are upcast before clip/update, so the loss-scaling tricks
+    fp16 needs are unnecessary (bf16 shares f32's exponent range)."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -50,7 +57,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     # id(opt.update) distinguishes same-name optimizers with different
     # hyperparameters (each optimizer factory call makes a fresh closure)
     key = ("optstep", id(loss), opt.name, id(opt.update),
-           int(accum_steps), clip_norm) + be.cache_key()
+           int(accum_steps), clip_norm, mixed_precision) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -61,7 +68,22 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
 
         from .training import make_vmapped_grads
 
-        vmapped = make_vmapped_grads(net, loss, be)
+        if mixed_precision:
+            from ..backend.jax_backend import JaxBackend
+
+            be_c = JaxBackend(dtype=jnp.bfloat16,
+                              precision=getattr(be, "_precision_name",
+                                                "default"))
+            vmapped_lp = make_vmapped_grads(net, loss, be_c)
+
+            def vmapped(xb, yb, *params):
+                lp = tuple(p.astype(jnp.bfloat16) for p in params)
+                vals, grads = vmapped_lp(xb.astype(jnp.bfloat16),
+                                         yb.astype(jnp.bfloat16), *lp)
+                return (vals.astype(jnp.float32),
+                        tuple(g.astype(jnp.float32) for g in grads))
+        else:
+            vmapped = make_vmapped_grads(net, loss, be)
 
         if accum_steps <= 1:
 
@@ -131,6 +153,7 @@ def fit(
     accum_steps: int = 1,
     clip_norm: Optional[float] = None,
     lr_schedule: Optional[Callable[[int], float]] = None,
+    mixed_precision: bool = False,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -147,10 +170,14 @@ def fit(
     inside the jitted step; ``lr_schedule`` maps the global step index to
     a learning rate (see ``optim.cosine_schedule`` /
     ``optim.exponential_schedule``) — the lr is a traced scalar argument,
-    so schedules cause no recompilation."""
+    so schedules cause no recompilation.  ``mixed_precision=True`` runs
+    forward/backward in bfloat16 with f32 master params (jax only)."""
     opt = optimizer or sgd()
+    if mixed_precision and be.name != "jax":
+        raise ValueError("mixed_precision requires the jax backend")
     step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
-                            clip_norm=clip_norm)
+                            clip_norm=clip_norm,
+                            mixed_precision=mixed_precision)
     loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
     steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     opt_state = opt.init(net.params)

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from tensor_ops_tpu.backend.rng import Rng
 from tensor_ops_tpu.models import act_logistic, act_softmax, cross_entropy, gen_net
@@ -152,3 +153,31 @@ def test_fit_clip_and_schedule_wiring(jb):
     moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
                 for a, b in zip(p_free, net.params))
     assert moved > 1e-4
+
+
+def test_fit_mixed_precision(jb):
+    """bf16 compute with f32 masters: converges, masters stay f32, and
+    the trajectory tracks the f32 run loosely (bf16 rounding)."""
+    import jax.numpy as jnp
+
+    X, Y, labels = toy_data(240, seed=9)
+    loss = cross_entropy(2)
+
+    res_mp = fit(make_net(jb, seed=10), loss, jb, X, Y, epochs=6,
+                 batch_size=40, lr=0.3, mixed_precision=True,
+                 verbose=False, log_every=5)
+    assert res_mp.history[-1]["loss"] < res_mp.history[0]["loss"]
+    for p in res_mp.net.params:
+        # masters keep the backend's full precision (f64 in the suite's
+        # x64 mode, f32 in production) — never bf16
+        assert p.dtype != jnp.bfloat16 and jnp.dtype(p.dtype).itemsize >= 4
+
+    res_fp = fit(make_net(jb, seed=10), loss, jb, X, Y, epochs=6,
+                 batch_size=40, lr=0.3, verbose=False, log_every=5)
+    assert abs(res_mp.history[-1]["loss"] - res_fp.history[-1]["loss"]) < 0.15
+
+    with pytest.raises(ValueError):
+        from tensor_ops_tpu.backend.numpy_backend import NumpyBackend
+
+        fit(make_net(jb, seed=10), loss, NumpyBackend(), X, Y,
+            mixed_precision=True)
