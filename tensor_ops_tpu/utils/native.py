@@ -133,7 +133,20 @@ class NativeLoader:
     falls back to a NumPy generator when the native lib is absent."""
 
     def __init__(self, X: np.ndarray, Y: np.ndarray, batch: int,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 shard: Optional[Tuple[int, int]] = None):
+        """``shard=(index, count)`` keeps only every count-th row starting
+        at index — the data-parallel per-host partition (each dp rank
+        constructs its own loader with its rank; shards are disjoint and
+        cover the set).  The shuffle stays per-shard and seeded, so runs
+        are reproducible per rank."""
+        if shard is not None:
+            idx, n = shard
+            if not (0 <= idx < n):
+                raise ValueError(f"shard index {idx} not in [0, {n})")
+            X = X[idx::n]
+            Y = Y[idx::n]
+        self.shard = shard
         self.X = np.ascontiguousarray(X, dtype=np.float32)
         self.Y = np.ascontiguousarray(Y, dtype=np.float32)
         if self.X.ndim != 2 or self.Y.ndim != 2:

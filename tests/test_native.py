@@ -95,3 +95,24 @@ def test_loader_python_fallback_semantics(monkeypatch):
     a = ld.next()[0]
     b = ld.next()[0]
     assert a.shape[0] == 4 and b.shape[0] == 2
+
+
+def test_loader_shards_are_disjoint_and_cover():
+    """dp sharding: each rank's loader sees a disjoint slice; the union
+    is the whole dataset (works for native and fallback alike)."""
+    X = np.arange(22, dtype=np.float32).reshape(11, 2)
+    Y = np.zeros((11, 1), dtype=np.float32)
+    seen = []
+    for rank in range(3):
+        ld = NativeLoader(X, Y, batch=4, seed=7, shard=(rank, 3))
+        rows = 0
+        n_shard = ld.X.shape[0]
+        while rows < n_shard:
+            xb, _ = ld.next()
+            seen.extend(int(v) for v in xb[:, 0] // 2)
+            rows += xb.shape[0]
+        ld.close()
+    assert sorted(seen) == list(range(11))
+
+    with pytest.raises(ValueError):
+        NativeLoader(X, Y, batch=4, shard=(3, 3))
