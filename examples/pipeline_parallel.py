@@ -28,11 +28,20 @@ def main():
     import jax
 
     if len(jax.devices()) < 8:
-        import jax._src.xla_bridge as _xb
+        try:
+            import jax._src.xla_bridge as _xb
 
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", 8)
-        _xb._clear_backends()
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+            _xb._clear_backends()
+        except Exception:
+            pass
+        if len(jax.devices()) < 8:
+            raise SystemExit(
+                "need 8 devices; launch with JAX_PLATFORMS=cpu "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+                "(and PALLAS_AXON_POOL_IPS= in axon environments)"
+            )
 
     import jax.numpy as jnp
 

@@ -112,9 +112,14 @@ class NumpyBackend(Backend):
             return np.asarray(f(t), dtype=self.dtype)
         lead = t.shape[:k]
         flat = t.reshape((-1,) + t.shape[k:])
+        if flat.shape[0] == 0:
+            # empty leading axes: probe f on a zero slice to learn the
+            # per-slice output shape (matches jax vmap's shape inference,
+            # which traces f even over a 0-sized axis)
+            probe = np.asarray(f(np.zeros(t.shape[k:], dtype=self.dtype)))
+            return np.zeros(lead + probe.shape, dtype=self.dtype)
         outs = [np.asarray(f(flat[i]), dtype=self.dtype) for i in range(flat.shape[0])]
-        out = np.stack(outs) if outs else np.zeros((0,), dtype=self.dtype)
-        return out.reshape(lead + outs[0].shape if outs else lead)
+        return np.stack(outs).reshape(lead + outs[0].shape)
 
     def sum_rows(self, t: np.ndarray) -> np.ndarray:
         return t.sum(axis=0)

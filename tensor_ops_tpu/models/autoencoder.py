@@ -46,7 +46,7 @@ class Encoder:
         the single staged graph whose transpose yields both param-stack
         gradients (``encGrad``, ``AutoEncoder.hs:126-142``; also
         ``testEncoder``'s op, ``AutoEncoder.hs:65-79``)."""
-        key = ("enc_joint", id(loss), id(self.decoder.op))
+        key = ("enc_joint", loss.struct_key(), self.decoder.op.struct_key())
         g = self.encoder.op._compiled.get(key)
         if g is not None:
             return g

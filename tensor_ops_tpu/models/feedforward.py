@@ -87,7 +87,7 @@ class Network:
         """Compose ``op *>> loss`` once and cache on the (stable) op
         object so jit caches survive functional param updates
         (``netGrad`` builds ``o' = o *>> loss``, ``FeedForward.hs:196``)."""
-        key = ("loss", id(loss))
+        key = ("loss", loss.struct_key())
         composed = self.op._compiled.get(key)
         if composed is None:
             composed = self.op.lead(loss)
@@ -120,7 +120,7 @@ class Network:
         the update jit into one XLA program; the rate is a traced argument
         so changing it never recompiles."""
         composed = self._loss_op(loss)
-        key = ("train", id(loss)) + be.cache_key()
+        key = ("train", loss.struct_key()) + be.cache_key()
         fn = self.op._compiled.get(key)
         if fn is None:
 
@@ -146,7 +146,7 @@ class Network:
         ``app/MNIST.hs:399-411`` — dispatching those individually through
         a high-latency link takes minutes; a ``fori_loop`` takes ms)."""
         composed = self._loss_op(loss)
-        key = ("induce", id(loss), int(steps)) + be.cache_key()
+        key = ("induce", loss.struct_key(), int(steps)) + be.cache_key()
         fn = self.op._compiled.get(key)
         if fn is None:
             if be.name == "jax":

@@ -8,18 +8,30 @@ usable inside ``lax.fori_loop`` training loops)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 Params = Tuple[Any, ...]
 Grads = Tuple[Any, ...]
 
 
 class Optimizer(NamedTuple):
-    """(init, update): update(state, params, grads, lr) -> (state, new_params)."""
+    """(init, update): update(state, params, grads, lr) -> (state, new_params).
+
+    ``hyper`` is the structural identity of the update rule (the
+    hyperparameters the factory closed over): two optimizers with equal
+    (name, hyper) must compute identical updates, letting jit caches
+    survive reconstruction (``fit(..., optimizer=adam())`` in a loop).
+    Custom optimizers may leave it None to key caches by object identity."""
 
     init: Callable[[Params], Any]
     update: Callable[[Any, Params, Grads, float], Tuple[Any, Params]]
     name: str = "optimizer"
+    hyper: Optional[tuple] = None
+
+    def struct_key(self) -> tuple:
+        if self.hyper is not None:
+            return (self.name, self.hyper)
+        return (self.name, "id", id(self.update))
 
 
 def sgd() -> Optimizer:
@@ -31,7 +43,7 @@ def sgd() -> Optimizer:
     def update(state, params, grads, lr):
         return (), tuple(p - lr * g for p, g in zip(params, grads))
 
-    return Optimizer(init, update, "sgd")
+    return Optimizer(init, update, "sgd", hyper=())
 
 
 def momentum(beta: float = 0.9, nesterov: bool = False) -> Optimizer:
@@ -46,7 +58,7 @@ def momentum(beta: float = 0.9, nesterov: bool = False) -> Optimizer:
             step = vel
         return vel, tuple(p - lr * s for p, s in zip(params, step))
 
-    return Optimizer(init, update, "momentum")
+    return Optimizer(init, update, "momentum", hyper=(beta, nesterov))
 
 
 def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
@@ -70,7 +82,7 @@ def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
         )
         return (t, m, v), new_params
 
-    return Optimizer(init, update, "adam")
+    return Optimizer(init, update, "adam", hyper=(b1, b2, eps))
 
 
 def clip_by_global_norm(grads: Grads, max_norm: float) -> Grads:

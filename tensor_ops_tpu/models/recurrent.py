@@ -133,7 +133,7 @@ class RecurrentNetwork:
         pair each output with its target through ``loss``, and sum —
         semantically the reference's ``unroll >>> rollup``
         (``Recurrent.hs:296-308``) built on ScanOp/MappedOp."""
-        key = ("seq", id(loss), n)
+        key = ("seq", loss.struct_key(), n)
         g = self.op._compiled.get(key)
         if g is not None:
             return g
@@ -200,7 +200,7 @@ class RecurrentNetwork:
         n = int(be.shape_of(xs_batch)[1])
         g = self._seq_graph(loss, n)
         k = len(self.states)
-        key = ("seq_batch", id(loss), n) + be.cache_key()
+        key = ("seq_batch", loss.struct_key(), n) + be.cache_key()
         fn = self.op._compiled.get(key)
         if fn is None:
             if be.name == "jax":

@@ -40,8 +40,10 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     With ``accum_steps > 1`` the batch is split into that many
     micro-batches whose gradients are accumulated sequentially inside a
     ``lax.scan`` before one optimizer update — big effective batches
-    without the activation memory (jax path only).  ``clip_norm``
-    applies global-L2 gradient clipping before the update.
+    without the activation memory (jax path only).  The batch length must
+    be a multiple of ``accum_steps``: a remainder would be silently
+    truncated inside the jitted step (``fit`` validates this eagerly).
+    ``clip_norm`` applies global-L2 gradient clipping before the update.
 
     ``mixed_precision=True`` (jax only) runs the forward/backward in
     bfloat16 — the MXU-native dtype, half the HBM traffic — while the
@@ -54,9 +56,10 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     def _clip(grads):
         return clip_by_global_norm(grads, clip_norm) if clip_norm else grads
 
-    # id(opt.update) distinguishes same-name optimizers with different
-    # hyperparameters (each optimizer factory call makes a fresh closure)
-    key = ("optstep", id(loss), opt.name, id(opt.update),
+    # structural keys: a fresh-but-identical loss/optimizer (the
+    # fit(net, cross_entropy(o), optimizer=adam())-in-a-loop pattern)
+    # hits the same cache entry instead of recompiling per call
+    key = ("optstep", loss.struct_key(), opt.struct_key(),
            int(accum_steps), clip_norm, mixed_precision) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
@@ -175,6 +178,12 @@ def fit(
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    if accum_steps > 1 and batch_size % accum_steps != 0:
+        raise ValueError(
+            f"batch_size ({batch_size}) must be divisible by accum_steps "
+            f"({accum_steps}): the jitted step would silently drop the "
+            f"remainder {batch_size % accum_steps} samples of every batch"
+        )
     step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
                             clip_norm=clip_norm,
                             mixed_precision=mixed_precision)

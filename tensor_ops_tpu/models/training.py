@@ -76,7 +76,7 @@ def batched_step(net: Network, loss: TOp, be: Backend) -> Callable:
     ``fn(rate, xb, yb, *params) -> (mean_loss, new_params)`` using the
     framework's transposition AD per sample, vmapped, mean-reduced."""
     composed = net._loss_op(loss)
-    key = ("bstep", id(loss)) + be.cache_key()
+    key = ("bstep", loss.struct_key()) + be.cache_key()
 
     def build():
         if be.name == "jax":
@@ -118,7 +118,7 @@ def train_fold(net: Network, loss: TOp, be: Backend, rate: float, X: Any, Y: Any
     identical to calling :meth:`Network.train` per sample — the scan just
     removes the per-sample dispatch cost."""
     composed = net._loss_op(loss)
-    key = ("fold", id(loss)) + be.cache_key()
+    key = ("fold", loss.struct_key()) + be.cache_key()
     fn = _cache(net, key, lambda: _build_fold(net, composed, be))
     new_params = fn(rate, X, Y, *net.params)
     return Network(net.op, tuple(new_params), net.act_names)

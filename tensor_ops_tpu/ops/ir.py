@@ -48,12 +48,28 @@ Arrays = Tuple[Any, ...]
 class TOp:
     """A tensor operation from stack ``in_stack`` to stack ``out_stack``."""
 
-    __slots__ = ("in_stack", "out_stack", "_compiled")
+    __slots__ = ("in_stack", "out_stack", "_compiled", "_skey")
 
     def __init__(self, in_stack: Stack, out_stack: Stack):
         self.in_stack: Stack = as_stack(in_stack)
         self.out_stack: Stack = as_stack(out_stack)
         self._compiled: dict = {}
+
+    def struct_key(self) -> tuple:
+        """Structural identity: two ops with equal keys compute the same
+        function, so jit caches keyed on it survive reconstruction (the
+        ``fit(net, cross_entropy(o), optimizer=adam())``-in-a-loop pattern
+        would otherwise recompile per call).  Node classes without a
+        structural description fall back to ``id`` — cache values must
+        then pin the op object so the id cannot be recycled."""
+        k = getattr(self, "_skey", None)
+        if k is None:
+            k = (type(self).__name__,) + self._skey_parts()
+            self._skey = k
+        return k
+
+    def _skey_parts(self) -> tuple:
+        return ("id", id(self))
 
     # -- evaluation -----------------------------------------------------
     def apply(self, be: Backend, xs: Arrays) -> Arrays:
@@ -143,6 +159,9 @@ class Identity(TOp):
         st = as_stack(stack)
         super().__init__(st, st)
 
+    def _skey_parts(self):
+        return (self.in_stack,)
+
     def apply_tape(self, be, xs, with_tape=True):
         return xs, None
 
@@ -162,6 +181,9 @@ class Compose(TOp):
         super().__init__(f.in_stack, g.out_stack)
         self.f = f
         self.g = g
+
+    def _skey_parts(self):
+        return (self.f.struct_key(), self.g.struct_key())
 
     def apply_tape(self, be, xs, with_tape=True):
         mid, tf = self.f.apply_tape(be, xs, with_tape)
@@ -185,6 +207,9 @@ class First(TOp):
         self.rest = as_stack(rest)
         super().__init__(op.in_stack + self.rest, op.out_stack + self.rest)
 
+    def _skey_parts(self):
+        return (self.op.struct_key(), self.rest)
+
     def apply_tape(self, be, xs, with_tape=True):
         k = len(self.op.in_stack)
         ys, t = self.op.apply_tape(be, xs[:k], with_tape)
@@ -206,6 +231,9 @@ class Second(TOp):
         self.front = as_stack(front)
         super().__init__(self.front + op.in_stack, self.front + op.out_stack)
 
+    def _skey_parts(self):
+        return (self.op.struct_key(), self.front)
+
     def apply_tape(self, be, xs, with_tape=True):
         k = len(self.front)
         ys, t = self.op.apply_tape(be, xs[k:], with_tape)
@@ -225,6 +253,9 @@ class Par(TOp):
         super().__init__(f.in_stack + g.in_stack, f.out_stack + g.out_stack)
         self.f = f
         self.g = g
+
+    def _skey_parts(self):
+        return (self.f.struct_key(), self.g.struct_key())
 
     def apply_tape(self, be, xs, with_tape=True):
         k = len(self.f.in_stack)
@@ -250,6 +281,9 @@ class Fanout(TOp):
         super().__init__(f.in_stack, f.out_stack + g.out_stack)
         self.f = f
         self.g = g
+
+    def _skey_parts(self):
+        return (self.f.struct_key(), self.g.struct_key())
 
     def apply_tape(self, be, xs, with_tape=True):
         ys1, t1 = self.f.apply_tape(be, xs, with_tape)
@@ -287,6 +321,9 @@ class Shuffle(TOp):
         super().__init__(st, tuple(st[i] for i in idxs))
         self.idxs = idxs
 
+    def _skey_parts(self):
+        return (self.in_stack, self.idxs)
+
     def apply_tape(self, be, xs, with_tape=True):
         return tuple(xs[i] for i in self.idxs), None
 
@@ -322,6 +359,9 @@ class GMul(TOp):
         y_shape = tuple(reversed(self.os)) + self.ns
         super().__init__((x_shape, y_shape), (self.ms + self.ns,))
 
+    def _skey_parts(self):
+        return (self.ms, self.os, self.ns)
+
     def apply_tape(self, be, xs, with_tape=True):
         x, y = xs
         z = be.gmul(len(self.ms), len(self.os), len(self.ns), x, y)
@@ -353,6 +393,9 @@ class LiftOp(TOp):
         self.shape = as_shape(shape)
         super().__init__((self.shape,) * n, (self.shape,))
 
+    def _skey_parts(self):
+        return (self.shape, self.vf.struct_key())
+
     def apply_tape(self, be, xs, with_tape=True):
         y = be.lift(self.vf, xs)
         return (y,), (xs if with_tape else None)
@@ -370,6 +413,9 @@ class Transp(TOp):
     def __init__(self, shape: Sequence[int]):
         self.shape = as_shape(shape)
         super().__init__((self.shape,), (tuple(reversed(self.shape)),))
+
+    def _skey_parts(self):
+        return (self.shape,)
 
     def apply_tape(self, be, xs, with_tape=True):
         return (be.transp(xs[0]),), None
@@ -390,6 +436,9 @@ class SumRows(TOp):
             raise ShapeError("sumRows needs rank >= 1")
         super().__init__((self.shape,), (self.shape[1:],))
 
+    def _skey_parts(self):
+        return (self.shape,)
+
     def apply_tape(self, be, xs, with_tape=True):
         return (be.sum_rows(xs[0]),), None
 
@@ -409,6 +458,9 @@ class SumOp(TOp):
         self.shape = as_shape(shape)
         super().__init__((self.shape,) * self.n, (self.shape,))
 
+    def _skey_parts(self):
+        return (self.n, self.shape)
+
     def apply_tape(self, be, xs, with_tape=True):
         return (be.sum_list(list(xs), self.shape),), None
 
@@ -426,6 +478,9 @@ class Scale(TOp):
         self.shape = as_shape(shape)
         self.alpha = float(alpha)
         super().__init__((self.shape,), (self.shape,))
+
+    def _skey_parts(self):
+        return (self.alpha, self.shape)
 
     def apply_tape(self, be, xs, with_tape=True):
         return (be.scale(self.alpha, xs[0]),), None
@@ -445,6 +500,9 @@ class Konst(TOp):
         self.shape = as_shape(shape)
         self.n = int(n)
         super().__init__((), (self.shape,) * self.n)
+
+    def _skey_parts(self):
+        return (self.value, self.shape, self.n)
 
     def apply_tape(self, be, xs, with_tape=True):
         k = be.konst(self.value, self.shape)
@@ -466,6 +524,9 @@ class Replicate(TOp):
         self.n = int(n)
         super().__init__((self.shape,), (self.shape,) * self.n)
 
+    def _skey_parts(self):
+        return (self.shape, self.n)
+
     def apply_tape(self, be, xs, with_tape=True):
         return (xs[0],) * self.n, None
 
@@ -485,6 +546,9 @@ class Diag(TOp):
             raise ShapeError("diag needs k >= 1")
         super().__init__(((self.n,),), ((self.n,) * self.k,))
 
+    def _skey_parts(self):
+        return (self.n, self.k)
+
     def apply_tape(self, be, xs, with_tape=True):
         return (be.diag(self.k, xs[0]),), None
 
@@ -503,6 +567,9 @@ class GetDiag(TOp):
         if self.k < 2:
             raise ShapeError("getDiag needs k >= 2")
         super().__init__(((self.n,) * self.k,), ((self.n,),))
+
+    def _skey_parts(self):
+        return (self.n, self.k)
 
     def apply_tape(self, be, xs, with_tape=True):
         return (be.get_diag(self.k, xs[0]),), None

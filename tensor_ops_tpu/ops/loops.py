@@ -65,6 +65,9 @@ class ScanOp(TOp):
             ((self.n,) + y_shape,) + ss,
         )
 
+    def _skey_parts(self):
+        return (self.step.struct_key(), self.n, self.n_state)
+
     def _split(self, xs):
         k = self.n_state
         return xs[0], tuple(xs[1 : 1 + k]), tuple(xs[1 + k :])
@@ -157,6 +160,9 @@ class MappedOp(TOp):
             tuple((self.n,) + s for s in op.out_stack),
         )
 
+    def _skey_parts(self):
+        return (self.op.struct_key(), self.n)
+
     def apply_tape(self, be, xs, with_tape=True):
         if be.name == "jax":
             import jax
@@ -204,6 +210,9 @@ class Remat(TOp):
     def __init__(self, op: TOp):
         self.op = op
         super().__init__(op.in_stack, op.out_stack)
+
+    def _skey_parts(self):
+        return (self.op.struct_key(),)
 
     def apply_tape(self, be, xs, with_tape=True):
         ys, _ = self.op.apply_tape(be, xs, with_tape=False)

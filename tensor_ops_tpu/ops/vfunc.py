@@ -17,6 +17,50 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 
+class _Unfreezable(Exception):
+    pass
+
+
+def _freeze(v):
+    """A hashable token that is equal iff the values are interchangeable;
+    raises when we can't be sure (mutable/opaque objects)."""
+    if isinstance(v, (int, float, complex, str, bytes, bool, type(None))):
+        # type name included: hash(1) == hash(1.0) but 1 and 1.0 behave
+        # differently under e.g. integer division
+        return (type(v).__name__, v)
+    if isinstance(v, tuple):
+        return ("tuple",) + tuple(_freeze(x) for x in v)
+    if callable(v):
+        return callable_key(v)
+    raise _Unfreezable(v)
+
+
+def callable_key(f) -> tuple:
+    """A structural identity for a callable: equal keys imply equal
+    behavior.  Plain functions/lambdas key on their code object plus
+    frozen captured state (closure cells, defaults), so structurally
+    identical functions built at the same code site compare equal across
+    calls — the jit-cache fix for the ``fit(net, cross_entropy(o))``
+    recompile-per-call pattern.  Anything we can't prove equal (opaque
+    captured objects, builtins, callables with state) falls back to
+    ``id`` — callers must then pin the object in the cache value so the
+    id cannot be recycled."""
+    if f is None:
+        return ("none",)
+    code = getattr(f, "__code__", None)
+    if code is None:
+        return ("id", id(f))
+    try:
+        cells = tuple(
+            _freeze(c.cell_contents) for c in (f.__closure__ or ())
+        )
+        defaults = tuple(_freeze(d) for d in (f.__defaults__ or ()))
+    except _Unfreezable:
+        return ("id", id(f))
+    return ("code", code.co_filename, code.co_firstlineno,
+            code.co_code, cells, defaults)
+
+
 @dataclass(frozen=True)
 class VFunc:
     """A pointwise function R^n -> R and its partial derivatives.
@@ -34,6 +78,12 @@ class VFunc:
     def __post_init__(self):
         if self.n_args < 0:
             raise ValueError("VFunc arity must be >= 0")
+
+    def struct_key(self) -> tuple:
+        """Structural identity for jit caches: equal keys imply equal
+        pointwise behavior (see :func:`callable_key`)."""
+        return ("vf", self.n_args, self.name,
+                callable_key(self.f), callable_key(self.grads))
 
     def derived_grads(self) -> Callable:
         """Partial-derivative function: closed-form if supplied, else

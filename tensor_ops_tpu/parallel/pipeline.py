@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 # axis names shared with parallel/mesh.py — one contract for both modules
 from .mesh import DATA_AXIS, MODEL_AXIS  # noqa: E402
@@ -231,7 +235,7 @@ def _make_forward(mesh: Mesh, M: int) -> Callable:
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -256,7 +260,7 @@ def pipeline_train_step(model: PipelineMLP, mesh: Mesh, n_microbatches: int) -> 
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     M = n_microbatches
 
@@ -386,7 +390,7 @@ def circular_pipeline_train_step(model: PipelineMLP, mesh: Mesh,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     M = n_microbatches
 
@@ -424,7 +428,7 @@ def circular_pipeline_forward(model: PipelineMLP, mesh: Mesh, xb,
             mesh=mesh,
             in_specs=in_specs,
             out_specs=out_spec,
-            check_rep=False,
+            check_vma=False,
         )
         M = n_microbatches
 

@@ -28,16 +28,26 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    # Compile to a PID-suffixed temp path and os.replace() into place:
+    # concurrent first-use builds (e.g. multiple dp ranks) must never
+    # dlopen a partially written .so or clobber each other mid-write —
+    # rename is atomic on POSIX, so every process sees a complete library.
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     # portable flags: the .so may be built on one host and (re)used on
     # another; -march=native would SIGILL on a weaker ISA
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", _SRC, "-o", _SO,
+        "-pthread", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

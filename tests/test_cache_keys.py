@@ -1,0 +1,117 @@
+"""Structural jit-cache keys: reconstructing an identical loss/optimizer
+must hit the existing cache entry (no recompile, no unbounded growth), and
+two *different* ops must never collide — even when Python recycles object
+ids (the round-1 hazard of keying on ``id(loss)``)."""
+
+import gc
+
+import numpy as np
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import (
+    act_logistic,
+    act_softmax,
+    adam,
+    cross_entropy,
+    gen_net,
+    sgd,
+    squared_error,
+)
+from tensor_ops_tpu.models.trainer import fit, make_opt_step
+
+
+def _net(be, o=4):
+    rng = Rng(be, seed=0)
+    return gen_net(be, 6, o, [(8, act_logistic())], act_softmax(), rng)
+
+
+def test_struct_key_equal_for_reconstructed_loss():
+    assert cross_entropy(4).struct_key() == cross_entropy(4).struct_key()
+    assert squared_error(3).struct_key() == squared_error(3).struct_key()
+
+
+def test_struct_key_distinguishes_ops():
+    assert cross_entropy(4).struct_key() != cross_entropy(5).struct_key()
+    assert cross_entropy(4).struct_key() != squared_error(4).struct_key()
+
+
+def test_struct_key_distinguishes_captured_values():
+    """User lambdas capturing different values must NOT collide even
+    though they share a code site."""
+    from tensor_ops_tpu.ops import prim as P
+
+    def scaled(k):
+        return P.map_op((3,), lambda x: x * k)
+
+    assert scaled(2.0).struct_key() != scaled(3.0).struct_key()
+    assert scaled(2.0).struct_key() == scaled(2.0).struct_key()
+
+
+def test_id_reuse_cannot_alias(jb):
+    """The round-1 hazard: construct a loss, let it die, construct a
+    different loss (often landing at the same address) — the cache keys
+    must still differ."""
+    net = _net(jb)
+    l1 = cross_entropy(4)
+    k1 = l1.struct_key()
+    addr1 = id(l1)
+    del l1
+    gc.collect()
+    l2 = squared_error(4)
+    # regardless of whether the allocator reused the address, the keys differ
+    assert l2.struct_key() != k1
+    # and composing against the net caches under distinct entries
+    net._loss_op(cross_entropy(4))
+    n_before = len(net.op._compiled)
+    net._loss_op(squared_error(4))
+    assert len(net.op._compiled) == n_before + 1
+    del addr1
+
+
+def test_fresh_loss_and_optimizer_hit_cache(jb):
+    """fit(net, cross_entropy(o), optimizer=adam()) in a loop must not
+    recompile per call: fresh-but-identical objects key identically."""
+    net = _net(jb)
+    f1 = make_opt_step(net, cross_entropy(4), jb, adam())
+    n1 = len(net.op._compiled)
+    f2 = make_opt_step(net, cross_entropy(4), jb, adam())
+    assert f1 is f2
+    assert len(net.op._compiled) == n1
+
+
+def test_different_hyperparams_do_not_collide(jb):
+    net = _net(jb)
+    f1 = make_opt_step(net, cross_entropy(4), jb, adam(b1=0.9))
+    f2 = make_opt_step(net, cross_entropy(4), jb, adam(b1=0.8))
+    assert f1 is not f2
+
+
+def test_fit_loop_cache_stable(jb):
+    """End-to-end: two fit() calls with fresh loss/optimizer objects leave
+    exactly one optstep cache entry."""
+    net = _net(jb)
+    r = np.random.default_rng(0)
+    X = r.uniform(0, 1, size=(16, 6))
+    Y = np.eye(4)[r.integers(0, 4, size=16)]
+    fit(net, cross_entropy(4), jb, X, Y, epochs=1, batch_size=8,
+        optimizer=sgd(), verbose=False)
+    keys1 = {k for k in net.op._compiled if isinstance(k, tuple)
+             and k and k[0] == "optstep"}
+    fit(net, cross_entropy(4), jb, X, Y, epochs=1, batch_size=8,
+        optimizer=sgd(), verbose=False)
+    keys2 = {k for k in net.op._compiled if isinstance(k, tuple)
+             and k and k[0] == "optstep"}
+    assert keys1 == keys2 and len(keys1) == 1
+
+
+def test_accum_steps_divisibility_validated(jb):
+    net = _net(jb)
+    r = np.random.default_rng(0)
+    X = r.uniform(0, 1, size=(12, 6))
+    Y = np.eye(4)[r.integers(0, 4, size=12)]
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible by accum_steps"):
+        fit(net, cross_entropy(4), jb, X, Y, batch_size=10, accum_steps=3,
+            verbose=False)
