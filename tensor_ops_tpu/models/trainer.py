@@ -34,7 +34,8 @@ class FitResult:
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
-                  mixed_precision: bool = False) -> Callable:
+                  mixed_precision: bool = False,
+                  mesh=None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
@@ -49,7 +50,14 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     bfloat16 — the MXU-native dtype, half the HBM traffic — while the
     params the optimizer carries stay full-precision f32 masters;
     gradients are upcast before clip/update, so the loss-scaling tricks
-    fp16 needs are unnecessary (bf16 shares f32's exponent range)."""
+    fp16 needs are unnecessary (bf16 shares f32's exponent range).
+
+    ``mesh`` (a ``(data, model)`` jax Mesh) jits the step with explicit
+    multi-chip shardings: the batch over ``data``, the params Megatron-
+    style over ``model`` (``parallel.mesh.param_specs``) — XLA inserts
+    the gradient psums and activation collectives over ICI from the
+    shardings alone.  Optimizer state inherits the param shardings from
+    its init arrays (pass params already device_put with the specs)."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -60,10 +68,12 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     # fit(net, cross_entropy(o), optimizer=adam())-in-a-loop pattern)
     # hits the same cache entry instead of recompiling per call
     key = ("optstep", loss.struct_key(), opt.struct_key(),
-           int(accum_steps), clip_norm, mixed_precision) + be.cache_key()
+           int(accum_steps), clip_norm, mixed_precision, mesh) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
+    if mesh is not None and be.name != "jax":
+        raise ValueError("mesh sharding requires the jax backend")
 
     if be.name == "jax":
         import jax
@@ -122,7 +132,24 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                                                    mean_grads, lr)
                 return vsum / accum_steps, opt_state, new_params
 
-        fn = jax.jit(step)
+        if mesh is None:
+            fn = jax.jit(step)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            from ..parallel.mesh import DATA_AXIS, param_specs
+
+            pspecs = param_specs(net.param_stack, mesh)
+            param_sh = tuple(NamedSharding(mesh, s) for s in pspecs)
+            repl = NamedSharding(mesh, PSpec())
+            data_sh = NamedSharding(mesh, PSpec(DATA_AXIS, None))
+            # opt_state shardings are left None (inferred from the arrays
+            # the caller built via opt.init on the sharded params)
+            fn = jax.jit(
+                step,
+                in_shardings=(repl, data_sh, data_sh, None, param_sh),
+                out_shardings=(repl, None, param_sh),
+            )
     else:
 
         def step(lr, xb, yb, opt_state, params):
@@ -157,6 +184,7 @@ def fit(
     clip_norm: Optional[float] = None,
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
+    mesh=None,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -174,7 +202,16 @@ def fit(
     a learning rate (see ``optim.cosine_schedule`` /
     ``optim.exponential_schedule``) — the lr is a traced scalar argument,
     so schedules cause no recompilation.  ``mixed_precision=True`` runs
-    forward/backward in bfloat16 with f32 master params (jax only)."""
+    forward/backward in bfloat16 with f32 master params (jax only).
+
+    ``mesh`` (jax only) trains multi-chip: params are placed with
+    Megatron-style ``model``-axis shardings, each batch is placed over the
+    ``data`` axis, and the jitted step carries explicit in/out shardings —
+    dp + tp on one ``(data, model)`` mesh with XLA-inserted collectives
+    (the reference has no distribution whatsoever, SURVEY.md §2.5).  Under
+    multi-process jax each host loads only its own disjoint shard via
+    ``NativeLoader(shard=(process_index, process_count))`` and the global
+    batch is assembled with ``make_array_from_process_local_data``."""
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
@@ -186,11 +223,39 @@ def fit(
         )
     step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
                             clip_norm=clip_norm,
-                            mixed_precision=mixed_precision)
-    loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
-    steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
-    opt_state = opt.init(net.params)
+                            mixed_precision=mixed_precision, mesh=mesh)
     params = net.params
+    data_sh = None
+    n_proc, proc_idx = 1, 0
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        from ..parallel.mesh import DATA_AXIS, param_specs
+
+        dp = mesh.shape[DATA_AXIS]
+        if batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the "
+                f"data-axis size ({dp})"
+            )
+        pspecs = param_specs(net.param_stack, mesh)
+        params = tuple(
+            jax.device_put(be.asarray(p), NamedSharding(mesh, s))
+            for p, s in zip(params, pspecs)
+        )
+        data_sh = NamedSharding(mesh, PSpec(DATA_AXIS, None))
+        n_proc, proc_idx = jax.process_count(), jax.process_index()
+
+    if n_proc > 1:
+        # each host loads only its disjoint shard; per-host batches are
+        # local rows of the global batch
+        loader = NativeLoader(X, Y, batch=batch_size // n_proc, seed=seed,
+                              shard=(proc_idx, n_proc))
+    else:
+        loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
+    steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
+    opt_state = opt.init(params)
     history = []
     step = 0
     logger = MetricsLogger(metrics_path)
@@ -199,9 +264,22 @@ def fit(
             for _ in range(steps_per_epoch):
                 xb, yb = loader.next()
                 cur_lr = lr_schedule(step) if lr_schedule is not None else lr
-                v, opt_state, params = step_fn(
-                    cur_lr, be.asarray(xb), be.asarray(yb), opt_state, params
-                )
+                if data_sh is not None:
+                    import jax
+
+                    if n_proc > 1:
+                        gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
+                        gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
+                        xb = jax.make_array_from_process_local_data(
+                            data_sh, np.asarray(be.asarray(xb)), gshape_x)
+                        yb = jax.make_array_from_process_local_data(
+                            data_sh, np.asarray(be.asarray(yb)), gshape_y)
+                    else:
+                        xb = jax.device_put(be.asarray(xb), data_sh)
+                        yb = jax.device_put(be.asarray(yb), data_sh)
+                else:
+                    xb, yb = be.asarray(xb), be.asarray(yb)
+                v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
                 step += 1
                 if step % log_every == 0 or step == 1:
                     rec = {"epoch": epoch, "loss": float(v)}

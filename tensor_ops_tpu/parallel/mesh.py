@@ -64,21 +64,35 @@ def make_mesh(
 
 def param_specs(param_stack: Sequence[Tuple[int, ...]], mesh: Mesh) -> Tuple[PSpec, ...]:
     """Megatron-style specs for an alternating ffLayer chain: layer-k
-    weight ``(o, i)`` is row-parallel (``o`` over model) for even k and
-    column-parallel (``i`` over model) for odd k; biases follow their
-    weight's output sharding.  Axes not divisible by the model-axis size
-    are replicated."""
+    weight ``(o, i)`` *prefers* row-parallel (``o`` over model) for even k
+    and column-parallel (``i`` over model) for odd k; when the preferred
+    dim is not divisible by the model-axis size the *other* dim is sharded
+    instead (XLA requires divisibility, so e.g. the flagship's (10, 100)
+    output layer under tp=4 shards its 100-dim input side).  Only when
+    NEITHER dim divides is the weight replicated — with a loud warning,
+    never silently.  Biases follow their weight's output sharding."""
     tp = mesh.shape[MODEL_AXIS]
     specs = []
     layer = 0
     for shape in param_stack:
         if len(shape) == 2:
-            row = layer % 2 == 0
-            if row and shape[0] % tp == 0:
+            prefer_row = layer % 2 == 0
+            row_ok = shape[0] % tp == 0
+            col_ok = shape[1] % tp == 0
+            if (prefer_row and row_ok) or (row_ok and not col_ok):
                 specs.append(PSpec(MODEL_AXIS, None))
-            elif (not row) and shape[1] % tp == 0:
+            elif col_ok:
                 specs.append(PSpec(None, MODEL_AXIS))
             else:
+                import warnings
+
+                warnings.warn(
+                    f"tensor parallelism: weight {shape} has no dim "
+                    f"divisible by the model-axis size {tp}; replicating "
+                    f"it (pad the layer width to a multiple of {tp} to "
+                    f"shard it)",
+                    stacklevel=2,
+                )
                 specs.append(PSpec(None, None))
             layer += 1
         elif len(shape) == 1:
