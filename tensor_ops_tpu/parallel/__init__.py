@@ -1,2 +1,9 @@
 from .mesh import make_mesh, shard_network, sharded_forward, sharded_train_step, param_specs
 from .pipeline import PipelineMLP, make_pipeline_mesh, pipeline_forward, pipeline_train_step, shard_pipeline_model
+from .ir_pipeline import (
+    ir_pipeline_grads,
+    ir_pipeline_train_step,
+    shard_pipelined_params,
+    split_network,
+    unchain,
+)

@@ -302,7 +302,8 @@ def shard_pipeline_model(model: PipelineMLP, mesh: Mesh) -> PipelineMLP:
 # ---------------------------------------------------------------------------
 
 
-def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int):
+def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int,
+                            tp: bool = False):
     """Circular schedule: each device holds V round-robin chunks of the
     global stage chain (chunk c = v*S + d lives on device d as local
     chunk v), so the activation ring wraps V times and the pipeline
@@ -311,15 +312,18 @@ def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int):
     when needed (the no-FIFO interleaved variant).
 
     Device d processes local chunk v's microbatch m at tick
-    t = v*M + m + d; total ticks T = V*M + S - 1."""
+    t = v*M + m + d; total ticks T = V*M + S - 1.  With ``tp`` each
+    chunk's layers are additionally tensor-parallel over the ``model``
+    axis (``_stage_fn_tp``; local ws: (V, L, h/tp, h))."""
     d = lax.axis_index(STAGE_AXIS)
     S = lax.axis_size(STAGE_AXIS)
     M = mb_inputs.shape[0]
     T = V * M + S - 1
     state = jnp.zeros_like(mb_inputs[0])
     outputs = jnp.zeros_like(mb_inputs)
-    ws = stage_ws  # local: (V, L, h, h)
+    ws = stage_ws  # local: (V, L, h, h) — or (V, L, h/tp, h) under tp
     bs = stage_bs
+    fn = _stage_fn_tp if tp else _stage_fn
 
     def step(carry, t):
         state, outputs = carry
@@ -331,7 +335,7 @@ def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int):
         x_in = jnp.where((d == 0) & (v == 0), inject, state)
         w_v = lax.dynamic_index_in_dim(ws, v, axis=0, keepdims=False)
         b_v = lax.dynamic_index_in_dim(bs, v, axis=0, keepdims=False)
-        y = _stage_fn(w_v, b_v, x_in)
+        y = fn(w_v, b_v, x_in)
         collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
         updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
         outputs = jnp.where(collect, updated, outputs)
@@ -383,10 +387,8 @@ def circular_pipeline_train_step(model: PipelineMLP, mesh: Mesh,
             f"== stage-axis size ({S})")
     V = model.n_stages // S
     in_specs, out_spec, tp = _pipeline_specs(mesh)
-    if tp:
-        raise NotImplementedError("circular schedule with tp: round-2")
     pipelined = shard_map(
-        partial(_spmd_pipeline_circular, V=V),
+        partial(_spmd_pipeline_circular, V=V, tp=tp),
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -422,9 +424,9 @@ def circular_pipeline_forward(model: PipelineMLP, mesh: Mesh, xb,
     key = (mesh, V, n_microbatches)
     fn = _CIRC_FWD_CACHE.get(key)
     if fn is None:
-        in_specs, out_spec, _ = _pipeline_specs(mesh)
+        in_specs, out_spec, tp = _pipeline_specs(mesh)
         pipelined = shard_map(
-            partial(_spmd_pipeline_circular, V=V),
+            partial(_spmd_pipeline_circular, V=V, tp=tp),
             mesh=mesh,
             in_specs=in_specs,
             out_specs=out_spec,

@@ -1,0 +1,152 @@
+"""Pipeline parallelism over the staged IR: gradients from the
+shard_map/ppermute GPipe schedule must equal the SEQUENTIAL staged-IR
+gradients (framework transposition AD) at 1e-9 — the sub-graphs are
+identical; only the schedule differs."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import (
+    act_logistic,
+    act_softmax,
+    cross_entropy,
+    gen_net,
+    squared_error,
+)
+from tensor_ops_tpu.models.training import make_vmapped_grads
+from tensor_ops_tpu.ops.shapes import ShapeError
+from tensor_ops_tpu.parallel.ir_pipeline import (
+    ir_pipeline_grads,
+    ir_pipeline_train_step,
+    network_segments,
+    split_network,
+    unchain,
+)
+from tensor_ops_tpu.parallel.pipeline import (
+    make_dp_pipeline_mesh,
+    make_pipeline_mesh,
+)
+
+multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (see conftest note)"
+)
+
+
+def _uniform_chain(jb, h=6, n_layers=4, seed=0):
+    """n_layers identical h->h logistic ffLayers — the reference's
+    ``~*~`` chain (FeedForward.hs:82-90) with uniform cut points."""
+    rng = Rng(jb, seed=seed)
+    return gen_net(jb, h, h, [(h, act_logistic())] * (n_layers - 1),
+                   act_logistic(), rng)
+
+
+def _seq_grads(net, loss, be, xb, yb):
+    """The sequential staged-IR batch-mean gradient."""
+    vm = make_vmapped_grads(net, loss, be)
+    vals, grads = vm(xb, yb, *net.params)
+    return (np.mean(np.asarray(vals)),
+            tuple(np.asarray(g).mean(axis=0) for g in grads))
+
+
+def test_unchain_recovers_layers(jb):
+    net = _uniform_chain(jb, h=5, n_layers=3)
+    segs = unchain(net.op)
+    assert len(segs) == 3
+    for seg in segs:
+        assert seg.in_stack == (((5,)), (5, 5), (5,)) or \
+            seg.in_stack == ((5,), (5, 5), (5,))
+        assert seg.out_stack == ((5,),)
+    pairs = network_segments(net)
+    assert sum(len(p) for _, p in pairs) == len(net.params)
+    # params align: segment k holds params (w_k, b_k) in stack order
+    for (seg, p), w, b in zip(pairs, net.params[0::2], net.params[1::2]):
+        assert p[0] is w and p[1] is b
+
+
+def test_split_network_uniform_body(jb):
+    net = _uniform_chain(jb, h=4, n_layers=4)
+    p = split_network(net, 4)
+    assert p.n_body == 4 and not p.pre and not p.post
+    assert p.body_params[0].shape == (4, 4, 4)
+    assert p.body_params[1].shape == (4, 4)
+    np.testing.assert_array_equal(np.asarray(p.to_network_params()[2]),
+                                  np.asarray(net.params[2]))
+
+
+def test_split_network_rejects_short_body(jb):
+    net = _uniform_chain(jb, h=4, n_layers=2)
+    with pytest.raises(ShapeError, match="structurally identical"):
+        split_network(net, 4)
+
+
+@multi
+def test_ir_pipeline_grads_equal_sequential_uniform(jb):
+    """The done-criterion: >=4-stage ffLayer chain, pipelined gradient ==
+    sequential staged-IR gradient at 1e-9."""
+    net = _uniform_chain(jb, h=6, n_layers=4)
+    loss = squared_error(6)
+    r = np.random.default_rng(0)
+    xb = jb.asarray(r.uniform(0, 1, size=(8, 6)))
+    yb = jb.asarray(r.uniform(0, 1, size=(8, 6)))
+
+    v_seq, g_seq = _seq_grads(net, loss, jb, xb, yb)
+
+    mesh = make_pipeline_mesh(4)
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, 2)
+    v_pp, flat_g = gfn(xb, yb, *pnet.flat_params())
+    g_pp = pnet.unflatten(flat_g).to_network_params()
+
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    assert len(g_pp) == len(g_seq)
+    for a, b in zip(g_pp, g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+@multi
+def test_ir_pipeline_with_pre_post_segments(jb):
+    """Non-uniform ends (embed 8->16, project 16->4 softmax) run
+    replicated around the pipelined uniform body; gradients still match
+    sequential, cross-entropy loss included."""
+    rng = Rng(jb, seed=3)
+    net = gen_net(jb, 8, 4, [(16, act_logistic())] * 5, act_softmax(), rng)
+    loss = cross_entropy(4)
+    r = np.random.default_rng(1)
+    xb = jb.asarray(r.uniform(0, 1, size=(8, 8)))
+    yb = jb.asarray(np.eye(4)[r.integers(0, 4, size=8)])
+
+    v_seq, g_seq = _seq_grads(net, loss, jb, xb, yb)
+
+    mesh = make_pipeline_mesh(4)  # body = 4 uniform 16->16 segments
+    step, pnet = ir_pipeline_train_step(net, loss, jb, mesh, 2)
+    assert len(pnet.pre) == 1 and len(pnet.post) == 1 and pnet.n_body == 4
+    v_pp, new_flat = step(0.5, xb, yb, *pnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+
+    new_net_params = pnet.unflatten(new_flat).to_network_params()
+    for p, g, np_ in zip(net.params, g_seq, new_net_params):
+        np.testing.assert_allclose(np.asarray(p) - 0.5 * g,
+                                   np.asarray(np_), atol=1e-9)
+
+
+@multi
+def test_ir_pipeline_dp_pp_mesh(jb):
+    """Combined dp x pp over the staged IR on a (2, 4) mesh."""
+    net = _uniform_chain(jb, h=4, n_layers=4, seed=7)
+    loss = squared_error(4)
+    r = np.random.default_rng(2)
+    xb = jb.asarray(r.uniform(0, 1, size=(8, 4)))
+    yb = jb.asarray(r.uniform(0, 1, size=(8, 4)))
+
+    v_seq, g_seq = _seq_grads(net, loss, jb, xb, yb)
+    mesh = make_dp_pipeline_mesh(2, 4)
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, 2)
+    v_pp, flat_g = gfn(xb, yb, *pnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    for a, b in zip(pnet.unflatten(flat_g).to_network_params(), g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)

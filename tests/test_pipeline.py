@@ -203,6 +203,54 @@ def test_circular_schedule_matches_sequential():
 
 
 @multi
+def test_circular_schedule_with_tp_3d_mesh():
+    """Circular schedule x tensor parallelism on a (data=2, stage=2,
+    model=2) mesh: 4 global chunks on 2 stage devices (V=2), each chunk's
+    layers row-sharded over the model axis — forward and gradients equal
+    the sequential chain (closes the round-1 NotImplementedError)."""
+    from tensor_ops_tpu.parallel.pipeline import (
+        _interleave_chunks,
+        circular_pipeline_forward,
+        circular_pipeline_train_step,
+        make_3d_pipeline_mesh,
+        shard_circular_model,
+    )
+
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    model = PipelineMLP.init(4, 8, 3, n_stages=4, layers_per_stage=1,
+                             key=jax.random.PRNGKey(13))
+    cmodel = shard_circular_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(14), (8, 4))
+    got = np.asarray(circular_pipeline_forward(cmodel, mesh, xb,
+                                               n_microbatches=2))
+    want = np.asarray(sequential_forward(model, xb))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    yb = jnp.asarray(np.eye(3, dtype=np.float32)[np.arange(8) % 3])
+    step = circular_pipeline_train_step(cmodel, mesh, n_microbatches=2)
+    _, new_params = step(1.0, xb, yb, *cmodel.params())
+
+    def seq_loss(params):
+        m = PipelineMLP(*params)
+        p = sequential_forward(m, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    grads = jax.grad(seq_loss)(model.params())
+    want_ws = np.asarray(model.stage_ws) - np.asarray(grads[2])
+    want_bs = np.asarray(model.stage_bs) - np.asarray(grads[3])
+    np.testing.assert_allclose(
+        np.asarray(new_params[2]),
+        np.asarray(_interleave_chunks(jnp.asarray(want_ws), 2)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params[3]),
+        np.asarray(_interleave_chunks(jnp.asarray(want_bs), 2)), atol=1e-5)
+    for i in (0, 1, 4, 5):
+        np.testing.assert_allclose(
+            np.asarray(new_params[i]),
+            np.asarray(model.params()[i]) - np.asarray(grads[i]), atol=1e-5)
+
+
+@multi
 def test_circular_schedule_guards():
     from tensor_ops_tpu.parallel.pipeline import (
         circular_pipeline_train_step,
