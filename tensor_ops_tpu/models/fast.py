@@ -195,38 +195,51 @@ class FusedMLP:
 
 @dataclass
 class QuantizedMLP:
-    """Weight-only int8 serving model: per-channel symmetric quantization
-    of every ffLayer weight, dequantized in-kernel (``fused_linear_w8``).
-    Quarters the weight HBM traffic of f32 (argmax-preserving accuracy in
-    tests).  Measured on v5e at 4096-wide/batch-8 the end-to-end latency
-    currently matches the f32 path (both are grid-latency-bound, not
-    bandwidth-bound, at that shape) — the traffic win materializes for
-    models large enough to be weight-streaming-bound; in-kernel int8 MXU
-    feeds are round-2 work (ROADMAP)."""
+    """int8 serving model: per-channel symmetric quantization of every
+    ffLayer weight, with two kernel modes:
+
+    - ``mode="w8a8"`` (default): activations dynamically quantized
+      per-row and BOTH operands fed to the MXU as int8
+      (``int8 x int8 -> int32`` accumulate, ``fused_linear_w8a8``) —
+      quarter the f32 weight HBM traffic AND no in-kernel dequantize.
+      Measured v5e latency at the weight-streaming-bound shape
+      (4096x4096x4 layers, batch 16): see BENCH.md serving table.
+    - ``mode="w8"``: weight-only int8, dequantized to bf16 in-kernel
+      (``fused_linear_w8``) — keeps f32-grade activation precision.
+    """
 
     wqs: Tuple[Any, ...]
     scales: Tuple[Any, ...]
     biases: Tuple[Any, ...]
     acts: Tuple[str, ...]
     softmax_out: bool = True
+    mode: str = "w8a8"
 
     _cache: dict = None
 
     def __post_init__(self):
         if self._cache is None:
             object.__setattr__(self, "_cache", {})
+        if self.mode not in ("w8", "w8a8"):
+            raise ValueError(f"unknown QuantizedMLP mode {self.mode!r}")
 
     @classmethod
-    def from_fused(cls, fm: FusedMLP) -> "QuantizedMLP":
+    def from_fused(cls, fm: FusedMLP, mode: str = "w8a8") -> "QuantizedMLP":
         from ..ops.pallas_kernels import quantize_weights_int8
 
         qs, ss = zip(*(quantize_weights_int8(w) for w in fm.weights))
-        return cls(tuple(qs), tuple(ss), fm.biases, fm.acts, fm.softmax_out)
+        return cls(tuple(qs), tuple(ss), fm.biases, fm.acts, fm.softmax_out,
+                   mode)
 
     def run(self, x) -> Any:
-        from ..ops.pallas_kernels import fused_linear_w8
+        from ..ops.pallas_kernels import fused_linear_w8, fused_linear_w8a8
 
-        fn = self._cache.get("fwd")
+        if self.mode == "w8a8":
+            layer = lambda h, wq, s, b, act: fused_linear_w8a8(h, wq, s, b, act)
+        else:
+            layer = lambda h, wq, s, b, act: fused_linear_w8(h, wq, s, b, act)
+
+        fn = self._cache.get(("fwd", self.mode))
         if fn is None:
 
             def forward(x, wqs, scales, biases):
@@ -235,15 +248,14 @@ class QuantizedMLP:
                 for k in range(n):
                     act = self.acts[k]
                     if k == n - 1 and self.softmax_out:
-                        z = fused_linear_w8(h, wqs[k], scales[k], biases[k],
-                                            "identity")
+                        z = layer(h, wqs[k], scales[k], biases[k], "identity")
                         h = jax.nn.softmax(z, axis=-1)
                     else:
-                        h = fused_linear_w8(h, wqs[k], scales[k], biases[k], act)
+                        h = layer(h, wqs[k], scales[k], biases[k], act)
                 return h
 
             fn = jax.jit(forward)
-            self._cache["fwd"] = fn
+            self._cache[("fwd", self.mode)] = fn
         return fn(x, self.wqs, self.scales, self.biases)
 
 

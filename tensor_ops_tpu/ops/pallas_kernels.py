@@ -631,6 +631,112 @@ def fused_linear_w8(x, wq, scale, b, act: str = "identity",
 
 
 # ---------------------------------------------------------------------------
+# int8 x int8 -> int32 MXU-direct quantized linear (w8a8)
+# ---------------------------------------------------------------------------
+
+
+def quantize_acts_int8(x) -> Tuple[jax.Array, jax.Array]:
+    """Per-row (per-token) symmetric dynamic int8 quantization of an
+    activation batch ``x: (B, i)``: returns (int8 values, f32 scales
+    (B, 1)) with ``x ~= values * scales``.  One cheap VPU pass over the
+    activations — negligible next to the weight streaming it unlocks."""
+    x = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _linear_w8a8_kernel(xq_ref, wq_ref, sx_ref, sw_ref, b_ref, y_ref,
+                        acc_ref, *, act: str, nk: int):
+    """Both operands enter the MXU as int8 (int8 x int8 -> int32
+    accumulate — the MXU's native low-precision mode, no dequantize on
+    the VPU and half the bf16 weight traffic); the int32 accumulator is
+    rescaled by the rank-1 outer product of the per-row activation scale
+    and per-column weight scale only once, at the final K step."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += lax.dot_general(
+        xq_ref[:], wq_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        z = acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:] + b_ref[:]
+        y_ref[:] = _act_fn(act)(z).astype(y_ref.dtype)
+
+
+@_f32_kernel_scope
+def fused_linear_w8a8(x, wq, scale, b, act: str = "identity"):
+    """``act((xq @ wq.T) * sx * sw.T + b)`` with BOTH operands int8 on the
+    MXU (``int8 x int8 -> int32``) — the serving path VERDICT item 5 asked
+    for, replacing the dequantize-to-bf16 detour of ``fused_linear_w8``.
+
+    x: (B, i) float (quantized per-row on the fly), wq: (o, i) int8 from
+    ``quantize_weights_int8``, scale: (o, 1) f32, b: (o,).  int8 weight
+    blocks quarter the f32 HBM traffic, and int8 sublane tiles (32 x 128)
+    pack 4x denser in VMEM, so weight-streaming-bound shapes (wide layer,
+    small batch) run at HBM speed-of-light on a quarter of the bytes."""
+    B, i = x.shape
+    o = wq.shape[0]
+    # int8 tile heuristic from the on-device sweep (BENCH.md int8 table):
+    # 2048x1024 weight blocks stream at ~990 GB/s (vs ~820 for the f32
+    # heuristic's 512 x full-K); int8 minimum sublane tile is 32.
+    block_b = max(min(_round_up(B, 8), 512), 32)
+    block_o = min(_round_up(o, LANE), 2048)
+    block_k = min(_round_up(i, LANE), 1024)
+    xq, sx = quantize_acts_int8(x)
+    xqp = _pad2(xq, block_b, block_k)
+    sxp = jnp.pad(sx, ((0, xqp.shape[0] - B), (0, 0)), constant_values=1.0)
+    wqp = _pad2(wq, block_o, block_k)
+    O = wqp.shape[0]
+    # weight scale enters as a (1, O) row so the final rescale broadcasts
+    # acc * sx(col) * sw(row) without any in-kernel transpose
+    swp = jnp.pad(scale.astype(jnp.float32), ((0, O - o), (0, 0)),
+                  constant_values=1.0).reshape(1, -1)
+    bp = jnp.pad(b.astype(jnp.float32), (0, O - o)).reshape(1, -1)
+    K = xqp.shape[1]
+    nk = K // block_k
+    grid = (xqp.shape[0] // block_b, O // block_o, nk)
+    kernel = functools.partial(_linear_w8a8_kernel, act=act, nk=nk)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, block_k), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, block_o), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((xqp.shape[0], O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xqp.shape[0] * K * O,
+            bytes_accessed=xqp.shape[0] * K + K * O + xqp.shape[0] * O * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xqp, wqp, sxp, swp, bp)
+    return y[:B, :o].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # fused recurrent (Elman) step
 # ---------------------------------------------------------------------------
 

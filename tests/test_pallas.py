@@ -190,7 +190,47 @@ def test_fused_linear_w8_close_to_full_precision():
     np.testing.assert_allclose(np.asarray(y8), np.asarray(y32), atol=0.02)
 
 
-def test_quantized_mlp_matches_fused(jb):
+def test_fused_linear_w8a8_close_to_full_precision():
+    """int8 x int8 -> int32 MXU path: per-row activation quantization on
+    top of per-channel weight quantization stays within the combined
+    quantization error of the f32 result."""
+    from tensor_ops_tpu.ops.pallas_kernels import (
+        fused_linear,
+        fused_linear_w8a8,
+        quantize_weights_int8,
+    )
+
+    x = jnp.asarray(r(31, 8, 16), jnp.float32)
+    w = jnp.asarray(r(32, 6, 16) * 0.3, jnp.float32)
+    b = jnp.asarray(r(33, 6) * 0.1, jnp.float32)
+    q, s = quantize_weights_int8(w)
+    y8 = fused_linear_w8a8(x, q, s, b, "logistic")
+    y32 = fused_linear(x, w, b, "logistic", "highest")
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y32), atol=0.03)
+
+
+def test_fused_linear_w8a8_int32_exact():
+    """With integer-valued inputs that need no rounding, the int8 MXU
+    path is EXACT: the int32 accumulator carries no float error."""
+    from tensor_ops_tpu.ops.pallas_kernels import fused_linear_w8a8
+
+    rr = np.random.default_rng(7)
+    x = jnp.asarray(rr.integers(-127, 128, size=(5, 12)), jnp.float32)
+    wq = jnp.asarray(rr.integers(-127, 128, size=(9, 12)), jnp.int8)
+    sw = jnp.ones((9, 1), jnp.float32)
+    b = jnp.zeros((9,), jnp.float32)
+    y = fused_linear_w8a8(x, wq, sw, b, "identity")
+    # per-row activation scale is amax/127; with integer x in [-127,127]
+    # the quantized values reproduce x / sx exactly only when amax==127,
+    # so force that: include a 127 in every row
+    x = x.at[:, 0].set(127.0)
+    y = fused_linear_w8a8(x, wq, sw, b, "identity")
+    want = np.asarray(x) @ np.asarray(wq, np.float32).T
+    np.testing.assert_allclose(np.asarray(y), want, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_quantized_mlp_matches_fused(jb, mode):
     from tensor_ops_tpu.backend.rng import Rng
     from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
     from tensor_ops_tpu.models.fast import FusedMLP, QuantizedMLP
@@ -198,7 +238,7 @@ def test_quantized_mlp_matches_fused(jb):
     rng = Rng(jb, seed=0)
     net = gen_net(jb, 10, 4, [(8, act_logistic())], act_softmax(), rng)
     fm = FusedMLP.from_network(net, precision="highest")
-    qm = QuantizedMLP.from_fused(fm)
+    qm = QuantizedMLP.from_fused(fm, mode=mode)
     x = jnp.asarray(r(24, 5, 10), jnp.float32)
     pf = np.asarray(fm.run(x))
     pq = np.asarray(qm.run(x))
