@@ -114,6 +114,13 @@ def main(argv=None):
                    help="Subsample the training set to N samples (0 = all)")
     p.add_argument("--metrics", type=str, default=None,
                    help="Append per-batch metrics to this JSONL file")
+    p.add_argument("--require-real-data", action="store_true",
+                   help="Refuse the synthetic fallback: verify the on-disk "
+                        "IDX files are the canonical MNIST distribution "
+                        "(md5 of the .gz files or the exact 60000/10000 "
+                        "shape signature) and record a pinned-seed accuracy "
+                        "trajectory JSONL (default: <data>/accuracy_seed<seed>"
+                        ".jsonl unless --metrics is given)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Save network parameters to this .npz after every batch")
     args = p.parse_args(argv)
@@ -127,8 +134,13 @@ def main(argv=None):
 
     layers = [int(x) for x in args.layers.split(",") if x]
 
-    train_raw, test_raw = load_mnist(args.data)
+    train_raw, test_raw = load_mnist(args.data,
+                                     require_real=args.require_real_data)
     print("Loaded data.")
+    if args.require_real_data and args.metrics is None:
+        args.metrics = os.path.join(args.data,
+                                    f"accuracy_seed{args.seed}.jsonl")
+        print(f"Recording accuracy trajectory to {args.metrics}")
 
     o = 11 if args.white else 10
     be = T.JaxBackend() if args.backend == "jax" else T.NumpyBackend()
@@ -162,6 +174,13 @@ def main(argv=None):
 
     metrics = MetricsLogger(args.metrics)
     global_batch = 0
+    if args.require_real_data and args.metrics:
+        # provenance header: what data this trajectory was measured on
+        from tensor_ops_tpu.utils.mnist_data import verify_real_mnist
+
+        metrics.log(0, kind="header", seed=args.seed, rate=args.rate,
+                    layers=layers, batch=args.batch,
+                    data=verify_real_mnist(args.data))
 
     def white_extras(n: int):
         """Scaled uniform-noise samples labeled as class 10

@@ -21,8 +21,11 @@ through the ``fori_loop`` so XLA cannot hoist the computation out as
 loop-invariant.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-baseline is the reference-shaped CPU path — this framework's NumPy-oracle
-per-sample SGD on the same host — in samples/second.
+headline baseline is a BLAS-backed per-sample SGD on the same host (numpy
+``@`` -> dgemv/dger, hand-written VJP) — the speed class of the
+reference's actual hmatrix/C-BLAS path (``BTensor.hs:141-175``).  The
+framework's own NumPy-oracle per-sample SGD (deliberately naive, the
+NTensor analog) is reported separately as ``vs_numpy_oracle_baseline``.
 """
 
 from __future__ import annotations
@@ -251,6 +254,42 @@ def bench_cpu_baseline(n_samples=60):
     return (n_samples - 1) / dt
 
 
+def bench_cpu_blas_baseline(n_samples=3000):
+    """Per-sample SGD with every matmul a BLAS ``dgemv``/``dger`` via
+    numpy ``@`` — the HONEST stand-in for the reference's actual hmatrix
+    path (``BTensor.hs:141-175`` dispatching to C BLAS): hand-written
+    forward + backward for the flagship 784/300/100/10 logistic/softmax/
+    cross-entropy net, one sample at a time, f64 like hmatrix's HMatD."""
+    r = np.random.default_rng(0)
+    dims = [784, 300, 100, 10]
+    Ws = [r.normal(0, 0.5, size=(dims[k + 1], dims[k])) for k in range(3)]
+    bs = [r.normal(0, 0.5, size=(dims[k + 1],)) for k in range(3)]
+    x, y = make_data(n_samples, seed=2)
+    lr = 0.02
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def step(xi, yi):
+        z1 = Ws[0] @ xi + bs[0]; a1 = sigmoid(z1)
+        z2 = Ws[1] @ a1 + bs[1]; a2 = sigmoid(z2)
+        z3 = Ws[2] @ a2 + bs[2]
+        e = np.exp(z3 - z3.max()); p = e / e.sum()
+        d3 = p - yi                       # softmax+CE fused gradient
+        d2 = (Ws[2].T @ d3) * a2 * (1 - a2)
+        d1 = (Ws[1].T @ d2) * a1 * (1 - a1)
+        Ws[2] -= lr * np.outer(d3, a2); bs[2] -= lr * d3
+        Ws[1] -= lr * np.outer(d2, a1); bs[1] -= lr * d2
+        Ws[0] -= lr * np.outer(d1, xi); bs[0] -= lr * d1
+
+    step(x[0], y[0])  # warm caches
+    t0 = time.perf_counter()
+    for k in range(1, n_samples):
+        step(x[k], y[k])
+    dt = time.perf_counter() - t0
+    return (n_samples - 1) / dt
+
+
 def main():
     steps_per_sec, samples_per_sec = bench_mnist_train()
     steps4k, samples4k = bench_mnist_train(batch=4096, steps=500)
@@ -258,13 +297,18 @@ def main():
     deep_tflops, roofline = bench_fused_deep()
     mm_tflops, mm_roofline = bench_fused_matmul_roofline()
     base = bench_cpu_baseline()
+    blas_base = bench_cpu_blas_baseline()
     best_samples = max(samples_per_sec, samples4k, mk_samples)
     result = {
         "metric": "mnist_mlp_train_throughput",
         "value": round(best_samples, 1),
         "unit": "samples/s",
-        "vs_baseline": round(best_samples / base, 2),
+        # headline denominator: the BLAS per-sample path (the reference's
+        # hmatrix-class speed), NOT the deliberately naive oracle
+        "vs_baseline": round(best_samples / blas_base, 2),
         "detail": {
+            "cpu_blas_per_sample_sgd_samples_per_sec": round(blas_base, 1),
+            "vs_numpy_oracle_baseline": round(best_samples / base, 2),
             "ir_xla_batch1024_steps_per_sec": round(steps_per_sec, 2),
             "ir_xla_batch1024_samples_per_sec": round(samples_per_sec, 1),
             "ir_xla_batch4096_steps_per_sec": round(steps4k, 2),

@@ -258,6 +258,35 @@ class QuantizedMLP:
             self._cache[("fwd", self.mode)] = fn
         return fn(x, self.wqs, self.scales, self.biases)
 
+    def run_fused(self, x) -> Any:
+        """Whole-MLP int8 megakernel (``fused_mlp_w8a8_forward``): one
+        pallas_call for ALL layers, activations VMEM-resident, in-kernel
+        requantization between layers.  Requires a uniform-width stack
+        (every layer N x N with N % 128 == 0) and one shared hidden
+        activation — the serving-sweep shape; other nets use ``run``."""
+        from ..ops.pallas_kernels import fused_mlp_w8a8_forward
+
+        N = self.wqs[0].shape[1]
+        if any(q.shape != (N, N) for q in self.wqs) or N % 128:
+            raise ValueError("run_fused needs a uniform 128-multiple stack")
+        hidden = set(self.acts[:-1])
+        if len(hidden) > 1:
+            raise ValueError(f"run_fused needs one hidden activation, got {hidden}")
+        fn = self._cache.get("fwd_fused")
+        if fn is None:
+            act = next(iter(hidden)) if hidden else "identity"
+
+            def forward(x, wq3, sw2, b2):
+                z = fused_mlp_w8a8_forward(x, wq3, sw2, b2, act)
+                return jax.nn.softmax(z, axis=-1) if self.softmax_out else z
+
+            fn = jax.jit(forward)
+            self._cache["fwd_fused"] = fn
+        wq3 = jnp.stack(self.wqs)
+        sw2 = jnp.stack([s.reshape(-1) for s in self.scales])
+        b2 = jnp.stack(self.biases)
+        return fn(x, wq3, sw2, b2)
+
 
 @dataclass
 class FusedRNN:

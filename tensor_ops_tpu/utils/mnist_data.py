@@ -27,7 +27,84 @@ MNIST_FILES = [
     ("t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"),
 ]
 
+# md5 of the canonical .gz distribution files (the values published with
+# the dataset and pinned by every major loader).  Used by the
+# --require-real-data gate to refuse synthetic or tampered inputs.
+KNOWN_MD5 = {
+    "train-images-idx3-ubyte.gz": "f68b3c2dcbeaaa9fbdd348bbdeb94873",
+    "train-labels-idx1-ubyte.gz": "d53e105ee54ea40749a09fcbcd1e9432",
+    "t10k-images-idx3-ubyte.gz": "9fb629c4189551a2d022fa330f9573f3",
+    "t10k-labels-idx1-ubyte.gz": "ec29112dd5afa0611ce80d1b7f02629c",
+}
+
+# structural signature of the real dataset (counts/dims); a decoded IDX
+# set that matches this is accepted even without the .gz files
+REAL_COUNTS = {
+    "train-images-idx3-ubyte": (60000, 28, 28),
+    "train-labels-idx1-ubyte": (60000,),
+    "t10k-images-idx3-ubyte": (10000, 28, 28),
+    "t10k-labels-idx1-ubyte": (10000,),
+}
+
 Sample = Tuple[int, np.ndarray]
+
+
+class RealDataError(RuntimeError):
+    """Raised by ``load_mnist(require_real=True)`` when the on-disk data
+    cannot be verified as the real MNIST distribution."""
+
+
+def verify_real_mnist(data_dir: str) -> dict:
+    """Verify the four MNIST files in ``data_dir`` are the real dataset.
+
+    Two accepted forms of evidence, checked per file:
+    - ``<name>.gz`` present with the canonical md5 (``KNOWN_MD5``);
+    - decoded ``<name>`` IDX content with the real dataset's exact
+      shape signature (60000/10000 x 28 x 28, labels in 0..9) — the
+      synthetic fallback (6000/1000 samples) can never pass this.
+
+    Returns ``{name: {"source": "gz"|"idx", "md5"|"shape": ...}}``;
+    raises :class:`RealDataError` listing every failure otherwise.
+    """
+    import hashlib
+
+    report, failures = {}, []
+    for img_name, lbl_name in MNIST_FILES:
+        for name in (img_name, lbl_name):
+            gz = os.path.join(data_dir, name + ".gz")
+            raw_path = os.path.join(data_dir, name)
+            if os.path.exists(gz):
+                with open(gz, "rb") as f:
+                    digest = hashlib.md5(f.read()).hexdigest()
+                if digest == KNOWN_MD5[name + ".gz"]:
+                    report[name] = {"source": "gz", "md5": digest}
+                    continue
+                failures.append(
+                    f"{name}.gz: md5 {digest} != canonical "
+                    f"{KNOWN_MD5[name + '.gz']}")
+                continue
+            if os.path.exists(raw_path):
+                with open(raw_path, "rb") as f:
+                    try:
+                        arr = decode_idx(f.read())
+                    except ValueError as e:
+                        failures.append(f"{name}: corrupt IDX ({e})")
+                        continue
+                if arr.shape != REAL_COUNTS[name]:
+                    failures.append(
+                        f"{name}: shape {arr.shape} != real "
+                        f"{REAL_COUNTS[name]} (synthetic/subsampled data?)")
+                    continue
+                if arr.ndim == 1 and (arr.min() < 0 or arr.max() > 9):
+                    failures.append(f"{name}: labels outside 0..9")
+                    continue
+                report[name] = {"source": "idx", "shape": arr.shape}
+                continue
+            failures.append(f"{name}: not found (neither IDX nor .gz)")
+    if failures:
+        raise RealDataError(
+            "real-MNIST verification failed:\n  " + "\n  ".join(failures))
+    return report
 
 
 def _fetch(url: str, timeout: float = 20.0) -> bytes:
@@ -56,10 +133,38 @@ def _synthesize(n_train: int = 6000, n_test: int = 1000, seed: int = 1234):
     return tr, te
 
 
-def load_mnist(data_dir: str, allow_synthetic: bool = True) -> List[List[Sample]]:
+def load_mnist(data_dir: str, allow_synthetic: bool = True,
+               require_real: bool = False) -> List[List[Sample]]:
     """Return ``[train_samples, test_samples]`` as ``[(label, pixels)]``
-    with uint8 pixel vectors of length 784."""
+    with uint8 pixel vectors of length 784.
+
+    ``require_real=True`` refuses the synthetic fallback entirely and
+    verifies the on-disk files are the canonical MNIST distribution
+    (md5 of the .gz files or the exact 60000/10000 shape signature)
+    BEFORE training touches them — raises :class:`RealDataError`
+    otherwise."""
     os.makedirs(data_dir, exist_ok=True)
+    if require_real:
+        allow_synthetic = False
+        # fetch any missing file as .gz first so the md5 gate applies
+        for img_name, lbl_name in MNIST_FILES:
+            for name in (img_name, lbl_name):
+                have = (os.path.exists(os.path.join(data_dir, name))
+                        or os.path.exists(os.path.join(data_dir, name + ".gz")))
+                if not have:
+                    try:
+                        raw = _fetch(f"{MNIST_BASE}/{name}.gz")
+                    except Exception as e:
+                        raise RealDataError(
+                            f"{name} missing and download failed "
+                            f"({type(e).__name__}: {e})") from e
+                    tmp = os.path.join(data_dir, name + ".gz.tmp")
+                    with open(tmp, "wb") as f:
+                        f.write(raw)
+                    os.replace(tmp, os.path.join(data_dir, name + ".gz"))
+        report = verify_real_mnist(data_dir)
+        for name, info in sorted(report.items()):
+            print(f"verified {name}: {info}")
     print(f"Loading data from {data_dir}")
     out: List[List[Sample]] = []
     try:

@@ -13,6 +13,11 @@ import jax
 import jax._src.xla_bridge as _xb
 
 if os.environ.get("TOPS_TEST_TPU") != "1":
+    # the axon remote-compile hook must not see CPU-mesh compiles (TPU
+    # interpret-mode programs hang/fail through it; found debugging the
+    # ring-collective tests)
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
     _xb._clear_backends()

@@ -138,6 +138,84 @@ def test_mnist_loader_accepts_local_gz(tmp_path):
     assert tr[0][1].shape == (784,)
 
 
+def _write_fake_gz_set(tmp_path, n=20):
+    import gzip
+
+    from tensor_ops_tpu.utils.idx import encode_idx
+    from tensor_ops_tpu.utils.mnist_data import MNIST_FILES
+
+    rng = np.random.default_rng(0)
+    for img_name, lbl_name in MNIST_FILES:
+        imgs = rng.integers(0, 255, size=(n, 28, 28)).astype(np.uint8)
+        lbls = rng.integers(0, 10, size=n).astype(np.uint8)
+        for name, arr in ((img_name, imgs), (lbl_name, lbls)):
+            with open(tmp_path / (name + ".gz"), "wb") as f:
+                f.write(gzip.compress(encode_idx(arr)))
+
+
+def test_require_real_data_rejects_wrong_checksums(tmp_path):
+    """--require-real-data: .gz files whose md5 is not the canonical
+    distribution's are refused with every failure named
+    (VERDICT item 7; reference loader ``MNIST.hs:159-192``)."""
+    from tensor_ops_tpu.utils.mnist_data import RealDataError
+
+    _write_fake_gz_set(tmp_path)
+    with pytest.raises(RealDataError, match="md5"):
+        load_mnist(str(tmp_path), require_real=True)
+
+
+def test_require_real_data_rejects_missing_and_synthetic(tmp_path):
+    """An empty dir (zero egress) and the synthetic fallback's 6000/1000
+    shape signature both fail the gate."""
+    from tensor_ops_tpu.utils.mnist_data import RealDataError
+
+    with pytest.raises(RealDataError):
+        load_mnist(str(tmp_path / "empty"), require_real=True)
+    # produce the synthetic cache via the normal fallback, decompressed
+    # into raw IDX names — still refused (shape signature mismatch)
+    from tensor_ops_tpu.utils.idx import encode_idx
+    from tensor_ops_tpu.utils.mnist_data import MNIST_FILES, _synthesize
+
+    (trl, tri), (tel, tei) = _synthesize()
+    d = tmp_path / "synth"
+    d.mkdir()
+    for (lbl, img), (img_name, lbl_name) in zip(
+            [(trl, tri), (tel, tei)], MNIST_FILES):
+        (d / img_name).write_bytes(encode_idx(img))
+        (d / lbl_name).write_bytes(encode_idx(lbl))
+    with pytest.raises(RealDataError, match="shape"):
+        load_mnist(str(d), require_real=True)
+
+
+def test_require_real_data_accepts_canonical_md5(tmp_path, monkeypatch):
+    """With md5s matching the pinned table the gate passes and the CLI
+    records the accuracy-trajectory JSONL with a provenance header."""
+    import hashlib
+    import json
+
+    from tensor_ops_tpu.utils import mnist_data
+
+    _write_fake_gz_set(tmp_path, n=30)
+    fake_md5 = {}
+    for name in mnist_data.KNOWN_MD5:
+        p = tmp_path / name
+        fake_md5[name] = hashlib.md5(p.read_bytes()).hexdigest()
+    monkeypatch.setattr(mnist_data, "KNOWN_MD5", fake_md5)
+
+    out = run_cli(
+        mnist.main,
+        ["--epochs", "1", "-b", "30", "-r", "0.1", "-d", str(tmp_path),
+         "-c", "--require-real-data", "--seed", "7"],
+    )
+    assert "verified train-images-idx3-ubyte" in out
+    traj = tmp_path / "accuracy_seed7.jsonl"
+    assert traj.exists()
+    recs = [json.loads(l) for l in traj.read_text().splitlines()]
+    assert recs[0]["kind"] == "header" and recs[0]["seed"] == 7
+    assert recs[0]["data"]["train-images-idx3-ubyte"]["source"] == "gz"
+    assert any("val_err" in r for r in recs[1:])
+
+
 def test_mnist_cli_fused_megakernel(tmp_path):
     out = run_cli(
         mnist.main,

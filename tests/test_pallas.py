@@ -229,6 +229,56 @@ def test_fused_linear_w8a8_int32_exact():
     np.testing.assert_allclose(np.asarray(y), want, rtol=0, atol=1e-4)
 
 
+def test_fused_mlp_w8a8_matches_per_layer_chain():
+    """The whole-MLP int8 megakernel computes the SAME math as the
+    per-layer fused_linear_w8a8 chain (same per-row dynamic quantization
+    between layers), so the two agree to float round-off."""
+    from tensor_ops_tpu.ops.pallas_kernels import (
+        fused_linear_w8a8,
+        fused_mlp_w8a8_forward,
+        quantize_weights_int8,
+    )
+
+    N, L, B = 128, 3, 5
+    ws = [jnp.asarray(r(40 + k, N, N) * 0.2, jnp.float32) for k in range(L)]
+    bs = [jnp.asarray(r(50 + k, N) * 0.1, jnp.float32) for k in range(L)]
+    qs, ss = zip(*(quantize_weights_int8(w) for w in ws))
+    x = jnp.asarray(r(60, B, N), jnp.float32)
+
+    h = x
+    for k in range(L):
+        h = fused_linear_w8a8(h, qs[k], ss[k], bs[k],
+                              "relu" if k < L - 1 else "identity")
+    y1 = np.asarray(h)
+
+    wq3 = jnp.stack(qs)
+    sw2 = jnp.stack([s.reshape(-1) for s in ss])
+    b2 = jnp.stack(bs)
+    y2 = np.asarray(fused_mlp_w8a8_forward(x, wq3, sw2, b2, "relu"))
+    np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-4)
+
+
+def test_quantized_mlp_run_fused_uniform_stack():
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+    from tensor_ops_tpu.ops.pallas_kernels import quantize_weights_int8
+
+    N, L = 128, 3
+    ws = [jnp.asarray(r(70 + k, N, N) * 0.2, jnp.float32) for k in range(L)]
+    bs = [jnp.asarray(r(80 + k, N) * 0.1, jnp.float32) for k in range(L)]
+    qs, ss = zip(*(quantize_weights_int8(w) for w in ws))
+    qm = QuantizedMLP(tuple(qs), tuple(ss), tuple(bs),
+                      ("logistic", "logistic", "identity"))
+    x = jnp.asarray(r(90, 4, N), jnp.float32)
+    p1 = np.asarray(qm.run(x))
+    p2 = np.asarray(qm.run_fused(x))
+    np.testing.assert_allclose(p2, p1, rtol=1e-5, atol=1e-5)
+    # non-uniform stack refuses cleanly
+    bad = QuantizedMLP((qs[0], qs[1][:64]), (ss[0], ss[1][:64]),
+                       (bs[0], bs[1][:64]), ("relu", "identity"))
+    with pytest.raises(ValueError):
+        bad.run_fused(x)
+
+
 @pytest.mark.parametrize("mode", ["w8", "w8a8"])
 def test_quantized_mlp_matches_fused(jb, mode):
     from tensor_ops_tpu.backend.rng import Rng
