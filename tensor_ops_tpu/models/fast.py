@@ -171,26 +171,80 @@ class FusedMLP:
     def train_fullfused(self, rate: float, xb, yb) -> Tuple[float, "FusedMLP"]:
         """The ENTIRE SGD step (forward, backward, update) as one Pallas
         kernel — weights and gradient accumulators VMEM-resident for the
-        whole step (``fused_mlp_train_step``).  Requires softmax output +
-        cross-entropy (the flagship configuration); exact to f32 ulp vs
-        XLA autodiff, ~1.3x faster at large batch."""
-        if not self.softmax_out:
-            raise ValueError("train_fullfused requires softmax_out")
+        whole step (``fused_mlp_train_step``).  softmax output +
+        cross-entropy (the flagship configuration), or — with
+        ``softmax_out=False`` and ``loss_kind="mse"`` — ``acts[-1]``
+        output + squared error (the autoencoder configuration); exact to
+        f32 ulp vs XLA autodiff, ~1.3x faster at large batch."""
+        if self.softmax_out:
+            kind = "softmax_xent"
+            if self.loss_kind == "mse":
+                raise ValueError("mse loss needs softmax_out=False")
+        elif self.loss_kind == "mse":
+            kind = "squared_error"
+        else:
+            raise ValueError(
+                "train_fullfused supports softmax+ce or mse without softmax")
         from ..ops.pallas_kernels import fused_mlp_train_step
 
-        fn = self._cache.get("fullstep")
+        fn = self._cache.get(("fullstep", kind))
         if fn is None:
             fn = jax.jit(
                 lambda xb, yb, ws, bs, rate: fused_mlp_train_step(
                     xb, yb, list(ws), list(bs), rate, self.acts,
-                    precision=self.precision,
+                    precision=self.precision, loss_kind=kind,
                 )
             )
-            self._cache["fullstep"] = fn
+            self._cache[("fullstep", kind)] = fn
         v, ws, bs = fn(xb, yb, self.weights, self.biases, rate)
         m = FusedMLP(tuple(ws), tuple(bs), self.acts, self.softmax_out,
                      self.precision, self.loss_kind, self._cache)
         return float(v), m
+
+
+@dataclass
+class FusedAutoencoder:
+    """Fused autoencoder: the encoder>>decoder ffLayer chain as one
+    FusedMLP trained on reconstruction (target = input) with the
+    whole-step Pallas kernel — the kernel-fused executor for
+    ``Encoder``/``trainEncoder`` (``AutoEncoder.hs:87-110``).
+
+    ``n_enc`` records where the encoder's layer stack ends so the model
+    converts back to the staged-IR ``Encoder`` for parity checks."""
+
+    mlp: FusedMLP
+    n_enc: int
+
+    @classmethod
+    def from_encoder(cls, enc, precision: str = "default"
+                     ) -> "FusedAutoencoder":
+        fe = FusedMLP.from_network(enc.encoder, softmax_out=False,
+                                   precision=precision)
+        fd = FusedMLP.from_network(enc.decoder, softmax_out=False,
+                                   precision=precision)
+        mlp = FusedMLP(fe.weights + fd.weights, fe.biases + fd.biases,
+                       fe.acts + fd.acts, softmax_out=False,
+                       precision=precision, loss_kind="mse")
+        return cls(mlp, len(fe.weights))
+
+    def to_encoder(self, enc):
+        """Write trained params back into a template staged-IR Encoder."""
+        from .feedforward import Network
+
+        ps = self.mlp.to_params()
+        ne = 2 * self.n_enc
+        return type(enc)(
+            Network(enc.encoder.op, ps[:ne], enc.encoder.act_names),
+            Network(enc.decoder.op, ps[ne:], enc.decoder.act_names),
+        )
+
+    def encode_decode(self, x):
+        return self.mlp.run(x)
+
+    def train(self, rate: float, xb) -> Tuple[float, "FusedAutoencoder"]:
+        """One whole-step-fused joint SGD step on reconstruction loss."""
+        v, m = self.mlp.train_fullfused(rate, xb, xb)
+        return v, FusedAutoencoder(m, self.n_enc)
 
 
 @dataclass

@@ -350,12 +350,19 @@ def fused_mlp_forward(x, weights, biases, acts: Sequence[str],
 
 
 def _mlp_train_kernel(*refs, n_layers: int, acts, nb_tiles: int,
-                      batch_total: int, out_dim: int, precision: str):
-    """One FULL training step for an MLP with softmax + cross-entropy:
-    forward, backward, and the SGD update, fused.  Grid = batch tiles;
-    every weight/bias and every weight-gradient accumulator lives in VMEM
-    for the entire step, so HBM traffic is just the batch (x, y) and one
-    read+write of the parameters.
+                      batch_total: int, out_dim: int, precision: str,
+                      loss_kind: str = "softmax_xent"):
+    """One FULL training step for an MLP, fused: forward, backward, SGD.
+    Grid = batch tiles; every weight/bias and every weight-gradient
+    accumulator lives in VMEM for the entire step, so HBM traffic is
+    just the batch (x, y) and one read+write of the parameters.
+
+    ``loss_kind="softmax_xent"``: masked softmax output + cross-entropy
+    (the flagship MNIST configuration).  ``loss_kind="squared_error"``:
+    the last layer applies ``acts[-1]`` and the loss is the reference's
+    ``squaredError`` summed over output dims, meaned over the batch —
+    the autoencoder training configuration (``AutoEncoder.hs:87-110``
+    with target = input).
 
     refs layout:
       in : x, y, lr(1,1 SMEM), w1..wL, b1..bL
@@ -394,22 +401,40 @@ def _mlp_train_kernel(*refs, n_layers: int, acts, nb_tiles: int,
         zs.append(z)
         if k == n_layers - 1:
             lanes = lax.broadcasted_iota(jnp.int32, z.shape, 1)
-            zm = jnp.where(lanes < out_dim, z, -jnp.inf)
-            zmax = jnp.max(zm, axis=1, keepdims=True)
-            e = jnp.exp(zm - zmax)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
+            if loss_kind == "softmax_xent":
+                zm = jnp.where(lanes < out_dim, z, -jnp.inf)
+                zmax = jnp.max(zm, axis=1, keepdims=True)
+                e = jnp.exp(zm - zmax)
+                p = e / jnp.sum(e, axis=1, keepdims=True)
+            else:
+                # mask padded output lanes to exactly zero so they
+                # contribute nothing to the squared error (act(0) need
+                # not be 0 — logistic(0) = 0.5)
+                p = jnp.where(lanes < out_dim, _act_fn(acts[k])(z), 0.0)
             h = p
         else:
             h = _act_fn(acts[k])(z)
             hs.append(h)
 
     y = y_ref[:]
-    # cross-entropy: -<y, log p>; log p safe where y > 0
-    logp = jnp.log(jnp.where(p > 0, p, 1.0))
-    loss_ref[0, 0] += -jnp.sum(y * logp) / batch_total
+    if loss_kind == "softmax_xent":
+        # cross-entropy: -<y, log p>; log p safe where y > 0
+        logp = jnp.log(jnp.where(p > 0, p, 1.0))
+        loss_tile = -jnp.sum(y * logp)
+        dz = (p - y) / batch_total  # softmax+CE fused gradient
+    else:
+        d = p - y  # padded lanes: p == 0 and y-pad == 0 -> no leak
+        # padded batch rows DO leak into a squared loss (x-pad rows give
+        # p = act(b) != 0 with y = 0) — mask them out of d entirely
+        rids = i * p.shape[0] + lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        d = jnp.where(rids < batch_total, d, 0.0)
+        loss_tile = jnp.sum(d * d)
+        dz = (2.0 * d) * _act_grad(acts[n_layers - 1])(zs[-1]) / batch_total
+        lanes = lax.broadcasted_iota(jnp.int32, dz.shape, 1)
+        dz = jnp.where(lanes < out_dim, dz, 0.0)
+    loss_ref[0, 0] += loss_tile / batch_total
 
     # ---- backward ----
-    dz = (p - y) / batch_total  # softmax+CE fused gradient
     # zero the batch-padding rows (their p is nonzero but they are not
     # real samples)
     tile_rows = p.shape[0]
@@ -438,15 +463,18 @@ def _mlp_train_kernel(*refs, n_layers: int, acts, nb_tiles: int,
 
 @_f32_kernel_scope
 def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
-                         block_b: int = 1024, precision: str = "default"):
-    """Entire softmax/cross-entropy MLP SGD step in ONE pallas_call.
+                         block_b: int = 1024, precision: str = "default",
+                         loss_kind: str = "softmax_xent"):
+    """Entire MLP SGD step in ONE pallas_call.
 
-    x: (B, i) inputs, y: (B, o) one-hot targets, weights[k]: (o_k, i_k),
+    x: (B, i) inputs, y: (B, o) targets, weights[k]: (o_k, i_k),
     lr: scalar learning rate.  Returns (mean_loss, new_weights,
     new_biases).  Weights, activations gradients and accumulators stay
     VMEM-resident across all batch tiles — HBM sees the batch once and the
-    parameters twice.  Hidden activations in ``acts`` (last entry
-    ignored: the output layer is masked softmax).
+    parameters twice.  ``loss_kind="softmax_xent"`` (flagship): masked
+    softmax output + cross-entropy, ``acts[-1]`` ignored.
+    ``loss_kind="squared_error"``: ``acts[-1]`` applied, summed squared
+    error — pass ``y = x`` for the fused autoencoder step.
     """
     n_layers = len(weights)
     out_dim = weights[-1].shape[0]
@@ -478,7 +506,7 @@ def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
     kernel = functools.partial(
         _mlp_train_kernel, n_layers=n_layers, acts=tuple(acts),
         nb_tiles=nb_tiles, batch_total=B, out_dim=out_dim,
-        precision=precision)
+        precision=precision, loss_kind=loss_kind)
 
     in_specs = [
         pl.BlockSpec((block_b, xp.shape[1]), lambda i: (i, 0),

@@ -92,3 +92,51 @@ def test_parity_numpy_jax(nb, jb):
     gE2, gD2 = jenc.grad(loss, jb, jb.asarray(x))
     for p, q in zip(gE1 + gD1, gE2 + gD2):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-9)
+
+
+def test_fused_autoencoder_matches_ir_single_sample(jb):
+    """FusedAutoencoder (whole-step Pallas kernel, squared_error mode)
+    == the staged-IR Encoder.train joint step at batch 1."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.models import squared_error
+    from tensor_ops_tpu.models.fast import FusedAutoencoder
+
+    enc = make_enc(jb)
+    loss = squared_error(6)
+    x = np.random.default_rng(2).uniform(0.1, 0.9, size=6)
+
+    fae = FusedAutoencoder.from_encoder(enc, precision="highest")
+    l0 = enc.test_loss(loss, jb, jb.asarray(x))
+    lf, fae2 = fae.train(0.5, jnp.asarray(x, jnp.float32)[None])
+    assert np.isclose(lf, l0, atol=1e-5)
+
+    enc2 = enc.train(loss, 0.5, jb, jb.asarray(x))
+    enc2f = fae2.to_encoder(enc)
+    for a, b in zip(enc2f.encoder.params + enc2f.decoder.params,
+                    enc2.encoder.params + enc2.decoder.params):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused_autoencoder_batch_training_converges(jb):
+    """Batched fused AE training drives reconstruction loss down."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.models.fast import FusedAutoencoder
+
+    enc = make_enc(jb, seed=9)
+    fae = FusedAutoencoder.from_encoder(enc)
+    r = np.random.default_rng(3)
+    # two clusters in [0,1]^6 — compressible through the 2-d bottleneck
+    protos = r.uniform(0.2, 0.8, size=(2, 6))
+    X = jnp.asarray(
+        np.clip(protos[r.integers(0, 2, size=64)]
+                + r.normal(0, 0.03, size=(64, 6)), 0, 1), jnp.float32)
+    l0, fae = fae.train(1.0, X)
+    for _ in range(300):
+        l1, fae = fae.train(1.0, X)
+    assert l1 < l0 * 0.5, (l0, l1)
+    xr = fae.encode_decode(X)
+    assert np.asarray(xr).shape == (64, 6)
