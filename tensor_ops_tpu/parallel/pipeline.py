@@ -307,18 +307,22 @@ def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int,
     """Circular schedule: each device holds V round-robin chunks of the
     global stage chain (chunk c = v*S + d lives on device d as local
     chunk v), so the activation ring wraps V times and the pipeline
-    bubble shrinks from (S_total-1)/T to (S-1)/T.  Requires
-    n_microbatches == n_devices so the wrapped activation arrives exactly
-    when needed (the no-FIFO interleaved variant).
+    bubble shrinks from (S_total-1)/T to (S-1)/T.
 
     Device d processes local chunk v's microbatch m at tick
-    t = v*M + m + d; total ticks T = V*M + S - 1.  With ``tp`` each
-    chunk's layers are additionally tensor-parallel over the ``model``
-    axis (``_stage_fn_tp``; local ws: (V, L, h/tp, h))."""
+    t = v*M + m + d; total ticks T = V*M + S - 1.  With M ==
+    n_devices the wrapped activation arrives at device 0 exactly when
+    chunk v+1 needs it; with **M > S** it arrives M-S ticks early and
+    waits in a ring-buffer FIFO (the standard interleaved-schedule
+    microbatch FIFO — depth M-S, one slot written and read per tick).
+    With ``tp`` each chunk's layers are additionally tensor-parallel
+    over the ``model`` axis (``_stage_fn_tp``; local ws: (V, L, h/tp,
+    h))."""
     d = lax.axis_index(STAGE_AXIS)
     S = lax.axis_size(STAGE_AXIS)
     M = mb_inputs.shape[0]
     T = V * M + S - 1
+    F = M - S  # FIFO depth: ticks a wrapped activation waits at device 0
     state = jnp.zeros_like(mb_inputs[0])
     outputs = jnp.zeros_like(mb_inputs)
     ws = stage_ws  # local: (V, L, h, h) — or (V, L, h/tp, h) under tp
@@ -326,13 +330,27 @@ def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int,
     fn = _stage_fn_tp if tp else _stage_fn
 
     def step(carry, t):
-        state, outputs = carry
+        if F > 0:
+            state, outputs, fifo = carry
+        else:
+            state, outputs = carry
         k = t - d
         kc = jnp.clip(k, 0, V * M - 1)
         v = kc // M
         m = kc % M
         inject = mb_inputs[m]
-        x_in = jnp.where((d == 0) & (v == 0), inject, state)
+        if F > 0:
+            # the wrap value needed NOW entered the FIFO F ticks ago at
+            # this same slot; read it before overwriting with the value
+            # that just arrived off the ring (chunk output produced at
+            # t-1 by device S-1, needed at t + F)
+            slot = t % F
+            x_wrap = lax.dynamic_index_in_dim(fifo, slot, 0, keepdims=False)
+            fifo = lax.dynamic_update_index_in_dim(fifo, state, slot, 0)
+        else:
+            x_wrap = state
+        x_in = jnp.where((d == 0) & (v == 0), inject,
+                         jnp.where(d == 0, x_wrap, state))
         w_v = lax.dynamic_index_in_dim(ws, v, axis=0, keepdims=False)
         b_v = lax.dynamic_index_in_dim(bs, v, axis=0, keepdims=False)
         y = fn(w_v, b_v, x_in)
@@ -341,10 +359,17 @@ def _spmd_pipeline_circular(stage_ws, stage_bs, mb_inputs, V: int,
         outputs = jnp.where(collect, updated, outputs)
         state = lax.ppermute(
             y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        if F > 0:
+            return (state, outputs, fifo), None
         return (state, outputs), None
 
-    (state, outputs), _ = lax.scan(step, (state, outputs), jnp.arange(T))
-    return lax.psum(outputs, STAGE_AXIS)
+    if F > 0:
+        fifo0 = jnp.zeros((F,) + mb_inputs.shape[1:], mb_inputs.dtype)
+        init = (state, outputs, fifo0)
+    else:
+        init = (state, outputs)
+    out = lax.scan(step, init, jnp.arange(T))[0]
+    return lax.psum(out[1], STAGE_AXIS)
 
 
 def _interleave_chunks(stage_arr, S: int):
@@ -381,10 +406,11 @@ def circular_pipeline_train_step(model: PipelineMLP, mesh: Mesh,
     from functools import partial
 
     S = mesh.shape[STAGE_AXIS]
-    if n_microbatches != S:
+    if n_microbatches < S:
         raise ValueError(
             f"circular schedule requires n_microbatches ({n_microbatches}) "
-            f"== stage-axis size ({S})")
+            f">= stage-axis size ({S}); M > S buffers the wrap in a "
+            f"depth-(M-S) FIFO")
     V = model.n_stages // S
     in_specs, out_spec, tp = _pipeline_specs(mesh)
     pipelined = shard_map(

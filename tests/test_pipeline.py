@@ -251,6 +251,53 @@ def test_circular_schedule_with_tp_3d_mesh():
 
 
 @multi
+def test_circular_schedule_microbatch_fifo():
+    """M > S: the wrapped activation waits M-S ticks in the ring-buffer
+    FIFO; forward and gradients still exactly equal the sequential
+    chain (8 microbatches on 4 stage devices, V=2 -> FIFO depth 4)."""
+    from tensor_ops_tpu.parallel.pipeline import (
+        _interleave_chunks,
+        circular_pipeline_forward,
+        circular_pipeline_train_step,
+        shard_circular_model,
+    )
+
+    mesh = make_pipeline_mesh(4)
+    model = PipelineMLP.init(4, 8, 3, n_stages=8, layers_per_stage=1,
+                             key=jax.random.PRNGKey(21))
+    cmodel = shard_circular_model(model, mesh)
+    xb = jax.random.uniform(jax.random.PRNGKey(22), (16, 4))
+    want = np.asarray(sequential_forward(model, xb))
+    for M in (8, 16):  # FIFO depths 4 and 12
+        got = np.asarray(circular_pipeline_forward(cmodel, mesh, xb,
+                                                   n_microbatches=M))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"M={M}")
+
+    yb = jnp.asarray(np.eye(3, dtype=np.float32)[np.arange(16) % 3])
+    step = circular_pipeline_train_step(cmodel, mesh, n_microbatches=8)
+    _, new_params = step(1.0, xb, yb, *cmodel.params())
+
+    def seq_loss(params):
+        m = PipelineMLP(*params)
+        p = sequential_forward(m, xb)
+        return -jnp.mean(jnp.sum(yb * jnp.log(p + 1e-30), axis=-1))
+
+    grads = jax.grad(seq_loss)(model.params())
+    want_ws = np.asarray(model.stage_ws) - np.asarray(grads[2])
+    want_bs = np.asarray(model.stage_bs) - np.asarray(grads[3])
+    np.testing.assert_allclose(
+        np.asarray(new_params[2]),
+        np.asarray(_interleave_chunks(jnp.asarray(want_ws), 4)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params[3]),
+        np.asarray(_interleave_chunks(jnp.asarray(want_bs), 4)), atol=1e-5)
+    for i in (0, 1, 4, 5):
+        np.testing.assert_allclose(
+            np.asarray(new_params[i]),
+            np.asarray(model.params()[i]) - np.asarray(grads[i]), atol=1e-5)
+
+
+@multi
 def test_circular_schedule_guards():
     from tensor_ops_tpu.parallel.pipeline import (
         circular_pipeline_train_step,
@@ -262,7 +309,7 @@ def test_circular_schedule_guards():
                              key=jax.random.PRNGKey(11))
     cmodel = shard_circular_model(model, mesh)
     with pytest.raises(ValueError, match="n_microbatches"):
-        circular_pipeline_train_step(cmodel, mesh, n_microbatches=8)
+        circular_pipeline_train_step(cmodel, mesh, n_microbatches=2)
     bad = PipelineMLP.init(4, 8, 2, n_stages=6, layers_per_stage=1,
                            key=jax.random.PRNGKey(12))
     with pytest.raises(ValueError, match="divisible"):
