@@ -185,6 +185,7 @@ def fit(
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
     mesh=None,
+    prefetch: int = 2,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -203,6 +204,10 @@ def fit(
     ``optim.exponential_schedule``) — the lr is a traced scalar argument,
     so schedules cause no recompilation.  ``mixed_precision=True`` runs
     forward/backward in bfloat16 with f32 master params (jax only).
+
+    ``prefetch`` (jax, single-process) keeps that many batches already
+    in flight to the device (``DevicePrefetcher``): batch k+1's
+    host->HBM transfer overlaps batch k's step.  0/1 disables.
 
     ``mesh`` (jax only) trains multi-chip: params are placed with
     Megatron-style ``model``-axis shardings, each batch is placed over the
@@ -254,6 +259,22 @@ def fit(
                               shard=(proc_idx, n_proc))
     else:
         loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
+    source = None
+    if prefetch > 1 and be.name == "jax" and n_proc == 1:
+        from ..utils.native import DevicePrefetcher
+
+        if data_sh is not None:
+            import jax
+
+            def _put(xb, yb, _sh=data_sh):
+                return (jax.device_put(be.asarray(xb), _sh),
+                        jax.device_put(be.asarray(yb), _sh))
+        else:
+            def _put(xb, yb):
+                return be.asarray(xb), be.asarray(yb)
+
+        source = DevicePrefetcher(loader, _put, depth=prefetch)
+
     steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     opt_state = opt.init(params)
     history = []
@@ -262,11 +283,14 @@ def fit(
     try:
         for epoch in range(epochs):
             for _ in range(steps_per_epoch):
-                xb, yb = loader.next()
                 cur_lr = lr_schedule(step) if lr_schedule is not None else lr
-                if data_sh is not None:
+                if source is not None:
+                    # already transferred (+sharded), k+1 in flight
+                    xb, yb = source.next()
+                elif data_sh is not None:
                     import jax
 
+                    xb, yb = loader.next()
                     if n_proc > 1:
                         gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
                         gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
@@ -278,6 +302,7 @@ def fit(
                         xb = jax.device_put(be.asarray(xb), data_sh)
                         yb = jax.device_put(be.asarray(yb), data_sh)
                 else:
+                    xb, yb = loader.next()
                     xb, yb = be.asarray(xb), be.asarray(yb)
                 v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
                 step += 1

@@ -138,6 +138,33 @@ def native_transpose(x: np.ndarray) -> Optional[np.ndarray]:
     return out
 
 
+class DevicePrefetcher:
+    """Keep the next ``depth`` batches already in flight to the device.
+
+    ``jax.device_put`` is asynchronous, so enqueueing batch k+1's
+    host->HBM transfer before batch k's step finishes overlaps transfer
+    with compute — the pinned-memory double-buffer pattern layered on
+    the C++ threaded loader (which already overlaps shuffle/assembly
+    with everything else).  ``put(xb, yb)`` performs the actual
+    transfer (plain ``asarray`` or a sharded ``device_put``)."""
+
+    def __init__(self, loader, put, depth: int = 2):
+        if depth < 1:
+            raise ValueError("prefetch depth must be >= 1")
+        from collections import deque
+
+        self.loader = loader
+        self.put = put
+        self._q = deque()
+        for _ in range(depth):
+            self._q.append(put(*loader.next()))
+
+    def next(self):
+        out = self._q.popleft()
+        self._q.append(self.put(*self.loader.next()))
+        return out
+
+
 class NativeLoader:
     """Threaded shuffled minibatch loader (C++ worker + ring buffer);
     falls back to a NumPy generator when the native lib is absent."""

@@ -181,3 +181,40 @@ def test_fit_mixed_precision(jb):
 
         fit(make_net(jb, seed=10), loss, NumpyBackend(), X, Y,
             mixed_precision=True)
+
+
+def test_fit_prefetch_identical_to_no_prefetch(jb):
+    """DevicePrefetcher only overlaps transfer with compute — the loss
+    trajectory is bit-identical to the unprefetched path (same loader
+    seed -> same batch order)."""
+    X, Y, _ = toy_data()
+    loss = cross_entropy(2)
+    r1 = fit(make_net(jb, seed=4), loss, jb, X, Y, epochs=3, batch_size=32,
+             lr=0.3, verbose=False, log_every=1, prefetch=2)
+    r0 = fit(make_net(jb, seed=4), loss, jb, X, Y, epochs=3, batch_size=32,
+             lr=0.3, verbose=False, log_every=1, prefetch=0)
+    assert len(r1.history) == len(r0.history)
+    for a, b in zip(r1.history, r0.history):
+        assert a["loss"] == b["loss"]
+
+
+def test_device_prefetcher_order_and_depth():
+    from tensor_ops_tpu.utils.native import DevicePrefetcher
+
+    class FakeLoader:
+        def __init__(self):
+            self.k = 0
+
+        def next(self):
+            self.k += 1
+            return self.k, -self.k
+
+    calls = []
+    pf = DevicePrefetcher(FakeLoader(), lambda x, y: calls.append(x) or (x, y),
+                          depth=3)
+    assert calls == [1, 2, 3]          # depth batches pre-pulled
+    assert pf.next() == (1, -1)        # FIFO order preserved
+    assert calls == [1, 2, 3, 4]       # refilled immediately
+    assert pf.next() == (2, -2)
+    with pytest.raises(ValueError):
+        DevicePrefetcher(FakeLoader(), lambda x, y: (x, y), depth=0)
