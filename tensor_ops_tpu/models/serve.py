@@ -15,18 +15,24 @@ import numpy as np
 
 from ..backend.base import Backend
 from ..utils.profiling import StepTimer
-from .fast import FusedMLP
+from .fast import FusedMLP, QuantizedMLP
 from .feedforward import Network
 from .training import batched_run
 
 
 class Predictor:
     """Batched prediction with shape bucketing (pad to the next bucket so
-    jit compiles once per bucket, not once per request size)."""
+    jit compiles once per bucket, not once per request size).
+
+    Accepts a staged-IR ``Network`` (+backend), a ``FusedMLP``, or a
+    ``QuantizedMLP`` (int8 serving: quarter the weight HBM traffic —
+    the right model type for weight-streaming-bound deployments,
+    BENCH.md int8 table; uses the whole-MLP w8a8 megakernel when the
+    stack is uniform, the per-layer kernel otherwise)."""
 
     def __init__(
         self,
-        model: Union[Network, FusedMLP],
+        model: Union[Network, FusedMLP, QuantizedMLP],
         be: Optional[Backend] = None,
         buckets: Sequence[int] = (1, 8, 32, 128, 512),
         use_fused_kernel: bool = True,
@@ -45,6 +51,12 @@ class Predictor:
         self.timer = StepTimer()
         if isinstance(model, Network) and be is None:
             raise ValueError("Network predictor needs a backend")
+        self._q_uniform = False
+        if isinstance(model, QuantizedMLP):
+            N = model.wqs[0].shape[1]
+            self._q_uniform = (use_fused_kernel and N % 128 == 0
+                               and all(q.shape == (N, N) for q in model.wqs)
+                               and len(set(model.acts[:-1])) <= 1)
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
@@ -56,6 +68,10 @@ class Predictor:
         return ((n + top - 1) // top) * top
 
     def _forward(self, xb):
+        if isinstance(self.model, QuantizedMLP):
+            if self._q_uniform:
+                return self.model.run_fused(xb)
+            return self.model.run(xb)
         if isinstance(self.model, FusedMLP):
             if not self.use_fused_kernel:
                 return self.model.run(xb)
@@ -67,7 +83,9 @@ class Predictor:
 
     def warmup(self) -> None:
         """Compile every bucket ahead of serving."""
-        if isinstance(self.model, FusedMLP):
+        if isinstance(self.model, QuantizedMLP):
+            i = self.model.wqs[0].shape[1]
+        elif isinstance(self.model, FusedMLP):
             i = self.model.weights[0].shape[1]
         else:
             i = self.model.in_shape[0]
@@ -76,7 +94,7 @@ class Predictor:
             np.asarray(self._forward(self._as(x)))
 
     def _as(self, x):
-        if isinstance(self.model, FusedMLP):
+        if isinstance(self.model, (FusedMLP, QuantizedMLP)):
             import jax.numpy as jnp
 
             return jnp.asarray(x, dtype=jnp.float32)

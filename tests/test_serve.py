@@ -45,3 +45,63 @@ def test_predictor_fused_path(jb):
     assert probs.shape == (4, 3)
     labels = p.predict_class(x)
     assert labels.shape == (4,)
+
+
+def test_predictor_quantized_mlp(jb):
+    """Predictor serves a QuantizedMLP (int8): argmax parity with the
+    f32 FusedMLP predictor across bucket boundaries."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP, QuantizedMLP
+    from tensor_ops_tpu.models.serve import Predictor
+
+    rng = Rng(jb, seed=3)
+    net = gen_net(jb, 12, 4, [(10, act_logistic())], act_softmax(), rng)
+    fm = FusedMLP.from_network(net, precision="highest")
+    qm = QuantizedMLP.from_fused(fm)
+    pf = Predictor(fm, buckets=(4, 16))
+    pq = Predictor(qm, buckets=(4, 16))
+    pq.warmup()
+    r = np.random.default_rng(0)
+    agree, total = 0, 0
+    for n in (1, 4, 9, 16, 33):
+        x = r.uniform(0, 1, size=(n, 12)).astype(np.float32)
+        a = pf.predict_class(x)
+        b = pq.predict_class(x)
+        assert a.shape == b.shape == (n,)
+        # the serving wrapper itself (bucketing/padding) is exact: it
+        # must reproduce the bare model's probabilities bit-for-bit
+        want = np.asarray(qm.run(jnp.asarray(x, jnp.float32)))
+        np.testing.assert_allclose(np.asarray(pq.predict(x)), want,
+                                   rtol=1e-6, atol=1e-6)
+        agree += int((a == b).sum())
+        total += n
+    # int8-vs-f32 argmax can differ on near-tie rows of an untrained
+    # random net; fidelity bounds live in test_pallas — here just sanity
+    assert agree / total > 0.8, (agree, total)
+    assert pq.latency()["n"] >= 5
+
+
+def test_predictor_quantized_uniform_uses_megakernel(jb):
+    """A uniform 128-multiple int8 stack routes through the whole-MLP
+    w8a8 megakernel path."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+    from tensor_ops_tpu.models.serve import Predictor
+    from tensor_ops_tpu.ops.pallas_kernels import quantize_weights_int8
+    from tensor_ops_tpu.testing import rand
+
+    N = 128
+    ws = [jnp.asarray(rand(70 + k, N, N) * 0.2, jnp.float32) for k in range(2)]
+    bs = [jnp.asarray(rand(80 + k, N) * 0.1, jnp.float32) for k in range(2)]
+    qs, ss = zip(*(quantize_weights_int8(w) for w in ws))
+    qm = QuantizedMLP(tuple(qs), tuple(ss), tuple(bs), ("relu", "identity"))
+    p = Predictor(qm, buckets=(8,))
+    assert p._q_uniform
+    x = np.random.default_rng(1).uniform(0, 1, size=(5, N)).astype(np.float32)
+    out = p.predict(x)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(qm.run_fused(x[:5]))[:5], atol=1e-5)
