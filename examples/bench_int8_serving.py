@@ -11,9 +11,13 @@ methodology (loop-carried input, two step counts, wall-clock difference
 Run on the real TPU:  python examples/bench_int8_serving.py
 """
 import math
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

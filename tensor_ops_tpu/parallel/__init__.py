@@ -7,3 +7,5 @@ from .ir_pipeline import (
     split_network,
     unchain,
 )
+from .collective_kernels import dp_megakernel_train_step, ring_all_reduce
+from .distributed import init_distributed, shutdown_distributed

@@ -93,3 +93,39 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_init_distributed_single_process_noop():
+    """Single-process (no coordinator configured): init is a no-op that
+    still reports the process/device topology."""
+    from tensor_ops_tpu.parallel.distributed import init_distributed
+
+    info = init_distributed()
+    assert info["initialized"] is False
+    assert info["process_count"] == 1 and info["process_index"] == 0
+    assert info["global_devices"] >= info["local_devices"] >= 1
+
+
+def test_init_distributed_env_resolution(monkeypatch):
+    """TOPS_* env vars are picked up; with a bogus coordinator the call
+    must at least ATTEMPT multi-process init (we assert it reaches
+    jax.distributed.initialize with the resolved arguments)."""
+    import tensor_ops_tpu.parallel.distributed as D
+
+    seen = {}
+
+    def fake_init(**kw):
+        seen.update(kw)
+
+    monkeypatch.setattr(D, "_initialized", False)
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("TOPS_COORDINATOR", "10.0.0.1:8476")
+    monkeypatch.setenv("TOPS_NUM_PROCESSES", "4")
+    monkeypatch.setenv("TOPS_PROCESS_ID", "2")
+    info = D.init_distributed()
+    assert seen == {"coordinator_address": "10.0.0.1:8476",
+                    "num_processes": 4, "process_id": 2}
+    assert info["initialized"] is True
+    monkeypatch.setattr(D, "_initialized", False)  # restore module state
