@@ -110,6 +110,51 @@ def load_fused(path: str):
                     meta.get("precision", "default"))
 
 
+def save_quantized(path: str, model, extra_meta: Optional[dict] = None) -> None:
+    """Save a QuantizedMLP (int8 weights + scales + biases) — the
+    deployable serving artifact: a quarter of the f32 checkpoint bytes."""
+    arrays = {f"wq_{i}": q for i, q in enumerate(model.wqs)}
+    arrays.update({f"s_{i}": s for i, s in enumerate(model.scales)})
+    arrays.update({f"b_{i}": b for i, b in enumerate(model.biases)})
+    meta = {
+        "kind": "quantized_mlp",
+        "acts": list(model.acts),
+        "softmax_out": bool(model.softmax_out),
+        "mode": model.mode,
+    }
+    meta.update(extra_meta or {})
+    save_arrays(path, arrays, meta)
+
+
+def load_quantized(path: str):
+    from ..models.fast import QuantizedMLP
+
+    arrays, meta = load_arrays(path)
+    n = sum(1 for k in arrays if k.startswith("wq_"))
+    import jax.numpy as jnp
+
+    qs = tuple(jnp.asarray(arrays[f"wq_{i}"], jnp.int8) for i in range(n))
+    ss = tuple(jnp.asarray(arrays[f"s_{i}"], jnp.float32) for i in range(n))
+    bs = tuple(jnp.asarray(arrays[f"b_{i}"], jnp.float32) for i in range(n))
+    return QuantizedMLP(qs, ss, bs, tuple(meta["acts"]),
+                        meta["softmax_out"], meta.get("mode", "w8a8"))
+
+
+def save_autoencoder(path: str, model, extra_meta: Optional[dict] = None) -> None:
+    """Save a FusedAutoencoder (the stacked encoder+decoder FusedMLP +
+    the encoder/decoder split point)."""
+    meta = {"kind": "fused_autoencoder", "n_enc": int(model.n_enc)}
+    meta.update(extra_meta or {})
+    save_fused(path, model.mlp, meta)
+
+
+def load_autoencoder(path: str):
+    from ..models.fast import FusedAutoencoder
+
+    _, meta = load_arrays(path)
+    return FusedAutoencoder(load_fused(path), int(meta["n_enc"]))
+
+
 def save_pipeline(path: str, model, extra_meta: Optional[dict] = None) -> None:
     """Save a PipelineMLP."""
     arrays = {

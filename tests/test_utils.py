@@ -147,3 +147,57 @@ def test_enable_nan_checks_roundtrip():
     assert jax.config.jax_debug_nans
     enable_nan_checks(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+    from tensor_ops_tpu.ops.pallas_kernels import quantize_weights_int8
+    from tensor_ops_tpu.testing import rand
+    from tensor_ops_tpu.utils.checkpoint import load_quantized, save_quantized
+
+    ws = [jnp.asarray(rand(1 + k, 6, 8) * 0.3, jnp.float32) for k in range(2)]
+    ws[1] = jnp.asarray(rand(9, 4, 6) * 0.3, jnp.float32)
+    bs = [jnp.zeros((6,), jnp.float32), jnp.zeros((4,), jnp.float32)]
+    qs, ss = zip(*(quantize_weights_int8(w) for w in ws))
+    qm = QuantizedMLP(tuple(qs), tuple(ss), tuple(bs),
+                      ("logistic", "identity"), softmax_out=True, mode="w8")
+    p = str(tmp_path / "q.npz")
+    save_quantized(p, qm)
+    qm2 = load_quantized(p)
+    assert qm2.mode == "w8" and qm2.acts == qm.acts
+    assert qm2.wqs[0].dtype == jnp.int8
+    x = jnp.asarray(rand(11, 3, 8), jnp.float32)
+    np.testing.assert_allclose(np.asarray(qm2.run(x)), np.asarray(qm.run(x)),
+                               atol=1e-6)
+
+
+def test_autoencoder_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, gen_net
+    from tensor_ops_tpu.models.autoencoder import Encoder
+    from tensor_ops_tpu.models.fast import FusedAutoencoder
+    from tensor_ops_tpu.utils.checkpoint import (
+        load_autoencoder,
+        save_autoencoder,
+    )
+
+    import tensor_ops_tpu as T
+
+    be = T.JaxBackend()
+    rng = Rng(be, seed=7)
+    enc = Encoder(gen_net(be, 6, 2, [], act_logistic(), rng),
+                  gen_net(be, 2, 6, [], act_logistic(), rng))
+    fae = FusedAutoencoder.from_encoder(enc)
+    p = str(tmp_path / "ae.npz")
+    save_autoencoder(p, fae)
+    fae2 = load_autoencoder(p)
+    assert fae2.n_enc == fae.n_enc
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 6)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fae2.encode_decode(x)),
+                               np.asarray(fae.encode_decode(x)), atol=1e-6)
