@@ -76,3 +76,73 @@ def enable_nan_checks(enable: bool = True) -> None:
     import jax
 
     jax.config.update("jax_debug_nans", bool(enable))
+
+
+def cost_analysis(fn, *args) -> dict:
+    """XLA's own cost model for ``jit(fn)(*args)``: flops, bytes
+    accessed, etc. — the denominator for achieved-vs-peak reporting."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return dict(ca or {})
+
+
+def measure_loop(step, init, steps=(50, 250), reps: int = 6) -> dict:
+    """Steady-state per-iteration wall time of ``carry = step(carry)``
+    with the repo's RTT-cancelling differential method (BENCH.md):
+    the loop runs inside ONE jitted ``lax.fori_loop`` at two step
+    counts; (best wall hi - best wall lo) / (hi - lo) removes the
+    constant dispatch cost.  ``step`` must carry its state (a loop
+    whose iterations are independent gets hoisted by XLA and measures
+    nothing)."""
+    import jax
+    from jax import lax
+
+    lo_n, hi_n = steps
+
+    def make(n):
+        @jax.jit
+        def loop(c):
+            return lax.fori_loop(0, n, lambda i, c: step(c), c)
+        return lambda: jax.block_until_ready(loop(init))
+
+    lo, hi = make(lo_n), make(hi_n)
+    lo(); hi()  # compile + warm
+
+    def wall(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (wall(hi) - wall(lo)) / (hi_n - lo_n)
+    return {"per_step_s": per_step, "steps_per_s": 1.0 / per_step}
+
+
+def profile_step(step, init, steps=(50, 250), reps: int = 6) -> dict:
+    """measure_loop + XLA cost analysis of ONE step: reports achieved
+    TFLOP/s and GB/s against the compiler's own flop/byte counts.
+
+        stats = profile_step(lambda c: train_step(c), carry0)
+        # {'per_step_s', 'steps_per_s', 'flops', 'bytes_accessed',
+        #  'tflops_per_s', 'gbytes_per_s', 'compile_s'}
+    """
+    t0 = time.perf_counter()
+    ca = cost_analysis(step, init)
+    compile_s = time.perf_counter() - t0
+    out = measure_loop(step, init, steps, reps)
+    out["compile_s"] = compile_s
+    flops = ca.get("flops", 0.0)
+    byts = ca.get("bytes accessed", ca.get("bytes_accessed", 0.0))
+    out["flops"] = flops
+    out["bytes_accessed"] = byts
+    if flops:
+        out["tflops_per_s"] = flops / out["per_step_s"] / 1e12
+    if byts:
+        out["gbytes_per_s"] = byts / out["per_step_s"] / 1e9
+    return out

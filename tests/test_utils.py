@@ -201,3 +201,28 @@ def test_autoencoder_checkpoint_roundtrip(tmp_path):
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 6)), jnp.float32)
     np.testing.assert_allclose(np.asarray(fae2.encode_decode(x)),
                                np.asarray(fae.encode_decode(x)), atol=1e-6)
+
+
+def test_profile_step_reports_rates():
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.utils.profiling import (
+        cost_analysis,
+        measure_loop,
+        profile_step,
+    )
+
+    w = jnp.ones((64, 64), jnp.float32)
+
+    def step(c):
+        return jnp.tanh(c @ w)
+
+    init = jnp.ones((8, 64), jnp.float32)
+    stats = profile_step(step, init, steps=(5, 25), reps=2)
+    assert stats["per_step_s"] > 0 and stats["steps_per_s"] > 0
+    assert stats["compile_s"] >= 0
+    # XLA's cost model counts the matmul flops
+    ca = cost_analysis(step, init)
+    assert ca.get("flops", 0) >= 2 * 8 * 64 * 64 * 0.5
+    m = measure_loop(step, init, steps=(5, 25), reps=2)
+    assert m["per_step_s"] > 0
