@@ -13,7 +13,6 @@ Run on the real TPU:  python examples/bench_int8_serving.py
 import math
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -21,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from tensor_ops_tpu.ops.pallas_kernels import (
     fused_linear,
@@ -30,21 +28,9 @@ from tensor_ops_tpu.ops.pallas_kernels import (
     fused_mlp_w8a8_forward,
     quantize_weights_int8,
 )
+from tensor_ops_tpu.utils.profiling import measure_loop
 
 N, L, B = 4096, 4, 16
-
-
-def diff_time(make_loop, small, big, reps=8):
-    lo, hi = make_loop(small), make_loop(big)
-    lo(); hi()
-    def wall(fn):
-        best = math.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        return best
-    return (wall(hi) - wall(lo)) / (big - small)
 
 
 def main():
@@ -92,14 +78,12 @@ def main():
     rows = []
 
     def bench(name, f, *args, wbytes):
-        def make(n):
-            @jax.jit
-            def loop(x, *rest):
-                # output feeds back as input (kaiming relu chain keeps
-                # variance stable) so XLA cannot hoist the network
-                return lax.fori_loop(0, n, lambda i, h: f(h, *rest), x)
-            return lambda: float(loop(*args)[0, 0])
-        dt = diff_time(make, 50, 250)
+        # measure_loop (profiling.py): the output IS the next input
+        # (kaiming relu chain keeps variance stable) so XLA cannot hoist
+        # the network; weights travel via args= so they stay jit INPUTS,
+        # not 64MB compile-payload constants
+        dt = measure_loop(f, args[0], steps=(50, 250), reps=8,
+                          args=args[1:])["per_step_s"]
         rows.append((name, dt))
         print(f"{name:24s} {dt*1e6:8.1f} us/fwd  ({dt/L*1e6:6.1f} us/layer, "
               f"{wbytes/dt/1e9:5.0f} GB/s weight stream)")

@@ -328,18 +328,30 @@ class QuantizedMLP:
             raise ValueError(f"run_fused needs one hidden activation, got {hidden}")
         fn = self._cache.get("fwd_fused")
         if fn is None:
+            from ..ops.pallas_kernels import _act_fn
+
             act = next(iter(hidden)) if hidden else "identity"
+            last = self.acts[-1]
 
             def forward(x, wq3, sw2, b2):
                 z = fused_mlp_w8a8_forward(x, wq3, sw2, b2, act)
-                return jax.nn.softmax(z, axis=-1) if self.softmax_out else z
+                if self.softmax_out:
+                    return jax.nn.softmax(z, axis=-1)
+                # the kernel emits raw logits; the final elementwise
+                # activation applies here so run_fused == run exactly
+                return _act_fn(last)(z)
 
             fn = jax.jit(forward)
             self._cache["fwd_fused"] = fn
-        wq3 = jnp.stack(self.wqs)
-        sw2 = jnp.stack([s.reshape(-1) for s in self.scales])
-        b2 = jnp.stack(self.biases)
-        return fn(x, wq3, sw2, b2)
+        stacked = self._cache.get("fwd_fused_stacked")
+        if stacked is None:
+            # pure function of the immutable model — stack once, not per
+            # request (64 MB of device copies per call at serving sizes)
+            stacked = (jnp.stack(self.wqs),
+                       jnp.stack([s.reshape(-1) for s in self.scales]),
+                       jnp.stack(self.biases))
+            self._cache["fwd_fused_stacked"] = stacked
+        return fn(x, *stacked)
 
 
 @dataclass

@@ -715,8 +715,9 @@ def fused_linear_w8a8(x, wq, scale, b, act: str = "identity"):
     o = wq.shape[0]
     # int8 tile heuristic from the on-device sweep (BENCH.md int8 table):
     # 2048x1024 weight blocks stream at ~990 GB/s (vs ~820 for the f32
-    # heuristic's 512 x full-K); int8 minimum sublane tile is 32.
-    block_b = max(min(_round_up(B, 8), 512), 32)
+    # heuristic's 512 x full-K); int8 minimum sublane tile is 32, so the
+    # batch tile rounds UP to a 32-multiple (not just clamps at 32)
+    block_b = min(_round_up(B, 32), 512)
     block_o = min(_round_up(o, LANE), 2048)
     block_k = min(_round_up(i, LANE), 1024)
     xq, sx = quantize_acts_int8(x)
@@ -834,7 +835,7 @@ def fused_mlp_w8a8_forward(x, wqs, sws, bs, hidden_act: str = "relu"):
         raise ValueError(
             f"fused_mlp_w8a8_forward needs uniform 128-multiple dims, got "
             f"x {x.shape}, wqs {wqs.shape}")
-    block_b = max(min(_round_up(B, 8), 512), 32)
+    block_b = min(_round_up(B, 32), 512)  # int8 sublane tile is 32
     block_o = min(N, 2048)
     block_k = min(N, 1024)
     nj, nk = N // block_o, N // block_k

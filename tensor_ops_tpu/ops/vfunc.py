@@ -24,12 +24,18 @@ class _Unfreezable(Exception):
 def _freeze(v):
     """A hashable token that is equal iff the values are interchangeable;
     raises when we can't be sure (mutable/opaque objects)."""
+    import types
+
     if isinstance(v, (int, float, complex, str, bytes, bool, type(None))):
         # type name included: hash(1) == hash(1.0) but 1 and 1.0 behave
         # differently under e.g. integer division
         return (type(v).__name__, v)
     if isinstance(v, tuple):
         return ("tuple",) + tuple(_freeze(x) for x in v)
+    if isinstance(v, types.ModuleType):
+        return ("mod", v.__name__)  # module identity is its import name
+    if isinstance(v, types.CodeType):
+        return ("codeobj", v.co_filename, v.co_firstlineno, v.co_code)
     if callable(v):
         return callable_key(v)
     raise _Unfreezable(v)
@@ -37,28 +43,52 @@ def _freeze(v):
 
 def callable_key(f) -> tuple:
     """A structural identity for a callable: equal keys imply equal
-    behavior.  Plain functions/lambdas key on their code object plus
-    frozen captured state (closure cells, defaults), so structurally
-    identical functions built at the same code site compare equal across
-    calls — the jit-cache fix for the ``fit(net, cross_entropy(o))``
-    recompile-per-call pattern.  Anything we can't prove equal (opaque
-    captured objects, builtins, callables with state) falls back to
-    ``id`` — callers must then pin the object in the cache value so the
-    id cannot be recycled."""
+    behavior.  Plain functions/lambdas key on their code object plus ALL
+    frozen captured state — closure cells, defaults, and the values of
+    every global name the code references (modules key by name; opaque
+    values are unprovable) — so structurally identical functions built
+    at the same code site compare equal across calls: the jit-cache fix
+    for the ``fit(net, cross_entropy(o))`` recompile-per-call pattern.
+
+    Anything we can't prove equal falls back to ``id``: bound methods
+    (behavior depends on ``__self__`` state), builtins/callable objects,
+    and functions capturing opaque values.  Callers must then pin the
+    object in the cache value so the id cannot be recycled."""
     if f is None:
         return ("none",)
+    if getattr(f, "__self__", None) is not None:
+        # bound method: two methods sharing __code__ on objects in
+        # different states behave differently — never key structurally
+        return ("id", id(f))
     code = getattr(f, "__code__", None)
     if code is None:
         return ("id", id(f))
+    if id(f) in _keying:  # self/mutually-recursive global references
+        return ("rec", code.co_filename, code.co_firstlineno)
+    _keying.add(id(f))
     try:
         cells = tuple(
             _freeze(c.cell_contents) for c in (f.__closure__ or ())
         )
         defaults = tuple(_freeze(d) for d in (f.__defaults__ or ()))
+        # referenced globals: same code text with different global
+        # bindings (exec-built factories, monkeypatched modules) is
+        # different behavior
+        g = getattr(f, "__globals__", None) or {}
+        gvals = tuple(
+            sorted((n, _freeze(g[n])) for n in set(code.co_names)
+                   if n in g)
+        )
+        consts = tuple(_freeze(c) for c in code.co_consts)
     except _Unfreezable:
         return ("id", id(f))
+    finally:
+        _keying.discard(id(f))
     return ("code", code.co_filename, code.co_firstlineno,
-            code.co_code, cells, defaults)
+            code.co_code, cells, defaults, gvals, consts)
+
+
+_keying: set = set()
 
 
 @dataclass(frozen=True)

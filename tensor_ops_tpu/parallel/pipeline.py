@@ -28,10 +28,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
-try:  # jax >= 0.8 top-level API; the experimental path is deprecated
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+# jax >= 0.8 top-level API only: every call site passes check_vma=...,
+# which the pre-0.8 experimental shard_map (check_rep era) rejects — a
+# fallback import would just fail later with a confusing TypeError
+from jax import shard_map
 
 # axis names shared with parallel/mesh.py — one contract for both modules
 from .mesh import DATA_AXIS, MODEL_AXIS  # noqa: E402
@@ -401,8 +401,10 @@ def shard_circular_model(model: PipelineMLP, mesh: Mesh) -> PipelineMLP:
 def circular_pipeline_train_step(model: PipelineMLP, mesh: Mesh,
                                  n_microbatches: int) -> Callable:
     """Jitted circular-schedule SGD step; ``model`` must be sharded with
-    :func:`shard_circular_model` and ``n_microbatches`` must equal the
-    stage-axis size."""
+    :func:`shard_circular_model`.  ``n_microbatches`` >= the stage-axis
+    size S: M == S consumes wrapped activations the tick they arrive,
+    M > S buffers them in a depth-(M-S) ring FIFO (more microbatches ->
+    smaller bubble (S-1)/(VM+S-1))."""
     from functools import partial
 
     S = mesh.shape[STAGE_AXIS]

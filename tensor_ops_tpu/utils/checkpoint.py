@@ -94,6 +94,7 @@ def save_fused(path: str, model, extra_meta: Optional[dict] = None) -> None:
         "acts": list(model.acts),
         "softmax_out": bool(model.softmax_out),
         "precision": model.precision,
+        "loss_kind": model.loss_kind,
     }
     meta.update(extra_meta or {})
     save_arrays(path, arrays, meta)
@@ -107,7 +108,8 @@ def load_fused(path: str):
     ws = tuple(arrays[f"w_{i}"] for i in range(n))
     bs = tuple(arrays[f"b_{i}"] for i in range(n))
     return FusedMLP(ws, bs, tuple(meta["acts"]), meta["softmax_out"],
-                    meta.get("precision", "default"))
+                    meta.get("precision", "default"),
+                    meta.get("loss_kind", "ce"))
 
 
 def save_quantized(path: str, model, extra_meta: Optional[dict] = None) -> None:

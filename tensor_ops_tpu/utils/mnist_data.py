@@ -75,13 +75,25 @@ def verify_real_mnist(data_dir: str) -> dict:
             raw_path = os.path.join(data_dir, name)
             if os.path.exists(gz):
                 with open(gz, "rb") as f:
-                    digest = hashlib.md5(f.read()).hexdigest()
-                if digest == KNOWN_MD5[name + ".gz"]:
-                    report[name] = {"source": "gz", "md5": digest}
+                    gz_bytes = f.read()
+                digest = hashlib.md5(gz_bytes).hexdigest()
+                if digest != KNOWN_MD5[name + ".gz"]:
+                    failures.append(
+                        f"{name}.gz: md5 {digest} != canonical "
+                        f"{KNOWN_MD5[name + '.gz']}")
                     continue
-                failures.append(
-                    f"{name}.gz: md5 {digest} != canonical "
-                    f"{KNOWN_MD5[name + '.gz']}")
+                # the loader trains from the DECODED cache file when one
+                # exists — certify those exact bytes, not just the .gz
+                if os.path.exists(raw_path):
+                    with open(raw_path, "rb") as f:
+                        raw = f.read()
+                    if raw != gzip.decompress(gz_bytes):
+                        failures.append(
+                            f"{name}: decoded cache differs from the "
+                            f"verified {name}.gz contents (tampered or "
+                            f"stale cache — delete {name} to re-extract)")
+                        continue
+                report[name] = {"source": "gz", "md5": digest}
                 continue
             if os.path.exists(raw_path):
                 with open(raw_path, "rb") as f:

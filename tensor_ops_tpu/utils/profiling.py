@@ -90,24 +90,34 @@ def cost_analysis(fn, *args) -> dict:
     return dict(ca or {})
 
 
-def measure_loop(step, init, steps=(50, 250), reps: int = 6) -> dict:
-    """Steady-state per-iteration wall time of ``carry = step(carry)``
-    with the repo's RTT-cancelling differential method (BENCH.md):
-    the loop runs inside ONE jitted ``lax.fori_loop`` at two step
-    counts; (best wall hi - best wall lo) / (hi - lo) removes the
-    constant dispatch cost.  ``step`` must carry its state (a loop
-    whose iterations are independent gets hoisted by XLA and measures
-    nothing)."""
+def measure_loop(step, init, steps=(50, 250), reps: int = 6,
+                 args: tuple = ()) -> dict:
+    """Steady-state per-iteration wall time of ``carry = step(carry,
+    *args)`` with the repo's RTT-cancelling differential method
+    (BENCH.md): the loop runs inside ONE jitted ``lax.fori_loop`` at two
+    step counts; (best wall hi - best wall lo) / (hi - lo) removes the
+    constant dispatch cost.  ``step`` must carry its state (a loop whose
+    iterations are independent gets hoisted by XLA and measures
+    nothing).  Pass large invariant operands (weights!) through ``args``
+    — values merely closed over become jit CONSTANTS, inflating the
+    compile payload (the axon remote-compile rejects >100MB bodies)."""
     import jax
     from jax import lax
 
     lo_n, hi_n = steps
 
+    def _sync(out):
+        # value-fetch a scalar: block_until_ready is NOT a reliable sync
+        # on remote/tunnelled backends (axon returns immediately) — every
+        # honest wall in this repo fetches a value (BENCH.md)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(leaf.reshape(-1)[0])
+
     def make(n):
         @jax.jit
-        def loop(c):
-            return lax.fori_loop(0, n, lambda i, c: step(c), c)
-        return lambda: jax.block_until_ready(loop(init))
+        def loop(c, *a):
+            return lax.fori_loop(0, n, lambda i, c: step(c, *a), c)
+        return lambda: _sync(loop(init, *args))
 
     lo, hi = make(lo_n), make(hi_n)
     lo(); hi()  # compile + warm
@@ -124,7 +134,8 @@ def measure_loop(step, init, steps=(50, 250), reps: int = 6) -> dict:
     return {"per_step_s": per_step, "steps_per_s": 1.0 / per_step}
 
 
-def profile_step(step, init, steps=(50, 250), reps: int = 6) -> dict:
+def profile_step(step, init, steps=(50, 250), reps: int = 6,
+                 args: tuple = ()) -> dict:
     """measure_loop + XLA cost analysis of ONE step: reports achieved
     TFLOP/s and GB/s against the compiler's own flop/byte counts.
 
@@ -133,9 +144,9 @@ def profile_step(step, init, steps=(50, 250), reps: int = 6) -> dict:
         #  'tflops_per_s', 'gbytes_per_s', 'compile_s'}
     """
     t0 = time.perf_counter()
-    ca = cost_analysis(step, init)
+    ca = cost_analysis(step, init, *args)
     compile_s = time.perf_counter() - t0
-    out = measure_loop(step, init, steps, reps)
+    out = measure_loop(step, init, steps, reps, args=args)
     out["compile_s"] = compile_s
     flops = ca.get("flops", 0.0)
     byts = ca.get("bytes accessed", ca.get("bytes_accessed", 0.0))

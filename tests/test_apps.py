@@ -253,3 +253,24 @@ def test_mnist_seed_determinism(tmp_path):
 
     strip = lambda s: re.sub(r"in \d+\.\d+s", "in Xs", s)
     assert strip(a) == strip(b)
+
+
+def test_require_real_data_rejects_tampered_decoded_cache(tmp_path, monkeypatch):
+    """Regression (code review): the loader trains from the DECODED
+    cache file; a verified .gz must not certify a tampered raw file."""
+    import hashlib
+
+    from tensor_ops_tpu.utils import mnist_data
+    from tensor_ops_tpu.utils.idx import encode_idx
+    from tensor_ops_tpu.utils.mnist_data import MNIST_FILES, RealDataError
+
+    _write_fake_gz_set(tmp_path, n=10)
+    fake_md5 = {}
+    for name in mnist_data.KNOWN_MD5:
+        fake_md5[name] = hashlib.md5((tmp_path / name).read_bytes()).hexdigest()
+    monkeypatch.setattr(mnist_data, "KNOWN_MD5", fake_md5)
+    # decoded cache present but TAMPERED (different pixel bytes)
+    bad = np.zeros((10, 28, 28), dtype=np.uint8)
+    (tmp_path / MNIST_FILES[0][0]).write_bytes(encode_idx(bad))
+    with pytest.raises(RealDataError, match="differs from the verified"):
+        load_mnist(str(tmp_path), require_real=True)

@@ -115,3 +115,58 @@ def test_accum_steps_divisibility_validated(jb):
     with pytest.raises(ValueError, match="divisible by accum_steps"):
         fit(net, cross_entropy(4), jb, X, Y, batch_size=10, accum_steps=3,
             verbose=False)
+
+
+def test_callable_key_bound_methods_never_collide():
+    """Bound methods expose a shared __code__ but behavior depends on
+    __self__ state — they must key by identity, not structure."""
+    from tensor_ops_tpu.ops.vfunc import callable_key
+
+    class Act:
+        def __init__(self, gain):
+            self.gain = gain
+
+        def f(self, x):
+            return self.gain * x
+
+    a, b = Act(0.1), Act(0.2)
+    assert callable_key(a.f) != callable_key(b.f)
+
+
+def test_callable_key_distinguishes_global_bindings():
+    """Same code text compiled against different global bindings is
+    different behavior (exec-built factories)."""
+    from tensor_ops_tpu.ops.vfunc import callable_key
+
+    def build(gain):
+        ns = {"GAIN": gain}
+        exec("def f(x):\n    return GAIN * x", ns)
+        return ns["f"]
+
+    assert callable_key(build(2)) != callable_key(build(3))
+
+
+def test_callable_key_same_site_lambdas_still_equal():
+    """The structural-cache win must survive the soundness fixes: two
+    lambdas from the same code site referencing a module global key
+    equal."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from tensor_ops_tpu.ops.vfunc import callable_key
+
+    def build():
+        import jax.numpy as jnp
+
+        return lambda x: 1.0 / (1.0 + jnp.exp(-x))
+
+    assert callable_key(build()) == callable_key(build())
+
+
+def test_callable_key_recursive_global_terminates():
+    from tensor_ops_tpu.ops import vfunc as V
+
+    src = "def fact(n):\n    return 1 if n <= 1 else n * fact(n - 1)"
+    ns = {}
+    exec(src, ns)
+    k = V.callable_key(ns["fact"])
+    assert k[0] in ("code", "id")

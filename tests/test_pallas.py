@@ -480,3 +480,23 @@ def test_predictor_default_uses_whole_mlp_kernel():
     out = p.predict(rr.uniform(0, 1, size=(5, 4)))
     assert out.shape == (5, 3)
     np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_quantized_run_fused_applies_final_activation():
+    """Regression (code review): with softmax_out=False the megakernel
+    emits raw logits — run_fused must still apply acts[-1] so it equals
+    run() exactly."""
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+    from tensor_ops_tpu.ops.pallas_kernels import quantize_weights_int8
+
+    N = 128
+    ws = [jnp.asarray(r(95 + k, N, N) * 0.2, jnp.float32) for k in range(2)]
+    bs = [jnp.asarray(r(97 + k, N) * 0.1, jnp.float32) for k in range(2)]
+    qs, ss = zip(*(quantize_weights_int8(w) for w in ws))
+    qm = QuantizedMLP(tuple(qs), tuple(ss), tuple(bs), ("relu", "relu"),
+                      softmax_out=False)
+    x = jnp.asarray(r(99, 4, N), jnp.float32)
+    y_run = np.asarray(qm.run(x))
+    y_fused = np.asarray(qm.run_fused(x))
+    assert (y_fused >= 0).all()  # relu applied
+    np.testing.assert_allclose(y_fused, y_run, rtol=1e-5, atol=1e-5)

@@ -226,3 +226,34 @@ def test_profile_step_reports_rates():
     assert ca.get("flops", 0) >= 2 * 8 * 64 * 64 * 0.5
     m = measure_loop(step, init, steps=(5, 25), reps=2)
     assert m["per_step_s"] > 0
+
+
+def test_fused_checkpoint_preserves_loss_kind(tmp_path):
+    """Regression (code review): a reloaded FusedAutoencoder must keep
+    loss_kind='mse' so train() still works."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, gen_net
+    from tensor_ops_tpu.models.autoencoder import Encoder
+    from tensor_ops_tpu.models.fast import FusedAutoencoder
+    from tensor_ops_tpu.utils.checkpoint import (
+        load_autoencoder,
+        save_autoencoder,
+    )
+
+    import tensor_ops_tpu as T
+
+    be = T.JaxBackend()
+    rng = Rng(be, seed=3)
+    enc = Encoder(gen_net(be, 6, 2, [], act_logistic(), rng),
+                  gen_net(be, 2, 6, [], act_logistic(), rng))
+    fae = FusedAutoencoder.from_encoder(enc)
+    p = str(tmp_path / "ae2.npz")
+    save_autoencoder(p, fae)
+    fae2 = load_autoencoder(p)
+    assert fae2.mlp.loss_kind == "mse" and not fae2.mlp.softmax_out
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (8, 6)), jnp.float32)
+    v, _ = fae2.train(0.5, x)  # raised ValueError before the fix
+    assert np.isfinite(v)
