@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""tensor-ops-serve: serve a trained network checkpoint.
+
+A rebuild extra (the reference stops at training loops): load any
+checkpoint produced by the framework (`Network` .npz from
+``apps/mnist.py --checkpoint`` / ``fit(checkpoint_path=...)``, or a
+``FusedMLP``/``QuantizedMLP`` artifact), optionally quantize to int8 at
+load, warm the bucketed Predictor, then answer prediction requests from
+an .npy/.npz/CSV file or run a latency self-benchmark.
+
+Examples:
+    python apps/serve.py ckpt.npz --layers 300,100 --bench
+    python apps/serve.py ckpt.npz --layers 300,100 --int8 -i batch.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tensor_ops_tpu as T
+from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+from tensor_ops_tpu.models.fast import FusedMLP, QuantizedMLP
+from tensor_ops_tpu.models.serve import Predictor
+from tensor_ops_tpu.utils.checkpoint import (
+    load_arrays,
+    load_fused,
+    load_network,
+    load_quantized,
+)
+
+
+def load_model(path: str, layers, in_dim: int, out_dim: int, int8: bool):
+    """Dispatch on the checkpoint's ``kind`` metadata; bare Network
+    checkpoints rebuild the op graph from the layer spec flags."""
+    _, meta = load_arrays(path)
+    kind = meta.get("kind", "network")
+    if kind == "quantized_mlp":
+        return load_quantized(path)
+    if kind == "fused_mlp":
+        fm = load_fused(path)
+        return QuantizedMLP.from_fused(fm) if int8 else fm
+    # staged-IR Network checkpoint: rebuild the graph, then load params
+    be = T.JaxBackend()
+    from tensor_ops_tpu.backend.rng import Rng
+
+    net = gen_net(be, in_dim, out_dim,
+                  [(h, act_logistic()) for h in layers], act_softmax(),
+                  Rng(be, seed=0))
+    net = load_network(path, net, be)
+    fm = FusedMLP.from_network(net)
+    return QuantizedMLP.from_fused(fm) if int8 else fm
+
+
+def read_batch(path: str, in_dim: int) -> np.ndarray:
+    if path.endswith(".npy"):
+        x = np.load(path)
+    elif path.endswith(".npz"):
+        z = np.load(path)
+        x = z[list(z.files)[0]]
+    else:  # CSV
+        x = np.loadtxt(path, delimiter=",")
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        x = x.reshape(1, -1)
+    if x.shape[1] != in_dim:
+        raise SystemExit(f"input dim {x.shape[1]} != model dim {in_dim}")
+    return x
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="tensor-ops-serve",
+        description="Serve a trained tensor-ops-tpu checkpoint")
+    p.add_argument("checkpoint", help=".npz checkpoint path")
+    p.add_argument("-l", "--layers", type=str, default="300,100",
+                   help="Hidden sizes for bare Network checkpoints "
+                        "(default: 300,100)")
+    p.add_argument("--in-dim", type=int, default=784)
+    p.add_argument("--out-dim", type=int, default=10)
+    p.add_argument("--int8", action="store_true",
+                   help="Quantize weights to int8 at load (w8a8 MXU path)")
+    p.add_argument("-i", "--input", type=str, default=None,
+                   help="Batch file (.npy/.npz/CSV) to predict")
+    p.add_argument("--probs", action="store_true",
+                   help="Print class probabilities instead of argmax")
+    p.add_argument("--buckets", type=str, default="8,64,512",
+                   help="Padding buckets (jit specializations)")
+    p.add_argument("--bench", action="store_true",
+                   help="Warm up, run a latency self-benchmark, print JSON")
+    args = p.parse_args(argv)
+
+    layers = [int(x) for x in args.layers.split(",") if x]
+    buckets = tuple(int(x) for x in args.buckets.split(",") if x)
+    model = load_model(args.checkpoint, layers, args.in_dim, args.out_dim,
+                       args.int8)
+    pred = Predictor(model, buckets=buckets)
+    print(f"Serving {type(model).__name__} from {args.checkpoint} "
+          f"(buckets {buckets})")
+
+    if args.bench:
+        pred.warmup()
+        r = np.random.default_rng(0)
+        for b in buckets:
+            x = r.uniform(0, 1, size=(b, args.in_dim)).astype(np.float32)
+            for _ in range(5):
+                pred.predict(x)
+        print(json.dumps({"latency": pred.latency()}))
+        return
+
+    if args.input:
+        x = read_batch(args.input, args.in_dim)
+        out = pred.predict(x) if args.probs else pred.predict_class(x)
+        for row in np.atleast_1d(out):
+            if args.probs:
+                print(",".join(f"{v:.6f}" for v in np.atleast_1d(row)))
+            else:
+                print(int(row))
+        return
+
+    p.error("nothing to do: pass --bench or -i BATCH")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,51 @@ def test_predictor_quantized_uniform_uses_megakernel(jb):
     out = p.predict(x)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(qm.run_fused(x[:5]))[:5], atol=1e-5)
+
+
+def test_serve_cli_roundtrip(tmp_path, jb):
+    """apps/serve.py: save a trained Network checkpoint, serve it back
+    (f32 and int8), predictions match the in-process model."""
+    import apps.serve as serve_app
+    import io
+    import contextlib
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.training import batched_run
+    from tensor_ops_tpu.utils.checkpoint import save_network
+
+    import tensor_ops_tpu as T
+
+    be = T.JaxBackend()
+    rng = Rng(be, seed=1)
+    net = gen_net(be, 12, 4, [(8, act_logistic())], act_softmax(), rng)
+    ckpt = str(tmp_path / "net.npz")
+    save_network(ckpt, net)
+    x = np.random.default_rng(2).uniform(0, 1, size=(5, 12)).astype(np.float32)
+    xfile = str(tmp_path / "batch.npy")
+    np.save(xfile, x)
+
+    want = np.asarray(batched_run(net, be)(be.asarray(x), *net.params))
+
+    for extra in ([], ["--int8"]):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            serve_app.main([ckpt, "--layers", "8", "--in-dim", "12",
+                            "--out-dim", "4", "-i", xfile, "--buckets", "8",
+                            *extra])
+        got = [int(l) for l in buf.getvalue().splitlines()
+               if l.strip().lstrip("-").isdigit()]
+        assert len(got) == 5
+        agree = sum(int(g) == int(w) for g, w in zip(got, want.argmax(1)))
+        assert agree >= 4, (extra, got, want.argmax(1))
+
+    # --bench prints a latency JSON line
+    import json as _json
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve_app.main([ckpt, "--layers", "8", "--in-dim", "12",
+                        "--out-dim", "4", "--buckets", "4", "--bench"])
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    assert _json.loads(line)["latency"]["n"] >= 5
