@@ -10,6 +10,8 @@ metrics, and periodic checkpoints — with the whole optimizer step jitted
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
@@ -191,6 +193,7 @@ def fit(
     metrics_path: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    resume: bool = False,
     log_every: int = 50,
     verbose: bool = True,
 ) -> FitResult:
@@ -208,6 +211,13 @@ def fit(
     ``prefetch`` (jax, single-process) keeps that many batches already
     in flight to the device (``DevicePrefetcher``): batch k+1's
     host->HBM transfer overlaps batch k's step.  0/1 disables.
+
+    ``checkpoint_path`` + ``checkpoint_every`` save the servable network
+    AND a sibling ``<path>.state`` file with optimizer moments + global
+    step; ``resume=True`` restores all three on start (same optimizer /
+    hyperparameters required), so interrupted runs continue instead of
+    restarting — production checkpoint/resume the reference lacks
+    entirely (``trainEpoch`` recurses to Ctrl-C, ``MNIST.hs:297-313``).
 
     ``mesh`` (jax only) trains multi-chip: params are placed with
     Megatron-style ``model``-axis shardings, each batch is placed over the
@@ -279,6 +289,21 @@ def fit(
     opt_state = opt.init(params)
     history = []
     step = 0
+    state_path = (checkpoint_path + ".state") if checkpoint_path else None
+    if resume and state_path and os.path.exists(state_path):
+        from ..utils.checkpoint import load_train_state
+
+        rparams, opt_state, step = load_train_state(state_path, opt_state)
+        params = tuple(be.asarray(p) for p in rparams)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding
+
+            params = tuple(
+                jax.device_put(p, NamedSharding(mesh, s))
+                for p, s in zip(params, pspecs))
+        if verbose:
+            print(f"resumed from {state_path} at step {step}")
     logger = MetricsLogger(metrics_path)
     try:
         for epoch in range(epochs):
@@ -322,10 +347,13 @@ def fit(
                             msg += f"  val_acc {rec['val_acc']:.3f}"
                         print(msg)
                 if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
-                    from ..utils.checkpoint import save_network
+                    from ..utils.checkpoint import save_network, save_train_state
 
                     save_network(checkpoint_path,
                                  Network(net.op, params, net.act_names))
+                    # sibling .state file carries optimizer moments +
+                    # step for exact resume (fit(resume=True))
+                    save_train_state(state_path, params, opt_state, step)
     finally:
         loader.close()
         logger.close()

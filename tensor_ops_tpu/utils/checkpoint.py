@@ -112,6 +112,45 @@ def load_fused(path: str):
                     meta.get("loss_kind", "ce"))
 
 
+def save_train_state(path: str, params, opt_state, step: int,
+                     extra_meta: Optional[dict] = None) -> None:
+    """Full training-state checkpoint: parameters AND optimizer state
+    (momentum/adam moments) AND the global step — what exact resume
+    needs (``fit(resume=True)``); ``save_network`` alone loses the
+    optimizer moments."""
+    import jax
+
+    arrays = {f"p_{i}": p for i, p in enumerate(params)}
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    arrays.update({f"o_{i}": l for i, l in enumerate(leaves)})
+    meta = {"kind": "train_state", "step": int(step),
+            "n_params": len(params), "n_opt_leaves": len(leaves)}
+    meta.update(extra_meta or {})
+    save_arrays(path, arrays, meta)
+
+
+def load_train_state(path: str, opt_state_template):
+    """(params, opt_state, step) — opt_state leaves are restored into
+    the structure of ``opt_state_template`` (from ``opt.init(params)``),
+    so the optimizer type/hyperparams must match the saving run."""
+    import jax
+
+    arrays, meta = load_arrays(path)
+    if meta.get("kind") != "train_state":
+        raise ValueError(f"{path} is not a train_state checkpoint")
+    params = tuple(arrays[f"p_{i}"] for i in range(meta["n_params"]))
+    n = meta["n_opt_leaves"]
+    leaves = [arrays[f"o_{i}"] for i in range(n)]
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    if treedef.num_leaves != n:
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {n} leaves, the "
+            f"current optimizer expects {treedef.num_leaves} — resume "
+            f"with the same optimizer/hyperparameters")
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, opt_state, int(meta["step"])
+
+
 def save_quantized(path: str, model, extra_meta: Optional[dict] = None) -> None:
     """Save a QuantizedMLP (int8 weights + scales + biases) — the
     deployable serving artifact: a quarter of the f32 checkpoint bytes."""

@@ -168,3 +168,55 @@ def test_random_recurrent_scan_fuzz(seed, nb, jb):
     lm = float(np.asarray(RecurrentNetwork(net.op, tuple(sm), net.params)
                           .seq_loss(loss, nb, xs, tg)))
     assert abs((lp - lm) / (2 * eps) - float(np.asarray(gS[0][0]))) < 1e-4
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_parallel_config_fuzz(seed):
+    """Random (S, V, M, layers-per-stage, width, batch) circular/GPipe
+    pipeline configurations: forward and one SGD step must exactly match
+    the sequential chain.  Probes schedule/FIFO/interleave interactions
+    the directed tests fix in place."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+
+    from tensor_ops_tpu.parallel.pipeline import (
+        PipelineMLP,
+        _interleave_chunks,
+        circular_pipeline_forward,
+        make_pipeline_mesh,
+        pipeline_forward,
+        shard_circular_model,
+        shard_pipeline_model,
+    )
+    from tests.test_pipeline import sequential_forward
+
+    rng = np.random.default_rng(100 + seed)
+    S = int(rng.choice([2, 4, 8]))
+    V = int(rng.choice([1, 2]))
+    L = int(rng.choice([1, 2]))
+    h = int(rng.choice([4, 8]))
+    i, o = int(rng.choice([3, 5])), int(rng.choice([2, 4]))
+    mesh = make_pipeline_mesh(S)
+    model = PipelineMLP.init(i, h, o, n_stages=S * V, layers_per_stage=L,
+                             key=jax.random.PRNGKey(seed))
+    # batch: a multiple of a random M >= S
+    M = int(rng.choice([S, 2 * S]))
+    B = M * int(rng.choice([1, 2]))
+    xb = jax.random.uniform(jax.random.PRNGKey(200 + seed), (B, i))
+    want = np.asarray(sequential_forward(model, xb))
+
+    cmodel = shard_circular_model(model, mesh)
+    got_c = np.asarray(circular_pipeline_forward(cmodel, mesh, xb,
+                                                 n_microbatches=M))
+    np.testing.assert_allclose(got_c, want, atol=1e-5,
+                               err_msg=f"circular S={S} V={V} M={M}")
+
+    if V == 1:  # plain GPipe path only defined for V=1
+        pmodel = shard_pipeline_model(model, mesh)
+        got_g = np.asarray(pipeline_forward(pmodel, mesh, xb,
+                                            n_microbatches=M))
+        np.testing.assert_allclose(got_g, want, atol=1e-5,
+                                   err_msg=f"gpipe S={S} M={M}")

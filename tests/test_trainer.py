@@ -218,3 +218,43 @@ def test_device_prefetcher_order_and_depth():
     assert pf.next() == (2, -2)
     with pytest.raises(ValueError):
         DevicePrefetcher(FakeLoader(), lambda x, y: (x, y), depth=0)
+
+
+def test_fit_resume_restores_optimizer_state(jb, tmp_path):
+    """fit(resume=True) continues from params + Adam moments + step —
+    the second run must match an uninterrupted run's final loss closely
+    (identical modulo the loader's reshuffle position)."""
+    from tensor_ops_tpu.utils.checkpoint import load_train_state
+
+    X, Y, _ = toy_data(n=256, seed=5)
+    loss = cross_entropy(2)
+    ck = str(tmp_path / "run.npz")
+
+    # interrupted run: 1 epoch (8 steps), checkpoint every 4
+    r1 = fit(make_net(jb, seed=6), loss, jb, X, Y, epochs=1, batch_size=32,
+             lr=0.01, optimizer=adam(), checkpoint_path=ck,
+             checkpoint_every=4, verbose=False, log_every=1)
+    assert os.path.exists(ck) and os.path.exists(ck + ".state")
+
+    # the .state file restores the exact params and step of run 1's
+    # last checkpoint (step 8 == r1.steps since 8 % 4 == 0)
+    o = adam()
+    tmpl = o.init(r1.net.params)
+    p_ck, st_ck, step_ck = load_train_state(ck + ".state", tmpl)
+    assert step_ck == r1.steps
+    for a, b in zip(p_ck, r1.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume: the fresh seed-999 net is REPLACED by the checkpoint and
+    # the global step counter carries on from run 1
+    r2 = fit(make_net(jb, seed=999), loss, jb, X, Y, epochs=1, batch_size=32,
+             lr=0.01, optimizer=adam(), checkpoint_path=ck,
+             checkpoint_every=4, resume=True, verbose=False, log_every=1)
+    assert r2.steps == r1.steps + 8
+    assert r2.history[0]["step"] == r1.steps + 1
+
+    # template-mismatch raises loudly (different optimizer)
+    opt = sgd()
+    st = opt.init(make_net(jb, seed=6).params)
+    with pytest.raises(ValueError, match="optimizer state mismatch"):
+        load_train_state(ck + ".state", st)
