@@ -304,6 +304,7 @@ def fit(
                 for p, s in zip(params, pspecs))
         if verbose:
             print(f"resumed from {state_path} at step {step}")
+    first_step_of_run = step + 1  # resumed runs log their first step too
     logger = MetricsLogger(metrics_path)
     try:
         for epoch in range(epochs):
@@ -331,7 +332,7 @@ def fit(
                     xb, yb = be.asarray(xb), be.asarray(yb)
                 v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
                 step += 1
-                if step % log_every == 0 or step == 1:
+                if step % log_every == 0 or step == first_step_of_run:
                     rec = {"epoch": epoch, "loss": float(v)}
                     if val is not None:
                         from .training import accuracy
