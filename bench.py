@@ -235,6 +235,33 @@ def bench_megakernel_train(batch=8192, steps=200):
     return 1.0 / dt, batch / dt
 
 
+def bench_int8_serving(n=4096, layers=4, batch=16):
+    """int8 serving megakernel at the weight-streaming-bound shape
+    (BENCH.md int8 table): whole uniform MLP in one pallas_call,
+    int8 x int8 -> int32 on the MXU, activations VMEM-resident."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.ops.pallas_kernels import (
+        fused_mlp_w8a8_forward,
+        quantize_weights_int8,
+    )
+    from tensor_ops_tpu.utils.profiling import measure_loop
+
+    r = np.random.default_rng(0)
+    ws = [jnp.asarray(r.normal(size=(n, n)) * math.sqrt(2.0 / n), jnp.float32)
+          for _ in range(layers)]
+    qs, ss = zip(*(quantize_weights_int8(w) for w in ws))
+    wq3 = jnp.stack(qs)
+    sw2 = jnp.stack([s.reshape(-1) for s in ss])
+    b2 = jnp.stack([jnp.zeros((n,), jnp.float32) for _ in range(layers)])
+    x = jnp.asarray(r.normal(size=(batch, n)), jnp.float32)
+    m = measure_loop(
+        lambda h, wq3, sw2, b2: fused_mlp_w8a8_forward(h, wq3, sw2, b2, "relu"),
+        x, steps=(50, 250), reps=6, args=(wq3, sw2, b2))
+    dt = m["per_step_s"]
+    return dt * 1e6, layers * n * n / dt / 1e9  # us/fwd, GB/s int8 stream
+
+
 def bench_cpu_baseline(n_samples=60):
     """Per-sample SGD on the NumPy float64 oracle — the reference-shaped
     CPU path (per-sample SGD over dense kernels)."""
@@ -296,6 +323,7 @@ def main():
     mk_steps, mk_samples = bench_megakernel_train()
     deep_tflops, roofline = bench_fused_deep()
     mm_tflops, mm_roofline = bench_fused_matmul_roofline()
+    int8_us, int8_gbps = bench_int8_serving()
     base = bench_cpu_baseline()
     blas_base = bench_cpu_blas_baseline()
     best_samples = max(samples_per_sec, samples4k, mk_samples)
@@ -320,6 +348,8 @@ def main():
             "deep_fused_mlp_pct_of_v5e_bf16_peak": round(100 * roofline, 1),
             "fused_matmul_tflops": round(mm_tflops, 1),
             "fused_matmul_pct_of_v5e_bf16_peak": round(100 * mm_roofline, 1),
+            "serving_w8a8_megakernel_us_per_fwd_4x4096": round(int8_us, 1),
+            "serving_w8a8_weight_stream_gbps": round(int8_gbps, 0),
         },
     }
     print(json.dumps(result))

@@ -500,3 +500,28 @@ def test_quantized_run_fused_applies_final_activation():
     y_fused = np.asarray(qm.run_fused(x))
     assert (y_fused >= 0).all()  # relu applied
     np.testing.assert_allclose(y_fused, y_run, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,o,i", [(1, 6, 16), (33, 10, 40), (40, 130, 257),
+                                   (5, 128, 128)])
+def test_fused_linear_w8a8_odd_shapes(B, o, i):
+    """Padding paths: batch not a 32-multiple, odd feature dims — the
+    int8 kernel must pad to legal tiles and strip exactly."""
+    from tensor_ops_tpu.ops.pallas_kernels import (
+        fused_linear_w8a8,
+        quantize_acts_int8,
+        quantize_weights_int8,
+    )
+
+    x = jnp.asarray(r(200 + B, B, i), jnp.float32)
+    w = jnp.asarray(r(201 + B, o, i) * 0.3, jnp.float32)
+    b = jnp.asarray(r(202 + B, o) * 0.1, jnp.float32)
+    q, s = quantize_weights_int8(w)
+    y = fused_linear_w8a8(x, q, s, b, "identity")
+    assert y.shape == (B, o)
+    # reference: same quantized math in plain numpy
+    xq, sx = quantize_acts_int8(x)
+    want = (np.asarray(xq, np.int32) @ np.asarray(q, np.int32).T
+            ).astype(np.float32) * np.asarray(sx) * np.asarray(s).T \
+        + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-5)
