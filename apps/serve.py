@@ -25,35 +25,48 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tensor_ops_tpu as T
-from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+from tensor_ops_tpu.models import activation_by_name, gen_net
 from tensor_ops_tpu.models.fast import FusedMLP, QuantizedMLP
 from tensor_ops_tpu.models.serve import Predictor
-from tensor_ops_tpu.utils.checkpoint import (
-    load_arrays,
-    load_fused,
-    load_network,
-    load_quantized,
-)
+from tensor_ops_tpu.utils.checkpoint import load_arrays, network_from_arrays
 
 
-def load_model(path: str, layers, in_dim: int, out_dim: int, int8: bool):
-    """Dispatch on the checkpoint's ``kind`` metadata; bare Network
-    checkpoints rebuild the op graph from the layer spec flags."""
-    _, meta = load_arrays(path)
+def load_model(path: str, layers, in_dim: int, out_dim: int, int8: bool,
+               act: str = "logistic"):
+    """Dispatch on the checkpoint's ``kind`` metadata (the file is read
+    once).  Bare Network checkpoints rebuild the op graph from the
+    activation names stored in the checkpoint (``save_network`` since
+    round 2); older checkpoints without them fall back to the ``--act``
+    flag for hidden layers + softmax out."""
+    from tensor_ops_tpu.utils import checkpoint as C
+
+    arrays, meta = load_arrays(path)
     kind = meta.get("kind", "network")
     if kind == "quantized_mlp":
-        return load_quantized(path)
+        return C._quantized_from_arrays(arrays, meta)
     if kind == "fused_mlp":
-        fm = load_fused(path)
+        fm = C._fused_from_arrays(arrays, meta)
         return QuantizedMLP.from_fused(fm) if int8 else fm
     # staged-IR Network checkpoint: rebuild the graph, then load params
     be = T.JaxBackend()
     from tensor_ops_tpu.backend.rng import Rng
 
+    saved_acts = meta.get("acts")
+    if saved_acts is not None:
+        if len(saved_acts) != len(layers) + 1:
+            raise SystemExit(
+                f"checkpoint has {len(saved_acts)} activations but "
+                f"--layers {','.join(map(str, layers))} implies "
+                f"{len(layers) + 1} — pass the architecture it was "
+                f"trained with")
+        hidden = [activation_by_name(a) for a in saved_acts[:-1]]
+        out_act = activation_by_name(saved_acts[-1])
+    else:
+        hidden = [activation_by_name(act) for _ in layers]
+        out_act = activation_by_name("softmax")
     net = gen_net(be, in_dim, out_dim,
-                  [(h, act_logistic()) for h in layers], act_softmax(),
-                  Rng(be, seed=0))
-    net = load_network(path, net, be)
+                  list(zip(layers, hidden)), out_act, Rng(be, seed=0))
+    net = network_from_arrays(arrays, meta, net, be)
     fm = FusedMLP.from_network(net)
     return QuantizedMLP.from_fused(fm) if int8 else fm
 
@@ -68,7 +81,9 @@ def read_batch(path: str, in_dim: int) -> np.ndarray:
         x = np.loadtxt(path, delimiter=",")
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
-        x = x.reshape(1, -1)
+        # 1-D is ambiguous: N samples of one feature vs one sample of N
+        # features — the model dim decides
+        x = x.reshape(-1, 1) if in_dim == 1 else x.reshape(1, -1)
     if x.shape[1] != in_dim:
         raise SystemExit(f"input dim {x.shape[1]} != model dim {in_dim}")
     return x
@@ -86,6 +101,11 @@ def main(argv=None):
     p.add_argument("--out-dim", type=int, default=10)
     p.add_argument("--int8", action="store_true",
                    help="Quantize weights to int8 at load (w8a8 MXU path)")
+    p.add_argument("--act", type=str, default="logistic",
+                   choices=("logistic", "relu", "tanh"),
+                   help="Hidden activation for OLD bare-Network "
+                        "checkpoints without stored activation names "
+                        "(new checkpoints carry them)")
     p.add_argument("-i", "--input", type=str, default=None,
                    help="Batch file (.npy/.npz/CSV) to predict")
     p.add_argument("--probs", action="store_true",
@@ -99,7 +119,7 @@ def main(argv=None):
     layers = [int(x) for x in args.layers.split(",") if x]
     buckets = tuple(int(x) for x in args.buckets.split(",") if x)
     model = load_model(args.checkpoint, layers, args.in_dim, args.out_dim,
-                       args.int8)
+                       args.int8, act=args.act)
     pred = Predictor(model, buckets=buckets)
     print(f"Serving {type(model).__name__} from {args.checkpoint} "
           f"(buckets {buckets})")

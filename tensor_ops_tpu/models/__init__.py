@@ -4,7 +4,10 @@ from .neuralnet import (
     act_logistic,
     act_map,
     act_map2,
+    act_relu,
     act_softmax,
+    act_tanh,
+    activation_by_name,
     cross_entropy,
     logistic,
     softmax,

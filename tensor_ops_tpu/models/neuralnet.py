@@ -116,6 +116,22 @@ def act_softmax() -> Activation:
     return Activation("softmax", softmax)
 
 
+def activation_by_name(name: str) -> Activation:
+    """The named activation factory — inverse of ``Activation.name``,
+    used to rebuild a graph from checkpoint metadata (``save_network``
+    stores ``net.act_names``)."""
+    table = {
+        "logistic": act_logistic,
+        "relu": act_relu,
+        "tanh": act_tanh,
+        "softmax": act_softmax,
+    }
+    if name not in table:
+        raise ValueError(
+            f"unknown activation {name!r} (known: {sorted(table)})")
+    return table[name]()
+
+
 def squared_error(o: int) -> TOp:
     """``squaredError = negate *>> add >>> duplicate >>> dot`` on stack
     ``[prediction, target]`` (``NeuralNet.hs:61-68``)."""

@@ -214,9 +214,16 @@ def fit(
 
     ``checkpoint_path`` + ``checkpoint_every`` save the servable network
     AND a sibling ``<path>.state`` file with optimizer moments + global
-    step; ``resume=True`` restores all three on start (same optimizer /
-    hyperparameters required), so interrupted runs continue instead of
-    restarting — production checkpoint/resume the reference lacks
+    step (writes are atomic and happen off the training thread);
+    ``resume=True`` restores all three on start — same optimizer /
+    hyperparameters required and validated via the stored
+    ``Optimizer.struct_key``.  ``epochs`` is the TOTAL training budget:
+    a resumed run executes only the remaining
+    ``epochs * steps_per_epoch - restored_step`` steps (so a crash/
+    resume loop with fixed arguments converges to exactly the requested
+    schedule, and ``lr_schedule`` is never evaluated past it), and the
+    data stream is fast-forwarded to the restored step so no batch is
+    replayed — production checkpoint/resume the reference lacks
     entirely (``trainEpoch`` recurses to Ctrl-C, ``MNIST.hs:297-313``).
 
     ``mesh`` (jax only) trains multi-chip: params are placed with
@@ -269,8 +276,45 @@ def fit(
                               shard=(proc_idx, n_proc))
     else:
         loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
+
+    steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
+    total_steps = epochs * steps_per_epoch
+    opt_state = opt.init(params)
+    history = []
+    step = 0
+    state_path = (checkpoint_path + ".state") if checkpoint_path else None
+    # id-based struct keys (custom optimizers without `hyper`) don't
+    # survive process restarts — only validate factory-made optimizers
+    opt_key = opt.struct_key() if opt.hyper is not None else None
+    if resume and state_path and os.path.exists(state_path):
+        from ..utils.checkpoint import load_train_state
+
+        rparams, r_opt_state, step = load_train_state(
+            state_path, opt_state, opt_key=opt_key)
+        params = tuple(be.asarray(p) for p in rparams)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding
+
+            params = tuple(
+                jax.device_put(p, NamedSharding(mesh, s))
+                for p, s in zip(params, pspecs))
+        # restored leaves are host numpy; re-place each onto its
+        # template's device/sharding (the template came from
+        # opt.init(sharded params), so Adam moments keep their
+        # model-axis shardings instead of entering replicated)
+        opt_state = _restore_opt_state(opt_state, r_opt_state, be)
+        # stream position == global step: a resumed run continues the
+        # epoch's shuffle where the saving run stopped (no replayed or
+        # skipped batches), invariant across repeated crash/resume
+        loader.skip(step)
+        if verbose:
+            print(f"resumed from {state_path} at step {step} "
+                  f"({max(total_steps - step, 0)} of {total_steps} steps "
+                  f"remaining)")
+
     source = None
-    if prefetch > 1 and be.name == "jax" and n_proc == 1:
+    if prefetch > 1 and be.name == "jax" and n_proc == 1 and step < total_steps:
         from ..utils.native import DevicePrefetcher
 
         if data_sh is not None:
@@ -285,77 +329,94 @@ def fit(
 
         source = DevicePrefetcher(loader, _put, depth=prefetch)
 
-    steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
-    opt_state = opt.init(params)
-    history = []
-    step = 0
-    state_path = (checkpoint_path + ".state") if checkpoint_path else None
-    if resume and state_path and os.path.exists(state_path):
-        from ..utils.checkpoint import load_train_state
-
-        rparams, opt_state, step = load_train_state(state_path, opt_state)
-        params = tuple(be.asarray(p) for p in rparams)
-        if mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding
-
-            params = tuple(
-                jax.device_put(p, NamedSharding(mesh, s))
-                for p, s in zip(params, pspecs))
-        if verbose:
-            print(f"resumed from {state_path} at step {step}")
     first_step_of_run = step + 1  # resumed runs log their first step too
     logger = MetricsLogger(metrics_path)
+    save_futures = []
     try:
-        for epoch in range(epochs):
-            for _ in range(steps_per_epoch):
-                cur_lr = lr_schedule(step) if lr_schedule is not None else lr
-                if source is not None:
-                    # already transferred (+sharded), k+1 in flight
-                    xb, yb = source.next()
-                elif data_sh is not None:
-                    import jax
+        while step < total_steps:
+            epoch = step // steps_per_epoch
+            cur_lr = lr_schedule(step) if lr_schedule is not None else lr
+            if source is not None:
+                # already transferred (+sharded), k+1 in flight
+                xb, yb = source.next()
+            elif data_sh is not None:
+                import jax
 
-                    xb, yb = loader.next()
-                    if n_proc > 1:
-                        gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
-                        gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
-                        xb = jax.make_array_from_process_local_data(
-                            data_sh, np.asarray(be.asarray(xb)), gshape_x)
-                        yb = jax.make_array_from_process_local_data(
-                            data_sh, np.asarray(be.asarray(yb)), gshape_y)
-                    else:
-                        xb = jax.device_put(be.asarray(xb), data_sh)
-                        yb = jax.device_put(be.asarray(yb), data_sh)
+                xb, yb = loader.next()
+                if n_proc > 1:
+                    gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
+                    gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
+                    xb = jax.make_array_from_process_local_data(
+                        data_sh, np.asarray(be.asarray(xb)), gshape_x)
+                    yb = jax.make_array_from_process_local_data(
+                        data_sh, np.asarray(be.asarray(yb)), gshape_y)
                 else:
-                    xb, yb = loader.next()
-                    xb, yb = be.asarray(xb), be.asarray(yb)
-                v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
-                step += 1
-                if step % log_every == 0 or step == first_step_of_run:
-                    rec = {"epoch": epoch, "loss": float(v)}
-                    if val is not None:
-                        from .training import accuracy
+                    xb = jax.device_put(be.asarray(xb), data_sh)
+                    yb = jax.device_put(be.asarray(yb), data_sh)
+            else:
+                xb, yb = loader.next()
+                xb, yb = be.asarray(xb), be.asarray(yb)
+            v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
+            step += 1
+            if step % log_every == 0 or step == first_step_of_run:
+                rec = {"epoch": epoch, "loss": float(v)}
+                if val is not None:
+                    from .training import accuracy
 
-                        cur = Network(net.op, params, net.act_names)
-                        rec["val_acc"] = accuracy(
-                            cur, be, be.asarray(val[0]), np.asarray(val[1])
-                        )
-                    history.append(logger.log(step, **rec))
-                    if verbose:
-                        msg = f"[epoch {epoch}] step {step}: loss {float(v):.4f}"
-                        if "val_acc" in rec:
-                            msg += f"  val_acc {rec['val_acc']:.3f}"
-                        print(msg)
-                if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
-                    from ..utils.checkpoint import save_network, save_train_state
+                    cur = Network(net.op, params, net.act_names)
+                    rec["val_acc"] = accuracy(
+                        cur, be, be.asarray(val[0]), np.asarray(val[1])
+                    )
+                history.append(logger.log(step, **rec))
+                if verbose:
+                    msg = f"[epoch {epoch}] step {step}: loss {float(v):.4f}"
+                    if "val_acc" in rec:
+                        msg += f"  val_acc {rec['val_acc']:.3f}"
+                    print(msg)
+            if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
+                from ..utils.checkpoint import (save_network_async,
+                                                save_train_state_async)
 
-                    save_network(checkpoint_path,
-                                 Network(net.op, params, net.act_names))
-                    # sibling .state file carries optimizer moments +
-                    # step for exact resume (fit(resume=True))
-                    save_train_state(state_path, params, opt_state, step)
+                # file writes happen on the checkpoint thread (a
+                # 1-worker pool, so writes never interleave); device
+                # arrays are fetched synchronously — the step pipeline
+                # stalls only for the D2H copy, not the serialization
+                save_futures.append(save_network_async(
+                    checkpoint_path, Network(net.op, params, net.act_names)))
+                # sibling .state file carries optimizer moments + step
+                # for exact resume (fit(resume=True))
+                save_futures.append(save_train_state_async(
+                    state_path, params, opt_state, step, opt_key=opt_key))
+                # surface write errors promptly; completed futures are
+                # cheap to join
+                if len(save_futures) > 4:
+                    save_futures.pop(0).result()
+                    save_futures.pop(0).result()
     finally:
+        for f in save_futures:
+            f.result()
         loader.close()
         logger.close()
     return FitResult(Network(net.op, params, net.act_names), history, step)
+
+
+def _restore_opt_state(template, restored, be: Backend):
+    """Rebuild an optimizer state from checkpoint leaves: every restored
+    leaf is placed like its template counterpart (same backend array
+    type; same device sharding for jax arrays — ``opt.init`` built the
+    template from the already-sharded params, so moments resume with
+    their training-time placement instead of host numpy)."""
+    if isinstance(template, (tuple, list)):
+        return type(template)(
+            _restore_opt_state(t, r, be)
+            for t, r in zip(template, restored))
+    if isinstance(template, int):
+        return int(restored)
+    if isinstance(template, float):
+        return float(restored)
+    if be.name == "jax" and not isinstance(template, np.ndarray):
+        import jax
+
+        if isinstance(template, jax.Array):
+            return jax.device_put(np.asarray(restored), template.sharding)
+    return be.asarray(restored)

@@ -23,10 +23,22 @@ def save_arrays(path: str, arrays: Dict[str, Any], meta: Optional[dict] = None) 
     np_arrays["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8
     )
-    # write through a file handle so np.savez cannot append ".npz" and
-    # diverge from the path load_arrays will open
-    with open(path, "wb") as f:
-        np.savez(f, **np_arrays)
+    # write to a sibling temp file and os.replace() into place: a crash
+    # mid-write must never leave a torn checkpoint where a resumable one
+    # stood (rename is atomic on POSIX).  Writing through a file handle
+    # also stops np.savez appending ".npz" and diverging from the path
+    # load_arrays will open.
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **np_arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 _ASYNC_POOL = None
@@ -54,8 +66,7 @@ def load_arrays(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
     return arrays, meta
 
 
-def save_network(path: str, net, extra_meta: Optional[dict] = None) -> None:
-    """Save a feed-forward Network's params."""
+def _network_payload(net, extra_meta: Optional[dict]) -> Tuple[dict, dict]:
     arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
     meta = {
         "kind": "feedforward",
@@ -63,17 +74,33 @@ def save_network(path: str, net, extra_meta: Optional[dict] = None) -> None:
         "in_shape": list(net.in_shape),
         "out_shape": list(net.out_shape),
     }
+    if net.act_names is not None:
+        # activation names travel with the weights so a serving process
+        # can rebuild the exact graph without out-of-band layer flags
+        meta["acts"] = list(net.act_names)
     meta.update(extra_meta or {})
+    return arrays, meta
+
+
+def save_network(path: str, net, extra_meta: Optional[dict] = None) -> None:
+    """Save a feed-forward Network's params (+ activation names)."""
+    arrays, meta = _network_payload(net, extra_meta)
     save_arrays(path, arrays, meta)
 
 
-def load_network(path: str, net, be) -> Any:
-    """Restore params into an architecture-compatible Network (the op
-    graph is code; only tensors are stored)."""
+def save_network_async(path: str, net, extra_meta: Optional[dict] = None):
+    """``save_network`` with the file write on the checkpoint thread
+    (device arrays are fetched synchronously).  Returns a Future."""
+    arrays, meta = _network_payload(net, extra_meta)
+    return save_arrays_async(path, arrays, meta)
+
+
+def network_from_arrays(arrays: Dict[str, np.ndarray], meta: dict, net, be) -> Any:
+    """Rebuild a Network from already-loaded checkpoint contents (see
+    ``load_network``; serving loads the file once and dispatches)."""
     from ..models.feedforward import Network
     from ..ops.shapes import ShapeError
 
-    arrays, meta = load_arrays(path)
     params = tuple(
         be.asarray(arrays[f"param_{i}"]) for i in range(len(net.params))
     )
@@ -82,7 +109,22 @@ def load_network(path: str, net, be) -> Any:
             raise ShapeError(
                 f"checkpoint param shape {tuple(p.shape)} != expected {tuple(s)}"
             )
+    saved_acts = meta.get("acts")
+    if (saved_acts is not None and net.act_names is not None
+            and tuple(saved_acts) != tuple(net.act_names)):
+        raise ValueError(
+            f"checkpoint activations {tuple(saved_acts)} != the rebuilt "
+            f"graph's {tuple(net.act_names)} — reconstruct the network "
+            f"with the checkpoint's activations")
     return Network(net.op, params, net.act_names)
+
+
+def load_network(path: str, net, be) -> Any:
+    """Restore params into an architecture-compatible Network (the op
+    graph is code; only tensors are stored).  Raises if the checkpoint
+    records different activation names than ``net`` carries."""
+    arrays, meta = load_arrays(path)
+    return network_from_arrays(arrays, meta, net, be)
 
 
 def save_fused(path: str, model, extra_meta: Optional[dict] = None) -> None:
@@ -100,10 +142,9 @@ def save_fused(path: str, model, extra_meta: Optional[dict] = None) -> None:
     save_arrays(path, arrays, meta)
 
 
-def load_fused(path: str):
+def _fused_from_arrays(arrays, meta):
     from ..models.fast import FusedMLP
 
-    arrays, meta = load_arrays(path)
     n = sum(1 for k in arrays if k.startswith("w_"))
     ws = tuple(arrays[f"w_{i}"] for i in range(n))
     bs = tuple(arrays[f"b_{i}"] for i in range(n))
@@ -112,42 +153,103 @@ def load_fused(path: str):
                     meta.get("loss_kind", "ce"))
 
 
-def save_train_state(path: str, params, opt_state, step: int,
-                     extra_meta: Optional[dict] = None) -> None:
-    """Full training-state checkpoint: parameters AND optimizer state
-    (momentum/adam moments) AND the global step — what exact resume
-    needs (``fit(resume=True)``); ``save_network`` alone loses the
-    optimizer moments."""
-    import jax
+def load_fused(path: str):
+    arrays, meta = load_arrays(path)
+    return _fused_from_arrays(arrays, meta)
 
+
+def _tree_leaves(tree) -> list:
+    """Flatten a nested tuple/list tree of array/scalar leaves — the
+    shape of every optimizer state (``optim.py``) — without requiring
+    jax (the module's save/restore is dependency-free: a numpy-backend
+    training run checkpoints on installs with no jax at all)."""
+    if isinstance(tree, (tuple, list)):
+        out = []
+        for t in tree:
+            out.extend(_tree_leaves(t))
+        return out
+    return [tree]
+
+
+def _tree_unflatten(template, leaves_iter):
+    if isinstance(template, (tuple, list)):
+        return type(template)(
+            _tree_unflatten(t, leaves_iter) for t in template)
+    leaf = next(leaves_iter)
+    if isinstance(template, int):
+        return int(leaf)  # e.g. adam's step count
+    if isinstance(template, float):
+        return float(leaf)
+    return leaf
+
+
+def _train_state_payload(params, opt_state, step: int, opt_key,
+                         extra_meta: Optional[dict]) -> Tuple[dict, dict]:
     arrays = {f"p_{i}": p for i, p in enumerate(params)}
-    leaves = jax.tree_util.tree_leaves(opt_state)
+    leaves = _tree_leaves(opt_state)
     arrays.update({f"o_{i}": l for i, l in enumerate(leaves)})
     meta = {"kind": "train_state", "step": int(step),
             "n_params": len(params), "n_opt_leaves": len(leaves)}
+    if opt_key is not None:
+        # structural identity of the update rule (Optimizer.struct_key):
+        # resuming under different hyperparameters would silently
+        # reinterpret the moments, so record it for load-time validation
+        meta["opt_key"] = json.dumps(opt_key)
     meta.update(extra_meta or {})
+    return arrays, meta
+
+
+def save_train_state(path: str, params, opt_state, step: int,
+                     extra_meta: Optional[dict] = None,
+                     opt_key=None) -> None:
+    """Full training-state checkpoint: parameters AND optimizer state
+    (momentum/adam moments) AND the global step — what exact resume
+    needs (``fit(resume=True)``); ``save_network`` alone loses the
+    optimizer moments.  ``opt_key`` (e.g. ``opt.struct_key()``) is
+    stored so resume can reject a changed optimizer/hyperparameters."""
+    arrays, meta = _train_state_payload(params, opt_state, step, opt_key,
+                                        extra_meta)
     save_arrays(path, arrays, meta)
 
 
-def load_train_state(path: str, opt_state_template):
+def save_train_state_async(path: str, params, opt_state, step: int,
+                           extra_meta: Optional[dict] = None,
+                           opt_key=None):
+    """``save_train_state`` with the file write off the training thread
+    (leaves are fetched to host synchronously).  Returns a Future."""
+    arrays, meta = _train_state_payload(params, opt_state, step, opt_key,
+                                        extra_meta)
+    return save_arrays_async(path, arrays, meta)
+
+
+def load_train_state(path: str, opt_state_template, opt_key=None):
     """(params, opt_state, step) — opt_state leaves are restored into
     the structure of ``opt_state_template`` (from ``opt.init(params)``),
-    so the optimizer type/hyperparams must match the saving run."""
-    import jax
-
+    so the optimizer type/hyperparams must match the saving run.  When
+    both the checkpoint and the caller provide an ``opt_key``
+    (``Optimizer.struct_key()``), a mismatch — same structure, different
+    hyperparameters — raises instead of silently reinterpreting the
+    moments under different decay rates."""
     arrays, meta = load_arrays(path)
     if meta.get("kind") != "train_state":
         raise ValueError(f"{path} is not a train_state checkpoint")
+    saved_key = meta.get("opt_key")
+    if saved_key is not None and opt_key is not None:
+        if saved_key != json.dumps(opt_key):
+            raise ValueError(
+                f"optimizer mismatch: checkpoint was saved with "
+                f"{saved_key}, resume requested {json.dumps(opt_key)} — "
+                f"resume with the same optimizer/hyperparameters")
     params = tuple(arrays[f"p_{i}"] for i in range(meta["n_params"]))
     n = meta["n_opt_leaves"]
     leaves = [arrays[f"o_{i}"] for i in range(n)]
-    treedef = jax.tree_util.tree_structure(opt_state_template)
-    if treedef.num_leaves != n:
+    n_expected = len(_tree_leaves(opt_state_template))
+    if n_expected != n:
         raise ValueError(
             f"optimizer state mismatch: checkpoint has {n} leaves, the "
-            f"current optimizer expects {treedef.num_leaves} — resume "
+            f"current optimizer expects {n_expected} — resume "
             f"with the same optimizer/hyperparameters")
-    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    opt_state = _tree_unflatten(opt_state_template, iter(leaves))
     return params, opt_state, int(meta["step"])
 
 
@@ -167,10 +269,9 @@ def save_quantized(path: str, model, extra_meta: Optional[dict] = None) -> None:
     save_arrays(path, arrays, meta)
 
 
-def load_quantized(path: str):
+def _quantized_from_arrays(arrays, meta):
     from ..models.fast import QuantizedMLP
 
-    arrays, meta = load_arrays(path)
     n = sum(1 for k in arrays if k.startswith("wq_"))
     import jax.numpy as jnp
 
@@ -179,6 +280,11 @@ def load_quantized(path: str):
     bs = tuple(jnp.asarray(arrays[f"b_{i}"], jnp.float32) for i in range(n))
     return QuantizedMLP(qs, ss, bs, tuple(meta["acts"]),
                         meta["softmax_out"], meta.get("mode", "w8a8"))
+
+
+def load_quantized(path: str):
+    arrays, meta = load_arrays(path)
+    return _quantized_from_arrays(arrays, meta)
 
 
 def save_autoencoder(path: str, model, extra_meta: Optional[dict] = None) -> None:

@@ -234,6 +234,34 @@ class NativeLoader:
         self._cursor += take
         return self.X[idx], self.Y[idx]
 
+    def skip(self, n: int) -> None:
+        """Advance the stream by ``n`` batches without using their data.
+
+        Exact resume positioning: a resumed ``fit`` skips to its restored
+        global step, so stream position == global step holds across any
+        number of crash/resume cycles and no batch is replayed.  The
+        NumPy path advances indices only (no gathers); the native path
+        drains assembled batches from the ring (one memcpy each)."""
+        if n <= 0:
+            return
+        if self._handle is not None:
+            xout = np.empty((self.batch, self.X.shape[1]), dtype=np.float32)
+            yout = np.empty((self.batch, self.Y.shape[1]), dtype=np.float32)
+            for _ in range(n):
+                self._lib.top_loader_next(self._handle, _fp(xout), _fp(yout))
+            return
+        nrows = self.X.shape[0]
+        for _ in range(n):
+            if self._cursor >= nrows:
+                self._perm = self._rng.permutation(nrows)
+                self._cursor = 0
+            take = min(self.batch, nrows - self._cursor)
+            if self.drop_last and take < self.batch:
+                self._perm = self._rng.permutation(nrows)
+                self._cursor = 0
+                take = self.batch
+            self._cursor += take
+
     def close(self):
         if self._handle is not None:
             self._lib.top_loader_destroy(self._handle)

@@ -122,3 +122,41 @@ def test_fit_mesh_batch_divisibility_validated(jb):
     with pytest.raises(ValueError, match="data-axis"):
         fit(_flagship(jb), cross_entropy(10), jb, X, Y, batch_size=15,
             mesh=make_mesh(8), verbose=False)
+
+
+def test_restore_opt_state_keeps_shardings(jb):
+    """Resumed Adam moments re-enter with their training-time shardings
+    (template built by opt.init on the sharded params), not as
+    replicated host arrays."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from tensor_ops_tpu.models.optim import adam
+    from tensor_ops_tpu.models.trainer import _restore_opt_state
+    from tensor_ops_tpu.parallel.mesh import make_mesh, param_specs
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)  # dp=2 x tp=4
+
+    net = _flagship(jb)
+    pspecs = param_specs(net.param_stack, mesh)
+    params = tuple(
+        jax.device_put(p, NamedSharding(mesh, s))
+        for p, s in zip(net.params, pspecs))
+    opt = adam()
+    template = opt.init(params)
+    # simulate load_train_state output: host numpy leaves
+    restored = (
+        3,
+        tuple(np.asarray(p) + 1.0 for p in params),
+        tuple(np.asarray(p) + 2.0 for p in params),
+    )
+    out = _restore_opt_state(template, restored, jb)
+    t, m, v = out
+    assert t == 3 and isinstance(t, int)
+    for mo, tmpl, p in zip(m, template[1], params):
+        assert mo.sharding == tmpl.sharding == p.sharding
+        np.testing.assert_array_equal(np.asarray(mo), np.asarray(p) + 1.0)
+    for vo, p in zip(v, params):
+        assert vo.sharding == p.sharding

@@ -184,7 +184,6 @@ def test_random_parallel_config_fuzz(seed):
 
     from tensor_ops_tpu.parallel.pipeline import (
         PipelineMLP,
-        _interleave_chunks,
         circular_pipeline_forward,
         make_pipeline_mesh,
         pipeline_forward,

@@ -153,3 +153,37 @@ def test_serve_cli_roundtrip(tmp_path, jb):
                         "--out-dim", "4", "--buckets", "4", "--bench"])
     line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
     assert _json.loads(line)["latency"]["n"] >= 5
+
+
+def test_serve_cli_relu_checkpoint_uses_stored_acts(tmp_path, jb):
+    """A relu-trained Network checkpoint serves correctly WITHOUT any
+    activation flag: the CLI rebuilds the graph from the activation
+    names stored by save_network (round-1 gap: it silently assumed
+    logistic)."""
+    import contextlib
+    import io
+
+    import apps.serve as serve_app
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_relu, act_softmax, gen_net
+    from tensor_ops_tpu.models.training import batched_run
+    from tensor_ops_tpu.utils.checkpoint import save_network
+
+    be = T.JaxBackend()
+    net = gen_net(be, 12, 4, [(8, act_relu())], act_softmax(),
+                  Rng(be, seed=5))
+    ckpt = str(tmp_path / "relu.npz")
+    save_network(ckpt, net)
+    x = np.random.default_rng(3).uniform(0, 1, size=(6, 12)).astype(np.float32)
+    xfile = str(tmp_path / "batch.npy")
+    np.save(xfile, x)
+
+    want = np.asarray(batched_run(net, be)(be.asarray(x), *net.params))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve_app.main([ckpt, "--layers", "8", "--in-dim", "12",
+                        "--out-dim", "4", "-i", xfile, "--buckets", "8"])
+    got = [int(l) for l in buf.getvalue().splitlines()
+           if l.strip().lstrip("-").isdigit()]
+    assert got == [int(w) for w in want.argmax(1)]

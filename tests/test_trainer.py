@@ -245,16 +245,83 @@ def test_fit_resume_restores_optimizer_state(jb, tmp_path):
     for a, b in zip(p_ck, r1.net.params):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # resume: the fresh seed-999 net is REPLACED by the checkpoint and
-    # the global step counter carries on from run 1
-    r2 = fit(make_net(jb, seed=999), loss, jb, X, Y, epochs=1, batch_size=32,
+    # resume with a LARGER total budget: the fresh seed-999 net is
+    # REPLACED by the checkpoint and only the REMAINING steps run
+    # (epochs is the total budget, not an increment)
+    r2 = fit(make_net(jb, seed=999), loss, jb, X, Y, epochs=2, batch_size=32,
              lr=0.01, optimizer=adam(), checkpoint_path=ck,
              checkpoint_every=4, resume=True, verbose=False, log_every=1)
-    assert r2.steps == r1.steps + 8
+    assert r2.steps == 16                      # total, not r1.steps + 16
     assert r2.history[0]["step"] == r1.steps + 1
+
+    # resume at an already-met budget (r2 checkpointed at step 16)
+    # trains zero further steps and returns the checkpointed params
+    r3 = fit(make_net(jb, seed=999), loss, jb, X, Y, epochs=1, batch_size=32,
+             lr=0.01, optimizer=adam(), checkpoint_path=ck,
+             checkpoint_every=4, resume=True, verbose=False, log_every=1)
+    assert r3.steps == r2.steps and r3.history == []
+    for a, b in zip(r3.net.params, r2.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # template-mismatch raises loudly (different optimizer)
     opt = sgd()
     st = opt.init(make_net(jb, seed=6).params)
     with pytest.raises(ValueError, match="optimizer state mismatch"):
         load_train_state(ck + ".state", st)
+
+    # same structure, different hyperparameters: the stored struct_key
+    # rejects the resume instead of silently reinterpreting the moments
+    with pytest.raises(ValueError, match="optimizer mismatch"):
+        fit(make_net(jb, seed=999), loss, jb, X, Y, epochs=2, batch_size=32,
+            lr=0.01, optimizer=adam(b1=0.5), checkpoint_path=ck,
+            checkpoint_every=4, resume=True, verbose=False, log_every=1)
+
+
+def test_fit_resume_exact_equivalence(jb, tmp_path):
+    """A crash/resume chain reproduces the uninterrupted run BIT-EXACTLY:
+    params + Adam moments round-trip through the .state file and the
+    loader stream is fast-forwarded to the restored step, so run-A(1
+    epoch) -> resume(2 epochs total) equals one straight 2-epoch run."""
+    X, Y, _ = toy_data(n=256, seed=11)
+    loss = cross_entropy(2)
+    ck = str(tmp_path / "chain.npz")
+
+    fit(make_net(jb, seed=7), loss, jb, X, Y, epochs=1, batch_size=32,
+        lr=0.01, optimizer=adam(), checkpoint_path=ck,
+        checkpoint_every=8, verbose=False)          # saves at step 8
+    resumed = fit(make_net(jb, seed=999), loss, jb, X, Y, epochs=2,
+                  batch_size=32, lr=0.01, optimizer=adam(),
+                  checkpoint_path=ck, checkpoint_every=8, resume=True,
+                  verbose=False)
+
+    straight = fit(make_net(jb, seed=7), loss, jb, X, Y, epochs=2,
+                   batch_size=32, lr=0.01, optimizer=adam(),
+                   verbose=False)
+    assert resumed.steps == straight.steps == 16
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_skip_matches_drained_stream():
+    """NativeLoader.skip(n) lands the stream exactly where n next()
+    calls would (both the native and the fallback path)."""
+    from tensor_ops_tpu.utils.native import NativeLoader
+
+    r = np.random.default_rng(0)
+    X = r.normal(size=(100, 3)).astype(np.float32)
+    Y = r.normal(size=(100, 2)).astype(np.float32)
+
+    a = NativeLoader(X, Y, batch=16, seed=42)
+    b = NativeLoader(X, Y, batch=16, seed=42)
+    try:
+        for _ in range(9):      # crosses an epoch boundary (ceil(100/16)=7)
+            a.next()
+        b.skip(9)
+        for _ in range(3):
+            xa, ya = a.next()
+            xb, yb = b.next()
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+    finally:
+        a.close()
+        b.close()

@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from tensor_ops_tpu.backend.rng import Rng
@@ -257,3 +259,60 @@ def test_fused_checkpoint_preserves_loss_kind(tmp_path):
     x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (8, 6)), jnp.float32)
     v, _ = fae2.train(0.5, x)  # raised ValueError before the fix
     assert np.isfinite(v)
+
+
+def test_network_checkpoint_stores_and_validates_acts(tmp_path, jb):
+    """save_network records activation names; loading into a graph with
+    different activations raises instead of serving silently wrong."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import (act_relu, act_softmax, gen_net)
+    from tensor_ops_tpu.utils.checkpoint import (load_arrays, load_network,
+                                                 save_network)
+
+    net = gen_net(jb, 6, 3, [(8, act_relu())], act_softmax(),
+                  Rng(jb, seed=0))
+    path = str(tmp_path / "relu.npz")
+    save_network(path, net)
+    _, meta = load_arrays(path)
+    assert meta["acts"] == ["relu", "softmax"]
+
+    back = load_network(path, net, jb)
+    assert back.act_names == ("relu", "softmax")
+
+    from tensor_ops_tpu.models import act_logistic
+
+    wrong = gen_net(jb, 6, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=0))
+    with pytest.raises(ValueError, match="activations"):
+        load_network(path, wrong, jb)
+
+
+def test_train_state_roundtrip_without_jax_trees(tmp_path):
+    """save/load_train_state use a dependency-free tuple flattener: an
+    adam-shaped state (int step + nested tuples) round-trips with leaf
+    types preserved, and a changed-hyperparameter resume is rejected via
+    the stored struct key."""
+    from tensor_ops_tpu.models.optim import adam
+    from tensor_ops_tpu.utils.checkpoint import (load_train_state,
+                                                 save_train_state)
+
+    r = np.random.default_rng(0)
+    params = (r.normal(size=(4, 3)), r.normal(size=(3,)))
+    opt = adam()
+    state = (7, tuple(p * 0.5 for p in params), tuple(p * 0.25 for p in params))
+    path = str(tmp_path / "ts.npz")
+    save_train_state(path, params, state, 21, opt_key=opt.struct_key())
+
+    template = opt.init(params)
+    p2, s2, step = load_train_state(path, template,
+                                    opt_key=opt.struct_key())
+    assert step == 21
+    t, m, v = s2
+    assert t == 7 and isinstance(t, int)
+    for a, b in zip(p2, params):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(m, state[1]):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="optimizer mismatch"):
+        load_train_state(path, template, opt_key=adam(b1=0.5).struct_key())
