@@ -101,6 +101,9 @@ def main(argv=None):
     p.add_argument("--out-dim", type=int, default=10)
     p.add_argument("--int8", action="store_true",
                    help="Quantize weights to int8 at load (w8a8 MXU path)")
+    p.add_argument("--bf16", action="store_true",
+                   help="Store weights in bfloat16 (half the HBM "
+                        "footprint, latency parity — see BENCH.md)")
     p.add_argument("--act", type=str, default="logistic",
                    choices=("logistic", "relu", "tanh"),
                    help="Hidden activation for OLD bare-Network "
@@ -118,9 +121,12 @@ def main(argv=None):
 
     layers = [int(x) for x in args.layers.split(",") if x]
     buckets = tuple(int(x) for x in args.buckets.split(",") if x)
+    if args.int8 and args.bf16:
+        p.error("--int8 and --bf16 are mutually exclusive")
     model = load_model(args.checkpoint, layers, args.in_dim, args.out_dim,
                        args.int8, act=args.act)
-    pred = Predictor(model, buckets=buckets)
+    pred = Predictor(model, buckets=buckets,
+                     dtype="bf16" if args.bf16 else None)
     print(f"Serving {type(model).__name__} from {args.checkpoint} "
           f"(buckets {buckets})")
 

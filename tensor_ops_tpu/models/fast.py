@@ -72,6 +72,20 @@ class FusedMLP:
         bs = tuple(ps[i] for i in range(1, len(ps), 2))
         return cls(ws, bs, tuple(acts), softmax_out, precision)
 
+    def astype(self, dtype) -> "FusedMLP":
+        """Serving-precision variant: weights/biases stored in ``dtype``
+        (e.g. ``jnp.bfloat16`` — half the weight HBM footprint, so twice
+        the replicas per chip).  Measured (BENCH.md "weight-storage
+        dtype study"): at the weight-bound serving shape, bf16 storage
+        is latency-PARITY with f32 — storage dtype is a capacity knob,
+        not a latency one — and int8 (``QuantizedMLP``) remains the 4x
+        capacity point.  Activations still compute at the model's
+        ``precision``; the final softmax runs in f32."""
+        ws = tuple(w.astype(dtype) for w in self.weights)
+        bs = tuple(b.astype(dtype) for b in self.biases)
+        return FusedMLP(ws, bs, self.acts, self.softmax_out,
+                        self.precision, self.loss_kind)
+
     def to_params(self) -> Tuple[Any, ...]:
         out: List[Any] = []
         for w, b in zip(self.weights, self.biases):

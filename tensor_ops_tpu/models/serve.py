@@ -37,7 +37,22 @@ class Predictor:
         buckets: Sequence[int] = (1, 8, 32, 128, 512),
         use_fused_kernel: bool = True,
         xla_threshold: int = 64,
+        dtype: Optional[str] = None,
     ):
+        if dtype is not None:
+            # storage-dtype knob (FusedMLP only): "bf16" halves weight
+            # HBM at measured latency parity (capacity, not speed —
+            # BENCH.md weight-storage dtype study); int8 via QuantizedMLP
+            if not isinstance(model, FusedMLP):
+                raise ValueError(
+                    "dtype= applies to FusedMLP models (use QuantizedMLP "
+                    "for int8; Network predictors follow their backend)")
+            import jax.numpy as jnp
+
+            table = {"bf16": jnp.bfloat16, "f32": jnp.float32}
+            if dtype not in table:
+                raise ValueError(f"dtype must be one of {sorted(table)}")
+            model = model.astype(table[dtype])
         # Measured dispatch policy (BENCH.md serving table): the whole-MLP
         # single pallas_call wins the latency-critical small buckets (3.2
         # vs 4.9 us at batch 8); XLA's own GEMM+epilogue fusion wins from

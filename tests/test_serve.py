@@ -187,3 +187,27 @@ def test_serve_cli_relu_checkpoint_uses_stored_acts(tmp_path, jb):
     got = [int(l) for l in buf.getvalue().splitlines()
            if l.strip().lstrip("-").isdigit()]
     assert got == [int(w) for w in want.argmax(1)]
+
+
+def test_predictor_bf16_storage_parity(jb):
+    """Predictor(dtype='bf16') halves weight storage; predictions agree
+    with the f32 model (argmax-exact on well-separated outputs)."""
+    import jax.numpy as jnp
+
+    net = make(jb)
+    fm = FusedMLP.from_network(net)
+    p32 = Predictor(fm, buckets=(8,))
+    p16 = Predictor(fm, buckets=(8,), dtype="bf16")
+    assert p16.model.weights[0].dtype == jnp.bfloat16
+    x = np.random.default_rng(4).uniform(0, 1, size=(8, 6)).astype(np.float32)
+    a = p32.predict(x)
+    b = p16.predict(x)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    np.testing.assert_array_equal(a.argmax(1), b.argmax(1))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="FusedMLP"):
+        Predictor(net, jb, dtype="bf16")
+    with pytest.raises(ValueError, match="dtype"):
+        Predictor(fm, dtype="int8")
