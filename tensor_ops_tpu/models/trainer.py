@@ -187,6 +187,7 @@ def fit(
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
     mesh=None,
+    pipeline_microbatches: int = 4,
     prefetch: int = 2,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
@@ -233,7 +234,17 @@ def fit(
     (the reference has no distribution whatsoever, SURVEY.md §2.5).  Under
     multi-process jax each host loads only its own disjoint shard via
     ``NativeLoader(shard=(process_index, process_count))`` and the global
-    batch is assembled with ``make_array_from_process_local_data``."""
+    batch is assembled with ``make_array_from_process_local_data``.
+
+    A mesh with a ``stage`` axis (``make_pipeline_mesh(S)`` /
+    ``make_dp_pipeline_mesh(D, S)``) instead trains PIPELINE-parallel
+    over the staged IR: the network is cut at its composition points,
+    each device runs its stages' sub-graphs through the framework's own
+    transposition AD, and ``pipeline_microbatches`` microbatches flow
+    through the GPipe schedule per step — same optimizer/clip/schedule/
+    checkpoint/resume surface as every other mode (checkpoints store
+    the ordinary Network param stack, so a pipeline-trained model
+    serves anywhere)."""
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
@@ -243,13 +254,61 @@ def fit(
             f"({accum_steps}): the jitted step would silently drop the "
             f"remainder {batch_size % accum_steps} samples of every batch"
         )
-    step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
-                            clip_norm=clip_norm,
-                            mixed_precision=mixed_precision, mesh=mesh)
+    pipeline_mode = False
+    if mesh is not None:
+        from ..parallel.pipeline import STAGE_AXIS
+
+        pipeline_mode = STAGE_AXIS in mesh.axis_names
+    spnet = None
     params = net.params
     data_sh = None
     n_proc, proc_idx = 1, 0
-    if mesh is not None:
+    if pipeline_mode:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        from ..parallel.ir_pipeline import (make_ir_pipeline_loss,
+                                            shard_pipelined_params,
+                                            split_network)
+        from ..parallel.mesh import DATA_AXIS
+
+        if be.name != "jax":
+            raise ValueError("pipeline mesh requires the jax backend")
+        if accum_steps > 1 or mixed_precision:
+            raise ValueError(
+                "accum_steps/mixed_precision are not supported on a "
+                "pipeline (stage-axis) mesh yet")
+        M = pipeline_microbatches
+        if batch_size % M != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by "
+                f"pipeline_microbatches ({M})")
+        has_data = DATA_AXIS in mesh.axis_names
+        dp = mesh.shape[DATA_AXIS] if has_data else 1
+        if (batch_size // M) % dp != 0:
+            raise ValueError(
+                f"microbatch rows ({batch_size // M}) must be divisible "
+                f"by the data-axis size ({dp})")
+        spnet = shard_pipelined_params(
+            split_network(net, mesh.shape[STAGE_AXIS]), mesh)
+        params = spnet.flat_params()
+        data_sh = NamedSharding(
+            mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
+
+        loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M)
+
+        def _pl_step(lr, xb, yb, opt_state, params):
+            import jax.numpy as jnp
+
+            v, grads = jax.value_and_grad(loss_fn)(tuple(params), xb, yb)
+            if clip_norm:
+                grads = clip_by_global_norm(grads, clip_norm)
+            opt_state, params = opt.update(opt_state, tuple(params), grads, lr)
+            return v, opt_state, params
+
+        step_fn = jax.jit(_pl_step)
+        n_proc, proc_idx = jax.process_count(), jax.process_index()
+    elif mesh is not None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
@@ -268,6 +327,10 @@ def fit(
         )
         data_sh = NamedSharding(mesh, PSpec(DATA_AXIS, None))
         n_proc, proc_idx = jax.process_count(), jax.process_index()
+    if not pipeline_mode:
+        step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
+                                clip_norm=clip_norm,
+                                mixed_precision=mixed_precision, mesh=mesh)
 
     if n_proc > 1:
         # each host loads only its disjoint shard; per-host batches are
@@ -291,14 +354,23 @@ def fit(
 
         rparams, r_opt_state, step = load_train_state(
             state_path, opt_state, opt_key=opt_key)
-        params = tuple(be.asarray(p) for p in rparams)
-        if mesh is not None:
+        if pipeline_mode:
+            import jax
+
+            # .state stores the FLAT pipelined layout; re-place each
+            # leaf on its stage/replicated sharding from setup
+            params = tuple(
+                jax.device_put(np.asarray(p), t.sharding)
+                for p, t in zip(rparams, params))
+        elif mesh is not None:
             import jax
             from jax.sharding import NamedSharding
 
             params = tuple(
-                jax.device_put(p, NamedSharding(mesh, s))
-                for p, s in zip(params, pspecs))
+                jax.device_put(be.asarray(p), NamedSharding(mesh, s))
+                for p, s in zip(rparams, pspecs))
+        else:
+            params = tuple(be.asarray(p) for p in rparams)
         # restored leaves are host numpy; re-place each onto its
         # template's device/sharding (the template came from
         # opt.init(sharded params), so Adam moments keep their
@@ -330,6 +402,16 @@ def fit(
         source = DevicePrefetcher(loader, _put, depth=prefetch)
 
     first_step_of_run = step + 1  # resumed runs log their first step too
+
+    def _as_network(cur_params) -> Network:
+        # pipeline mode trains the flat stage-partitioned layout; every
+        # outward-facing artifact (val accuracy, servable checkpoint,
+        # FitResult) converts back to the ordinary Network param stack
+        if pipeline_mode:
+            cur_params = spnet.unflatten(
+                tuple(cur_params)).to_network_params()
+        return Network(net.op, tuple(cur_params), net.act_names)
+
     logger = MetricsLogger(metrics_path)
     save_futures = []
     try:
@@ -363,7 +445,7 @@ def fit(
                 if val is not None:
                     from .training import accuracy
 
-                    cur = Network(net.op, params, net.act_names)
+                    cur = _as_network(params)
                     rec["val_acc"] = accuracy(
                         cur, be, be.asarray(val[0]), np.asarray(val[1])
                     )
@@ -382,7 +464,7 @@ def fit(
                 # arrays are fetched synchronously — the step pipeline
                 # stalls only for the D2H copy, not the serialization
                 save_futures.append(save_network_async(
-                    checkpoint_path, Network(net.op, params, net.act_names)))
+                    checkpoint_path, _as_network(params)))
                 # sibling .state file carries optimizer moments + step
                 # for exact resume (fit(resume=True))
                 save_futures.append(save_train_state_async(
@@ -397,7 +479,7 @@ def fit(
             f.result()
         loader.close()
         logger.close()
-    return FitResult(Network(net.op, params, net.act_names), history, step)
+    return FitResult(_as_network(params), history, step)
 
 
 def _restore_opt_state(template, restored, be: Backend):

@@ -255,22 +255,20 @@ def _make_spmd_body(body_op: TOp, be: Backend, L: int, n_body_params: int):
     return spmd
 
 
-def ir_pipeline_train_step(
+def make_ir_pipeline_loss(
     net: Network,
     loss: TOp,
     be: Backend,
     mesh: Mesh,
     n_microbatches: int,
 ) -> Tuple[Callable, PipelinedNetwork]:
-    """Jitted pipeline-parallel SGD step over the staged IR:
-    ``fn(lr, xb, yb, *flat_params) -> (mean_loss, new_flat_params)``.
-
-    Returns ``(step, pnet)`` where ``pnet`` is the stage-partitioned
-    parameter container (``pnet.flat_params()`` feeds the step;
-    ``pnet.unflatten(new).to_network_params()`` rebuilds a Network stack).
-    Gradients equal the sequential staged-IR gradients exactly: every
-    segment — pre, body stages, post, and the loss — evaluates through
-    ``ir_call`` (forward ``apply_tape``, backward ``op.transpose``)."""
+    """``(loss_fn, pnet)``: the pipelined batch-mean loss over the
+    stage-partitioned flat params — ``loss_fn(flat_params, xb, yb)`` —
+    differentiable under ``jax.grad`` (every segment evaluates through
+    the framework's own transposition AD via ``ir_call``; jax only
+    transposes the schedule).  Building block for both the SGD
+    ``ir_pipeline_train_step`` and the optimizer-generic ``fit(mesh=
+    <stage mesh>)`` path."""
     if be.name != "jax":
         raise ValueError("ir pipeline requires the jax backend")
     S = mesh.shape[STAGE_AXIS]
@@ -304,6 +302,28 @@ def ir_pipeline_train_step(
         for call, (_, seg_p) in zip(post_calls, p.post):
             h = call(h, *seg_p)
         return jnp.mean(loss_batched(h, yb))
+
+    return loss_fn, pnet
+
+
+def ir_pipeline_train_step(
+    net: Network,
+    loss: TOp,
+    be: Backend,
+    mesh: Mesh,
+    n_microbatches: int,
+) -> Tuple[Callable, PipelinedNetwork]:
+    """Jitted pipeline-parallel SGD step over the staged IR:
+    ``fn(lr, xb, yb, *flat_params) -> (mean_loss, new_flat_params)``.
+
+    Returns ``(step, pnet)`` where ``pnet`` is the stage-partitioned
+    parameter container (``pnet.flat_params()`` feeds the step;
+    ``pnet.unflatten(new).to_network_params()`` rebuilds a Network stack).
+    Gradients equal the sequential staged-IR gradients exactly: every
+    segment — pre, body stages, post, and the loss — evaluates through
+    ``ir_call`` (forward ``apply_tape``, backward ``op.transpose``)."""
+    loss_fn, pnet = make_ir_pipeline_loss(net, loss, be, mesh,
+                                          n_microbatches)
 
     @jax.jit
     def step(lr, xb, yb, *flat_params):

@@ -160,3 +160,71 @@ def test_restore_opt_state_keeps_shardings(jb):
         np.testing.assert_array_equal(np.asarray(mo), np.asarray(p) + 1.0)
     for vo, p in zip(v, params):
         assert vo.sharding == p.sharding
+
+
+def _deep_uniform_net(jb, seed=0):
+    # 9 hidden layers: 8 structurally identical (16,16) body segments
+    rng = Rng(jb, seed=seed)
+    return gen_net(jb, 12, 2, [(16, act_logistic())] * 9,
+                   act_softmax(), rng)
+
+
+@multi
+def test_fit_pipeline_mesh_matches_single_device(jb):
+    """fit on a stage-axis mesh trains pipeline-parallel over the staged
+    IR with the full fit surface (adam, schedule) and lands on the SAME
+    params as single-device fit — the pipelined gradient is exactly the
+    sequential transposition-AD gradient."""
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.parallel.pipeline import make_dp_pipeline_mesh
+
+    r = np.random.default_rng(3)
+    X = r.uniform(0, 1, size=(128, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=128)]
+    loss = cross_entropy(2)
+    kw = dict(epochs=2, batch_size=32, lr=0.01, optimizer=adam(),
+              verbose=False, prefetch=0)
+
+    r_pp = fit(_deep_uniform_net(jb, seed=4), loss, jb, X, Y,
+               mesh=make_dp_pipeline_mesh(2, 4), pipeline_microbatches=4,
+               **kw)
+    r_sd = fit(_deep_uniform_net(jb, seed=4), loss, jb, X, Y, **kw)
+    assert r_pp.steps == r_sd.steps
+    for a, b in zip(r_pp.net.params, r_sd.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+@multi
+def test_fit_pipeline_mesh_resume(jb, tmp_path):
+    """checkpoint/resume works on the pipeline mesh: the servable .npz
+    stores the ordinary Network stack and the resumed chain matches the
+    uninterrupted pipelined run."""
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+    from tensor_ops_tpu.utils.checkpoint import load_arrays
+
+    r = np.random.default_rng(5)
+    X = r.uniform(0, 1, size=(128, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=128)]
+    loss = cross_entropy(2)
+    mesh = make_pipeline_mesh(8)
+    ck = str(tmp_path / "pp.npz")
+    kw = dict(batch_size=32, lr=0.01, optimizer=adam(), verbose=False,
+              prefetch=0, pipeline_microbatches=4)
+
+    def net():
+        # 9 hidden -> 8 identical body segments, divisible by S=8
+        return _deep_uniform_net(jb, seed=6)
+
+    fit(net(), loss, jb, X, Y, epochs=1, mesh=mesh, checkpoint_path=ck,
+        checkpoint_every=4, **kw)
+    _, meta = load_arrays(ck)
+    assert meta["kind"] == "feedforward"          # servable Network stack
+    resumed = fit(net(), loss, jb, X, Y, epochs=2, mesh=mesh,
+                  checkpoint_path=ck, checkpoint_every=4, resume=True, **kw)
+    straight = fit(net(), loss, jb, X, Y, epochs=2, mesh=mesh, **kw)
+    assert resumed.steps == straight.steps == 8
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-7)
