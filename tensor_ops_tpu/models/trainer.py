@@ -298,8 +298,6 @@ def fit(
         loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M)
 
         def _pl_step(lr, xb, yb, opt_state, params):
-            import jax.numpy as jnp
-
             v, grads = jax.value_and_grad(loss_fn)(tuple(params), xb, yb)
             if clip_norm:
                 grads = clip_by_global_norm(grads, clip_norm)
