@@ -125,6 +125,9 @@ def main(argv=None):
         p.error("--int8 and --bf16 are mutually exclusive")
     model = load_model(args.checkpoint, layers, args.in_dim, args.out_dim,
                        args.int8, act=args.act)
+    if args.bf16 and isinstance(model, QuantizedMLP):
+        p.error("--bf16 does not apply to an int8 (quantized_mlp) "
+                "checkpoint — it is already the smaller artifact")
     pred = Predictor(model, buckets=buckets,
                      dtype="bf16" if args.bf16 else None)
     print(f"Serving {type(model).__name__} from {args.checkpoint} "

@@ -11,6 +11,7 @@ metrics, and periodic checkpoints — with the whole optimizer step jitted
 from __future__ import annotations
 
 import os
+import sys
 
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
@@ -289,23 +290,38 @@ def fit(
             raise ValueError(
                 f"microbatch rows ({batch_size // M}) must be divisible "
                 f"by the data-axis size ({dp})")
+        n_proc, proc_idx = jax.process_count(), jax.process_index()
+        if n_proc > 1 and not has_data:
+            raise ValueError(
+                "multi-process pipeline training needs a data axis in "
+                "the mesh (a stage-only mesh replicates the batch, which "
+                "per-process disjoint loader shards cannot assemble)")
         spnet = shard_pipelined_params(
             split_network(net, mesh.shape[STAGE_AXIS]), mesh)
         params = spnet.flat_params()
         data_sh = NamedSharding(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
 
-        loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M)
+        key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
+               mesh, M) + be.cache_key()
+        step_fn = net.op._compiled.get(key)
+        if step_fn is None:
+            # the closure captures only a structure skeleton — no pinned
+            # parameter copy survives in the jit cache
+            loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M,
+                                               pnet=spnet.skeleton())
 
-        def _pl_step(lr, xb, yb, opt_state, params):
-            v, grads = jax.value_and_grad(loss_fn)(tuple(params), xb, yb)
-            if clip_norm:
-                grads = clip_by_global_norm(grads, clip_norm)
-            opt_state, params = opt.update(opt_state, tuple(params), grads, lr)
-            return v, opt_state, params
+            def _pl_step(lr, xb, yb, opt_state, params):
+                v, grads = jax.value_and_grad(loss_fn)(tuple(params),
+                                                       xb, yb)
+                if clip_norm:
+                    grads = clip_by_global_norm(grads, clip_norm)
+                opt_state, params = opt.update(opt_state, tuple(params),
+                                               grads, lr)
+                return v, opt_state, params
 
-        step_fn = jax.jit(_pl_step)
-        n_proc, proc_idx = jax.process_count(), jax.process_index()
+            step_fn = jax.jit(_pl_step)
+            net.op._compiled[key] = step_fn
     elif mesh is not None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
@@ -330,15 +346,27 @@ def fit(
                                 clip_norm=clip_norm,
                                 mixed_precision=mixed_precision, mesh=mesh)
 
+    if pipeline_mode and X.shape[0] < batch_size:
+        raise ValueError(
+            f"pipeline training drops ragged batches (the microbatch "
+            f"grid needs full ones): dataset ({X.shape[0]} rows) must "
+            f"hold at least one batch ({batch_size})")
     if n_proc > 1:
         # each host loads only its disjoint shard; per-host batches are
         # local rows of the global batch
         loader = NativeLoader(X, Y, batch=batch_size // n_proc, seed=seed,
-                              shard=(proc_idx, n_proc))
+                              shard=(proc_idx, n_proc),
+                              drop_last=pipeline_mode)
     else:
-        loader = NativeLoader(X, Y, batch=batch_size, seed=seed)
+        loader = NativeLoader(X, Y, batch=batch_size, seed=seed,
+                              drop_last=pipeline_mode)
 
-    steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
+    if pipeline_mode:
+        # ragged final batches cannot flow through the fixed (M, B//M)
+        # microbatch grid — the loader reshuffles instead (drop_last)
+        steps_per_epoch = X.shape[0] // batch_size
+    else:
+        steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     total_steps = epochs * steps_per_epoch
     opt_state = opt.init(params)
     history = []
@@ -376,8 +404,11 @@ def fit(
         opt_state = _restore_opt_state(opt_state, r_opt_state, be)
         # stream position == global step: a resumed run continues the
         # epoch's shuffle where the saving run stopped (no replayed or
-        # skipped batches), invariant across repeated crash/resume
-        loader.skip(step)
+        # skipped batches), invariant across repeated crash/resume.
+        # Skipping is pointless when the budget is already met — zero
+        # steps will run, so don't drain `step` batches for nothing.
+        if step < total_steps:
+            loader.skip(step)
         if verbose:
             print(f"resumed from {state_path} at step {step} "
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
@@ -473,10 +504,20 @@ def fit(
                     save_futures.pop(0).result()
                     save_futures.pop(0).result()
     finally:
+        # join ALL pending checkpoint writes, then close, then surface
+        # the first write error — but never mask an exception already
+        # unwinding from the training loop (the crash being
+        # checkpointed against outranks a failed save of it)
+        save_err = None
         for f in save_futures:
-            f.result()
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                save_err = save_err or e
         loader.close()
         logger.close()
+        if save_err is not None and sys.exc_info()[0] is None:
+            raise save_err
     return FitResult(_as_network(params), history, step)
 
 
@@ -485,11 +526,22 @@ def _restore_opt_state(template, restored, be: Backend):
     leaf is placed like its template counterpart (same backend array
     type; same device sharding for jax arrays — ``opt.init`` built the
     template from the already-sharded params, so moments resume with
-    their training-time placement instead of host numpy)."""
+    their training-time placement instead of host numpy).  Container
+    semantics mirror ``checkpoint._tree_unflatten``: tuples/lists/
+    NamedTuples/dicts recurse, ``None`` passes through."""
+    if template is None:
+        return None
+    if isinstance(template, dict):
+        return {k: _restore_opt_state(template[k], restored[k], be)
+                for k in sorted(template)}
     if isinstance(template, (tuple, list)):
-        return type(template)(
-            _restore_opt_state(t, r, be)
-            for t, r in zip(template, restored))
+        vals = [_restore_opt_state(t, r, be)
+                for t, r in zip(template, restored)]
+        if hasattr(template, "_fields"):  # NamedTuple states
+            return type(template)(*vals)
+        return type(template)(vals)
+    if isinstance(template, bool):
+        return bool(restored)
     if isinstance(template, int):
         return int(restored)
     if isinstance(template, float):

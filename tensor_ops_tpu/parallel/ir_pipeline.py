@@ -152,6 +152,17 @@ class PipelinedNetwork:
         post = [(op, tuple(next(it) for _ in p)) for op, p in self.post]
         return PipelinedNetwork(pre, self.body_op, body, self.n_body, post)
 
+    def skeleton(self) -> "PipelinedNetwork":
+        """Structure-only copy (param arrays replaced by None): safe to
+        capture in long-lived closures/jit caches without pinning a full
+        parameter copy — ``unflatten``/``flat_params`` only count."""
+        return PipelinedNetwork(
+            [(op, tuple(None for _ in p)) for op, p in self.pre],
+            self.body_op,
+            tuple(None for _ in self.body_params),
+            self.n_body,
+            [(op, tuple(None for _ in p)) for op, p in self.post])
+
     def to_network_params(self) -> Tuple[Any, ...]:
         """Back to the original Network param stack (body unstacked in
         segment order)."""
@@ -261,6 +272,7 @@ def make_ir_pipeline_loss(
     be: Backend,
     mesh: Mesh,
     n_microbatches: int,
+    pnet: Optional[PipelinedNetwork] = None,
 ) -> Tuple[Callable, PipelinedNetwork]:
     """``(loss_fn, pnet)``: the pipelined batch-mean loss over the
     stage-partitioned flat params — ``loss_fn(flat_params, xb, yb)`` —
@@ -268,11 +280,17 @@ def make_ir_pipeline_loss(
     the framework's own transposition AD via ``ir_call``; jax only
     transposes the schedule).  Building block for both the SGD
     ``ir_pipeline_train_step`` and the optimizer-generic ``fit(mesh=
-    <stage mesh>)`` path."""
+    <stage mesh>)`` path.
+
+    ``pnet`` may be a prebuilt partition (or a skeleton of one — the
+    closure uses only its STRUCTURE: ops and per-segment param counts,
+    never the array values), avoiding a second ``split_network`` and
+    keeping no extra parameter copy alive."""
     if be.name != "jax":
         raise ValueError("ir pipeline requires the jax backend")
     S = mesh.shape[STAGE_AXIS]
-    pnet = split_network(net, S)
+    if pnet is None:
+        pnet = split_network(net, S)
     L = pnet.n_body // S
     n_bp = len(pnet.body_params)
     M = n_microbatches

@@ -159,10 +159,17 @@ def load_fused(path: str):
 
 
 def _tree_leaves(tree) -> list:
-    """Flatten a nested tuple/list tree of array/scalar leaves — the
-    shape of every optimizer state (``optim.py``) — without requiring
-    jax (the module's save/restore is dependency-free: a numpy-backend
-    training run checkpoints on installs with no jax at all)."""
+    """Flatten a nested tuple/list/NamedTuple/dict tree of array/scalar
+    leaves — the shape of every optimizer state (``optim.py``, plus
+    custom ones) — without requiring jax (the module's save/restore is
+    dependency-free: a numpy-backend training run checkpoints on
+    installs with no jax at all).  Mirrors ``jax.tree_util`` semantics
+    for these containers: ``None`` is an empty subtree, dicts iterate
+    in sorted-key order."""
+    if tree is None:
+        return []
+    if isinstance(tree, dict):
+        return [l for k in sorted(tree) for l in _tree_leaves(tree[k])]
     if isinstance(tree, (tuple, list)):
         out = []
         for t in tree:
@@ -172,10 +179,19 @@ def _tree_leaves(tree) -> list:
 
 
 def _tree_unflatten(template, leaves_iter):
+    if template is None:
+        return None
+    if isinstance(template, dict):
+        return {k: _tree_unflatten(template[k], leaves_iter)
+                for k in sorted(template)}
     if isinstance(template, (tuple, list)):
-        return type(template)(
-            _tree_unflatten(t, leaves_iter) for t in template)
+        vals = [_tree_unflatten(t, leaves_iter) for t in template]
+        if hasattr(template, "_fields"):  # NamedTuple states
+            return type(template)(*vals)
+        return type(template)(vals)
     leaf = next(leaves_iter)
+    if isinstance(template, bool):
+        return bool(leaf)
     if isinstance(template, int):
         return int(leaf)  # e.g. adam's step count
     if isinstance(template, float):

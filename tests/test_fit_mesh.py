@@ -228,3 +228,26 @@ def test_fit_pipeline_mesh_resume(jb, tmp_path):
     for a, b in zip(resumed.net.params, straight.net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-7, rtol=1e-7)
+
+
+@multi
+def test_fit_pipeline_mesh_ragged_dataset(jb):
+    """A dataset that doesn't divide batch_size trains fine on the
+    pipeline mesh: ragged final batches are dropped (reshuffled into
+    the next epoch) instead of crashing the fixed microbatch grid."""
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    r = np.random.default_rng(9)
+    X = r.uniform(0, 1, size=(140, 12))       # 140 % 32 != 0
+    Y = np.eye(2)[r.integers(0, 2, size=140)]
+    res = fit(_deep_uniform_net(jb, seed=8), cross_entropy(2), jb, X, Y,
+              epochs=2, batch_size=32, lr=0.05, verbose=False,
+              prefetch=0, mesh=make_pipeline_mesh(8),
+              pipeline_microbatches=4, log_every=1)
+    assert res.steps == 2 * (140 // 32)       # full batches only
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+
+    with pytest.raises(ValueError, match="at least one batch"):
+        fit(_deep_uniform_net(jb, seed=8), cross_entropy(2), jb,
+            X[:16], Y[:16], epochs=1, batch_size=32, verbose=False,
+            mesh=make_pipeline_mesh(8), pipeline_microbatches=4)

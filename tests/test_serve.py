@@ -211,3 +211,18 @@ def test_predictor_bf16_storage_parity(jb):
         Predictor(net, jb, dtype="bf16")
     with pytest.raises(ValueError, match="dtype"):
         Predictor(fm, dtype="int8")
+
+
+def test_serve_cli_bf16_rejects_quantized_checkpoint(tmp_path, jb):
+    import pytest
+
+    import apps.serve as serve_app
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+    from tensor_ops_tpu.utils.checkpoint import save_quantized
+
+    net = make(jb)
+    qm = QuantizedMLP.from_fused(FusedMLP.from_network(net))
+    ck = str(tmp_path / "q.npz")
+    save_quantized(ck, qm)
+    with pytest.raises(SystemExit):
+        serve_app.main([ck, "--bf16", "--bench", "--buckets", "4"])

@@ -316,3 +316,31 @@ def test_train_state_roundtrip_without_jax_trees(tmp_path):
 
     with pytest.raises(ValueError, match="optimizer mismatch"):
         load_train_state(path, template, opt_key=adam(b1=0.5).struct_key())
+
+
+def test_train_state_roundtrip_namedtuple_and_dict_state(tmp_path):
+    """Custom optimizer states built from NamedTuples / dicts / None
+    round-trip through the dependency-free flattener with container
+    types preserved (jax.tree_util semantics)."""
+    from collections import namedtuple
+
+    from tensor_ops_tpu.utils.checkpoint import (load_train_state,
+                                                 save_train_state)
+
+    State = namedtuple("State", ["mu", "nu", "extra"])
+    r = np.random.default_rng(1)
+    params = (r.normal(size=(3, 2)),)
+    state = State(mu=(r.normal(size=(3, 2)),),
+                  nu={"b": r.normal(size=(3, 2)), "a": 7},
+                  extra=None)
+    path = str(tmp_path / "nt.npz")
+    save_train_state(path, params, state, 5)
+
+    template = State(mu=(params[0] * 0,),
+                     nu={"b": params[0] * 0, "a": 0}, extra=None)
+    _, restored, step = load_train_state(path, template)
+    assert step == 5
+    assert isinstance(restored, State) and restored.extra is None
+    assert isinstance(restored.nu, dict) and restored.nu["a"] == 7
+    np.testing.assert_array_equal(restored.mu[0], state.mu[0])
+    np.testing.assert_array_equal(restored.nu["b"], state.nu["b"])
