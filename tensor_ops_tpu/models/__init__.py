@@ -19,5 +19,5 @@ from .autoencoder import Encoder
 from . import recurrent, autoencoder, training
 from . import optim, trainer, fast
 from .optim import adam, momentum, sgd
-from .trainer import fit
+from .trainer import fit, fit_sequences
 from .serve import Predictor

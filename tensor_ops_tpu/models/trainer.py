@@ -521,6 +521,163 @@ def fit(
     return FitResult(_as_network(params), history, step)
 
 
+def _seq_batch_loss(net, loss: TOp, be: Backend, xb, tb) -> float:
+    """Mean summed-sequence loss over a batch (the log metric — a
+    single sequence's loss is too noisy to read a trend from)."""
+    n = int(be.shape_of(xb)[1])
+    g = net._seq_graph(loss, n)
+    key = ("seq_batch_loss", loss.struct_key(), n) + be.cache_key()
+    fn = net.op._compiled.get(key)
+    if fn is None:
+        if be.name == "jax":
+            import jax
+
+            def one(xs, tgt, *sp):
+                return ir.run(g, be, (xs,) + sp + (tgt,))[0]
+
+            nsp = len(net.states) + len(net.params)
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0) + (None,) * nsp))
+        else:
+
+            def fn(xb, tb, *sp):
+                return [ir.run(g, be, (x,) + sp + (t,))[0]
+                        for x, t in zip(xb, tb)]
+
+        net.op._compiled[key] = fn
+    vals = fn(xb, tb, *net.states, *net.params)
+    return float(np.mean(np.asarray(vals)))
+
+
+@dataclass
+class FitSeqResult:
+    net: "RecurrentNetwork"
+    history: list
+    steps: int
+
+
+def fit_sequences(
+    rnet,
+    loss: TOp,
+    be: Backend,
+    XS: np.ndarray,
+    TS: np.ndarray,
+    *,
+    epochs: int = 1,
+    batch_size: int = 16,
+    rate_state: float = 0.01,
+    rate_param: float = 0.05,
+    seed: int = 0,
+    metrics_path: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    log_every: int = 10,
+    verbose: bool = True,
+) -> FitSeqResult:
+    """The production loop for the recurrent family — ``fit``'s
+    epochs/metrics/checkpoint/resume surface over scan-BPTT sequence
+    minibatches (``RecurrentNetwork.train_batch``: vmapped sequence
+    gradients, dual state/param learning rates — the reference's
+    ``trainNetwork'`` semantics, ``Recurrent.hs:326-354``, which it
+    only ever ran hand-looped one sequence at a time).
+
+    ``XS``: ``(N, n, *in_shape)`` sequences, ``TS`` their targets.
+    ``epochs`` is the TOTAL budget (as in ``fit``): a resumed run
+    executes only the remaining steps and fast-forwards the shuffle to
+    the restored step, so a crash/resume chain reproduces an
+    uninterrupted run.  Ragged trailing batches are dropped (each
+    distinct batch size would recompile the jitted step).  Checkpoints:
+    ``checkpoint_path`` saves the servable recurrent net
+    (``save_recurrent``) and a sibling ``.state`` with states + params
+    + step."""
+    from ..utils.checkpoint import (load_train_state, save_arrays_async,
+                                    save_train_state_async)
+    from .recurrent import RecurrentNetwork
+
+    N = XS.shape[0]
+    if N < batch_size:
+        raise ValueError(
+            f"dataset ({N} sequences) must hold at least one batch "
+            f"({batch_size}); ragged batches are dropped")
+    steps_per_epoch = N // batch_size
+    total_steps = epochs * steps_per_epoch
+    k = len(rnet.states)
+    net = rnet
+    step = 0
+    state_path = (checkpoint_path + ".state") if checkpoint_path else None
+    if resume and state_path and os.path.exists(state_path):
+        # the .state "params" slot holds states + params; opt_state is
+        # empty (dual-rate SGD carries no moments)
+        flat, _, step = load_train_state(state_path, ())
+        if len(flat) != k + len(net.params):
+            raise ValueError(
+                f"checkpoint has {len(flat)} leaves, the network needs "
+                f"{k} states + {len(net.params)} params")
+        net = RecurrentNetwork(
+            net.op,
+            tuple(be.asarray(s) for s in flat[:k]),
+            tuple(be.asarray(p) for p in flat[k:]))
+        if verbose:
+            print(f"resumed from {state_path} at step {step} "
+                  f"({max(total_steps - step, 0)} of {total_steps} steps "
+                  f"remaining)")
+
+    rng = np.random.default_rng(seed)
+    # stream position == global step: regenerate the per-epoch
+    # permutations a finished prefix consumed (index math only)
+    perm = rng.permutation(N)
+    for _ in range(step // steps_per_epoch):
+        perm = rng.permutation(N)
+
+    first_step_of_run = step + 1
+    logger = MetricsLogger(metrics_path)
+    history = []
+    save_futures = []
+    try:
+        while step < total_steps:
+            epoch = step // steps_per_epoch
+            b = step % steps_per_epoch
+            idx = perm[b * batch_size : (b + 1) * batch_size]
+            xb = be.asarray(XS[idx])
+            tb = be.asarray(TS[idx])
+            net = net.train_batch(loss, rate_state, rate_param, be, xb, tb)
+            step += 1
+            if step % steps_per_epoch == 0 and step < total_steps:
+                perm = rng.permutation(N)
+            if step % log_every == 0 or step == first_step_of_run:
+                v = _seq_batch_loss(net, loss, be, xb, tb)
+                history.append(logger.log(step, epoch=epoch, loss=v))
+                if verbose:
+                    print(f"[epoch {epoch}] step {step}: "
+                          f"seq loss {v:.4f}")
+            if checkpoint_path and checkpoint_every and \
+                    step % checkpoint_every == 0:
+                arrays = {f"param_{i}": np.asarray(p)
+                          for i, p in enumerate(net.params)}
+                arrays.update({f"state_{i}": np.asarray(s)
+                               for i, s in enumerate(net.states)})
+                save_futures.append(save_arrays_async(
+                    checkpoint_path, arrays,
+                    {"kind": "recurrent", "n_states": k}))
+                save_futures.append(save_train_state_async(
+                    state_path, tuple(net.states) + tuple(net.params),
+                    (), step))
+                if len(save_futures) > 4:
+                    save_futures.pop(0).result()
+                    save_futures.pop(0).result()
+    finally:
+        save_err = None
+        for f in save_futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                save_err = save_err or e
+        logger.close()
+        if save_err is not None and sys.exc_info()[0] is None:
+            raise save_err
+    return FitSeqResult(net, history, step)
+
+
 def _restore_opt_state(template, restored, be: Backend):
     """Rebuild an optimizer state from checkpoint leaves: every restored
     leaf is placed like its template counterpart (same backend array

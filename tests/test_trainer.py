@@ -325,3 +325,50 @@ def test_loader_skip_matches_drained_stream():
     finally:
         a.close()
         b.close()
+
+
+def _sine_sequences(n_seqs=64, T=12, seed=0):
+    r = np.random.default_rng(seed)
+    phases = r.uniform(0, 2 * np.pi, size=n_seqs)
+    t = np.arange(T + 1) * 0.3
+    waves = 0.5 + 0.5 * np.sin(phases[:, None] + t[None, :])
+    return waves[:, :-1, None], waves[:, 1:, None]
+
+
+def test_fit_sequences_trains_and_resumes(jb, tmp_path):
+    """fit_sequences: the recurrent family gets the production loop —
+    loss falls, and a crash/resume chain reproduces the uninterrupted
+    run bit-exactly (same shuffle stream, states+params restored)."""
+    from tensor_ops_tpu.models import act_logistic, fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.utils.checkpoint import load_recurrent
+
+    XS, TS = _sine_sequences()
+    loss = squared_error(1)
+    ck = str(tmp_path / "rnn.npz")
+
+    def rnet(seed):
+        return gen_rnet(jb, 1, 1, [(8, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(jb, seed=seed))
+
+    kw = dict(batch_size=16, rate_state=0.01, rate_param=0.1,
+              verbose=False, log_every=4)
+    r1 = fit_sequences(rnet(3), loss, jb, XS, TS, epochs=4, **kw)
+    assert r1.steps == 16
+    assert r1.history[-1]["loss"] < r1.history[0]["loss"]
+
+    # crash at epoch 2, resume to the same total budget
+    fit_sequences(rnet(3), loss, jb, XS, TS, epochs=2, checkpoint_path=ck,
+                  checkpoint_every=4, **kw)
+    resumed = fit_sequences(rnet(999), loss, jb, XS, TS, epochs=4,
+                            checkpoint_path=ck, checkpoint_every=4,
+                            resume=True, **kw)
+    assert resumed.steps == 16
+    for a, b in zip(resumed.net.params, r1.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(resumed.net.states, r1.net.states):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the servable checkpoint round-trips through load_recurrent
+    back = load_recurrent(ck, rnet(999), jb)
+    assert len(back.states) == 1 and len(back.params) == len(r1.net.params)
