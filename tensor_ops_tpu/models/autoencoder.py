@@ -88,3 +88,21 @@ class Encoder:
         return Encoder(
             Network(self.encoder.op, pE), Network(self.decoder.op, pD)
         )
+
+    def fit(self, loss: TOp, be: Backend, X, **fit_kwargs
+            ) -> Tuple["Encoder", Any]:
+        """Production-train the reconstruction objective: ``fit()`` on
+        the joint ``encoder >>> decoder`` network with targets = inputs
+        (same loss graph as ``trainEncoder``, but with fit's whole
+        surface — minibatches, optimizers, schedules, mesh sharding,
+        metrics, checkpoint/resume).  Returns ``(trained_encoder,
+        FitResult)``; the FitResult's ``net`` is the joint network."""
+        from .trainer import fit as _fit
+
+        res = _fit(self.encoder_net(), loss, be, X, X, **fit_kwargs)
+        ne = len(self.encoder.params)
+        ps = res.net.params
+        return Encoder(
+            Network(self.encoder.op, ps[:ne]),
+            Network(self.decoder.op, ps[ne:]),
+        ), res

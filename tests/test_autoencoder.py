@@ -140,3 +140,36 @@ def test_fused_autoencoder_batch_training_converges(jb):
     assert l1 < l0 * 0.5, (l0, l1)
     xr = fae.encode_decode(X)
     assert np.asarray(xr).shape == (64, 6)
+
+
+def test_encoder_fit_production_loop(jb):
+    """Encoder.fit: reconstruction training through the full fit surface
+    equals the objective of per-sample trainEncoder (loss falls; params
+    split back into encoder/decoder correctly)."""
+    import numpy as np
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import (Encoder, act_logistic, gen_net,
+                                       squared_error)
+    from tensor_ops_tpu.models.optim import adam
+
+    rng = Rng(jb, seed=0)
+    enc = gen_net(jb, 8, 3, [(12, act_logistic())], act_logistic(), rng)
+    dec = gen_net(jb, 3, 8, [(12, act_logistic())], act_logistic(), rng)
+    ae = Encoder(enc, dec)
+    loss = squared_error(8)
+
+    r = np.random.default_rng(1)
+    X = r.uniform(0, 1, size=(256, 8))
+    l0 = float(np.mean([ae.test_loss(loss, jb, jb.asarray(x))
+                        for x in X[:16]]))
+    ae2, res = ae.fit(loss, jb, X, epochs=12, batch_size=32, lr=0.01,
+                      optimizer=adam(), verbose=False)
+    l1 = float(np.mean([ae2.test_loss(loss, jb, jb.asarray(x))
+                        for x in X[:16]]))
+    assert l1 < l0 * 0.8, (l0, l1)
+    assert len(ae2.encoder.params) == len(enc.params)
+    assert ae2.decoder.params[0].shape == dec.params[0].shape
+    # encoding still produces the bottleneck shape
+    z = ae2.encode(jb, jb.asarray(X[0]))
+    assert np.asarray(z).shape == (3,)
