@@ -34,6 +34,36 @@ class FitResult:
     steps: int
 
 
+class _CheckpointWrites:
+    """Bounded async checkpoint-write tracker shared by the fit loops.
+
+    Writes run on the checkpoint module's 1-worker pool (so files never
+    interleave); ``add`` joins the oldest futures once more than two
+    checkpoint boundaries are in flight, surfacing write errors
+    promptly; ``join`` drains everything and RETURNS the first error —
+    the caller re-raises only when no exception is already unwinding
+    (the crash being checkpointed against outranks a failed save of
+    it)."""
+
+    def __init__(self):
+        self._futures = []
+
+    def add(self, *futures) -> None:
+        self._futures.extend(futures)
+        while len(self._futures) > 4:
+            self._futures.pop(0).result()
+
+    def join(self) -> Optional[Exception]:
+        err = None
+        for f in self._futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — returned to caller
+                err = err or e
+        self._futures = []
+        return err
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
@@ -442,7 +472,7 @@ def fit(
         return Network(net.op, tuple(cur_params), net.act_names)
 
     logger = MetricsLogger(metrics_path)
-    save_futures = []
+    saves = _CheckpointWrites()
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
@@ -488,32 +518,18 @@ def fit(
                 from ..utils.checkpoint import (save_network_async,
                                                 save_train_state_async)
 
-                # file writes happen on the checkpoint thread (a
-                # 1-worker pool, so writes never interleave); device
+                # file writes happen on the checkpoint thread; device
                 # arrays are fetched synchronously — the step pipeline
-                # stalls only for the D2H copy, not the serialization
-                save_futures.append(save_network_async(
-                    checkpoint_path, _as_network(params)))
-                # sibling .state file carries optimizer moments + step
-                # for exact resume (fit(resume=True))
-                save_futures.append(save_train_state_async(
-                    state_path, params, opt_state, step, opt_key=opt_key))
-                # surface write errors promptly; completed futures are
-                # cheap to join
-                if len(save_futures) > 4:
-                    save_futures.pop(0).result()
-                    save_futures.pop(0).result()
+                # stalls only for the D2H copy, not the serialization.
+                # The sibling .state file carries optimizer moments +
+                # step for exact resume (fit(resume=True)).
+                saves.add(
+                    save_network_async(checkpoint_path,
+                                       _as_network(params)),
+                    save_train_state_async(state_path, params, opt_state,
+                                           step, opt_key=opt_key))
     finally:
-        # join ALL pending checkpoint writes, then close, then surface
-        # the first write error — but never mask an exception already
-        # unwinding from the training loop (the crash being
-        # checkpointed against outranks a failed save of it)
-        save_err = None
-        for f in save_futures:
-            try:
-                f.result()
-            except Exception as e:  # noqa: BLE001 — surfaced below
-                save_err = save_err or e
+        save_err = saves.join()
         loader.close()
         logger.close()
         if save_err is not None and sys.exc_info()[0] is None:
@@ -521,31 +537,85 @@ def fit(
     return FitResult(_as_network(params), history, step)
 
 
-def _seq_batch_loss(net, loss: TOp, be: Backend, xb, tb) -> float:
-    """Mean summed-sequence loss over a batch (the log metric — a
-    single sequence's loss is too noisy to read a trend from)."""
-    n = int(be.shape_of(xb)[1])
+def _seq_train_step(net, loss: TOp, be: Backend, n: int):
+    """Jitted fused sequence-batch step: ``fn(rs, rp, xb, tb, states,
+    params) -> (mean_loss, new_states, new_params)`` — the vmapped
+    scan-BPTT ``value_and_grad`` plus the dual-rate update in ONE
+    program, so the logged batch loss costs no extra forward pass."""
     g = net._seq_graph(loss, n)
-    key = ("seq_batch_loss", loss.struct_key(), n) + be.cache_key()
+    k = len(net.states)
+    key = ("seq_fit_step", loss.struct_key(), n) + be.cache_key()
     fn = net.op._compiled.get(key)
-    if fn is None:
-        if be.name == "jax":
-            import jax
+    if fn is not None:
+        return fn
+    if be.name == "jax":
+        import jax
+        import jax.numpy as jnp
 
-            def one(xs, tgt, *sp):
-                return ir.run(g, be, (xs,) + sp + (tgt,))[0]
+        def one(xs, tgt, *sp):
+            v, grads = ir.value_and_grad(g, be, (xs,) + sp + (tgt,))
+            return v, grads[1:-1]
 
-            nsp = len(net.states) + len(net.params)
-            fn = jax.jit(jax.vmap(one, in_axes=(0, 0) + (None,) * nsp))
-        else:
+        nsp = k + len(net.params)
+        vm = jax.vmap(one, in_axes=(0, 0) + (None,) * nsp)
 
-            def fn(xb, tb, *sp):
-                return [ir.run(g, be, (x,) + sp + (t,))[0]
-                        for x, t in zip(xb, tb)]
+        def step(rs, rp, xb, tb, states, params):
+            vals, grads = vm(xb, tb, *states, *params)
+            gS = tuple(jnp.mean(gr, axis=0) for gr in grads[:k])
+            gP = tuple(jnp.mean(gr, axis=0) for gr in grads[k:])
+            return (jnp.mean(vals),
+                    tuple(s - rs * gg for s, gg in zip(states, gS)),
+                    tuple(p - rp * gg for p, gg in zip(params, gP)))
 
-        net.op._compiled[key] = fn
-    vals = fn(xb, tb, *net.states, *net.params)
-    return float(np.mean(np.asarray(vals)))
+        fn = jax.jit(step)
+    else:
+
+        def fn(rs, rp, xb, tb, states, params):
+            accS = [np.zeros_like(s) for s in states]
+            accP = [np.zeros_like(p) for p in params]
+            vals = []
+            B = len(xb)
+            for i in range(B):
+                v, grads = ir.value_and_grad(
+                    g, be, (xb[i],) + states + params + (tb[i],))
+                vals.append(float(np.asarray(v)))
+                for a, gg in zip(accS, grads[1 : 1 + k]):
+                    a += gg
+                for a, gg in zip(accP, grads[1 + k : -1]):
+                    a += gg
+            return (
+                float(np.mean(vals)),
+                tuple(s - rs * a / B for s, a in zip(states, accS)),
+                tuple(p - rp * a / B for p, a in zip(params, accP)),
+            )
+
+    net.op._compiled[key] = fn
+    return fn
+
+
+class _SeqStream:
+    """The shuffled sequence-minibatch stream with the same position
+    invariant as ``NativeLoader.skip``: stream position == global step,
+    reconstructed from ``start_step`` alone — so crash/resume chains
+    draw the identical batch sequence."""
+
+    def __init__(self, XS, TS, batch: int, seed: int, start_step: int,
+                 steps_per_epoch: int):
+        self.XS, self.TS, self.batch = XS, TS, batch
+        self.spe = steps_per_epoch
+        self._rng = np.random.default_rng(seed)
+        self._perm = self._rng.permutation(XS.shape[0])
+        for _ in range(start_step // steps_per_epoch):
+            self._perm = self._rng.permutation(XS.shape[0])
+        self._b = start_step % steps_per_epoch
+
+    def next(self):
+        idx = self._perm[self._b * self.batch : (self._b + 1) * self.batch]
+        self._b += 1
+        if self._b == self.spe:
+            self._b = 0
+            self._perm = self._rng.permutation(self.XS.shape[0])
+        return self.XS[idx], self.TS[idx]
 
 
 @dataclass
@@ -571,26 +641,28 @@ def fit_sequences(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    prefetch: int = 2,
     log_every: int = 10,
     verbose: bool = True,
 ) -> FitSeqResult:
     """The production loop for the recurrent family — ``fit``'s
     epochs/metrics/checkpoint/resume surface over scan-BPTT sequence
-    minibatches (``RecurrentNetwork.train_batch``: vmapped sequence
-    gradients, dual state/param learning rates — the reference's
-    ``trainNetwork'`` semantics, ``Recurrent.hs:326-354``, which it
-    only ever ran hand-looped one sequence at a time).
+    minibatches (vmapped sequence value-and-gradients, dual state/param
+    learning rates — the reference's ``trainNetwork'`` semantics,
+    ``Recurrent.hs:326-354``, which it only ever ran hand-looped one
+    sequence at a time), the logged batch loss fused into the step.
 
     ``XS``: ``(N, n, *in_shape)`` sequences, ``TS`` their targets.
     ``epochs`` is the TOTAL budget (as in ``fit``): a resumed run
     executes only the remaining steps and fast-forwards the shuffle to
     the restored step, so a crash/resume chain reproduces an
     uninterrupted run.  Ragged trailing batches are dropped (each
-    distinct batch size would recompile the jitted step).  Checkpoints:
-    ``checkpoint_path`` saves the servable recurrent net
-    (``save_recurrent``) and a sibling ``.state`` with states + params
-    + step."""
-    from ..utils.checkpoint import (load_train_state, save_arrays_async,
+    distinct batch size would recompile the jitted step).  ``prefetch``
+    overlaps the next batches' host->device transfer with the step
+    (jax).  Checkpoints: ``checkpoint_path`` saves the servable
+    recurrent net (``save_recurrent``) and a sibling ``.state`` with
+    states + params + step."""
+    from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
 
@@ -622,56 +694,49 @@ def fit_sequences(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
-    rng = np.random.default_rng(seed)
-    # stream position == global step: regenerate the per-epoch
-    # permutations a finished prefix consumed (index math only)
-    perm = rng.permutation(N)
-    for _ in range(step // steps_per_epoch):
-        perm = rng.permutation(N)
+    stream = _SeqStream(XS, TS, batch_size, seed, step, steps_per_epoch)
+    if prefetch > 1 and be.name == "jax" and step < total_steps:
+        from ..utils.native import DevicePrefetcher
 
+        source = DevicePrefetcher(
+            stream, lambda xb, tb: (be.asarray(xb), be.asarray(tb)),
+            depth=prefetch)
+    else:
+        source = None
+
+    n_seq = XS.shape[1]
+    step_fn = _seq_train_step(net, loss, be, n_seq)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
     history = []
-    save_futures = []
+    saves = _CheckpointWrites()
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
-            b = step % steps_per_epoch
-            idx = perm[b * batch_size : (b + 1) * batch_size]
-            xb = be.asarray(XS[idx])
-            tb = be.asarray(TS[idx])
-            net = net.train_batch(loss, rate_state, rate_param, be, xb, tb)
+            if source is not None:
+                xb, tb = source.next()
+            else:
+                xb, tb = stream.next()
+                xb, tb = be.asarray(xb), be.asarray(tb)
+            v, new_s, new_p = step_fn(rate_state, rate_param, xb, tb,
+                                      tuple(net.states), tuple(net.params))
+            net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p))
             step += 1
-            if step % steps_per_epoch == 0 and step < total_steps:
-                perm = rng.permutation(N)
             if step % log_every == 0 or step == first_step_of_run:
-                v = _seq_batch_loss(net, loss, be, xb, tb)
+                v = float(np.asarray(v))
                 history.append(logger.log(step, epoch=epoch, loss=v))
                 if verbose:
                     print(f"[epoch {epoch}] step {step}: "
                           f"seq loss {v:.4f}")
             if checkpoint_path and checkpoint_every and \
                     step % checkpoint_every == 0:
-                arrays = {f"param_{i}": np.asarray(p)
-                          for i, p in enumerate(net.params)}
-                arrays.update({f"state_{i}": np.asarray(s)
-                               for i, s in enumerate(net.states)})
-                save_futures.append(save_arrays_async(
-                    checkpoint_path, arrays,
-                    {"kind": "recurrent", "n_states": k}))
-                save_futures.append(save_train_state_async(
-                    state_path, tuple(net.states) + tuple(net.params),
-                    (), step))
-                if len(save_futures) > 4:
-                    save_futures.pop(0).result()
-                    save_futures.pop(0).result()
+                saves.add(
+                    save_recurrent_async(checkpoint_path, net),
+                    save_train_state_async(
+                        state_path,
+                        tuple(net.states) + tuple(net.params), (), step))
     finally:
-        save_err = None
-        for f in save_futures:
-            try:
-                f.result()
-            except Exception as e:  # noqa: BLE001 — surfaced below
-                save_err = save_err or e
+        save_err = saves.join()
         logger.close()
         if save_err is not None and sys.exc_info()[0] is None:
             raise save_err

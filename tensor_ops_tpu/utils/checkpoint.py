@@ -342,12 +342,23 @@ def load_pipeline(path: str):
                           "w_out", "b_out")))
 
 
-def save_recurrent(path: str, net, extra_meta: Optional[dict] = None) -> None:
+def _recurrent_payload(net, extra_meta: Optional[dict]) -> Tuple[dict, dict]:
     arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
     arrays.update({f"state_{i}": s for i, s in enumerate(net.states)})
     meta = {"kind": "recurrent", "n_states": len(net.states)}
     meta.update(extra_meta or {})
+    return arrays, meta
+
+
+def save_recurrent(path: str, net, extra_meta: Optional[dict] = None) -> None:
+    arrays, meta = _recurrent_payload(net, extra_meta)
     save_arrays(path, arrays, meta)
+
+
+def save_recurrent_async(path: str, net, extra_meta: Optional[dict] = None):
+    """``save_recurrent`` with the file write on the checkpoint thread."""
+    arrays, meta = _recurrent_payload(net, extra_meta)
+    return save_arrays_async(path, arrays, meta)
 
 
 def load_recurrent(path: str, net, be) -> Any:
