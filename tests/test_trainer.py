@@ -372,3 +372,63 @@ def test_fit_sequences_trains_and_resumes(jb, tmp_path):
     # the servable checkpoint round-trips through load_recurrent
     back = load_recurrent(ck, rnet(999), jb)
     assert len(back.states) == 1 and len(back.params) == len(r1.net.params)
+
+
+@pytest.mark.parametrize("cfg", [
+    # (n_rows, batch, epochs, crash_epochs, optimizer)
+    (96, 32, 3, 1, "adam"),
+    (100, 32, 4, 2, "sgd"),       # ragged dataset (drops 4 rows/epoch)
+    (64, 16, 5, 3, "momentum"),
+    (80, 40, 2, 1, "adam"),
+])
+def test_fit_resume_equivalence_property(nb, tmp_path, cfg):
+    """Property: for ANY (dataset size, batch, budget, crash point,
+    optimizer), the crash/resume chain equals the uninterrupted run
+    bit-exactly — on the numpy backend (no jit, pure semantics)."""
+    n_rows, batch, epochs, crash, opt_name = cfg
+    opts = {"adam": adam, "sgd": sgd, "momentum": momentum}
+    X, Y, _ = toy_data(n=n_rows, seed=n_rows)
+    loss = cross_entropy(2)
+    ck = str(tmp_path / f"p{n_rows}.npz")
+
+    fit(make_net(nb, seed=1), loss, nb, X, Y, epochs=crash,
+        batch_size=batch, lr=0.05, optimizer=opts[opt_name](),
+        checkpoint_path=ck, checkpoint_every=1, verbose=False)
+    resumed = fit(make_net(nb, seed=77), loss, nb, X, Y, epochs=epochs,
+                  batch_size=batch, lr=0.05, optimizer=opts[opt_name](),
+                  checkpoint_path=ck, checkpoint_every=1, resume=True,
+                  verbose=False)
+    straight = fit(make_net(nb, seed=1), loss, nb, X, Y, epochs=epochs,
+                   batch_size=batch, lr=0.05, optimizer=opts[opt_name](),
+                   verbose=False)
+    assert resumed.steps == straight.steps
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_sequences_resume_equivalence_property(nb, tmp_path):
+    """Same property for the recurrent loop on the numpy backend."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences(n_seqs=24, T=5, seed=2)
+    loss = squared_error(1)
+    ck = str(tmp_path / "r.npz")
+
+    def rnet(seed):
+        return gen_rnet(nb, 1, 1, [(4, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(nb, seed=seed))
+
+    kw = dict(batch_size=8, rate_state=0.02, rate_param=0.1,
+              verbose=False, log_every=50)
+    fit_sequences(rnet(4), loss, nb, XS, TS, epochs=1, checkpoint_path=ck,
+                  checkpoint_every=1, **kw)
+    resumed = fit_sequences(rnet(88), loss, nb, XS, TS, epochs=3,
+                            checkpoint_path=ck, checkpoint_every=1,
+                            resume=True, **kw)
+    straight = fit_sequences(rnet(4), loss, nb, XS, TS, epochs=3, **kw)
+    assert resumed.steps == straight.steps == 9
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(resumed.net.states, straight.net.states):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
