@@ -208,3 +208,32 @@ def test_runtime_shape_validation(nb):
         ir.run(op, nb, (r(3, 2), r(3)))  # vec should be (2,)
     with pytest.raises(ShapeError, match="slot 0"):
         ir.value_and_grad(P.dot(3), nb, (r(4), r(3)))
+
+
+def test_describe_and_graph_stats(nb):
+    """ops.describe renders every node with its stack signature;
+    graph_stats counts nodes/depth/leaf types; max_depth truncates."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.ops import describe, graph_stats
+
+    net = gen_net(nb, 4, 2, [(3, act_logistic())], act_softmax(),
+                  Rng(nb, seed=0))
+    full = describe(net.op)
+    assert "Compose" in full and "GMul" in full and "->" in full
+    assert full.count("\n") + 1 == graph_stats(net.op)["nodes"]
+
+    short = describe(net.op, max_depth=2)
+    assert "more nodes" in short and short.count("\n") < full.count("\n")
+
+    s = graph_stats(net.op)
+    assert s["nodes"] == 27 and s["depth"] >= 5
+    assert s["leaves"]["GMul"] == 3          # matVec + 2 softmax gmuls
+    assert "[4]" in s["signature"]
+
+    # scan/mapped nodes expose their inner step too
+    from tensor_ops_tpu.ops.loops import ScanOp
+    from tensor_ops_tpu.ops import prim as P
+
+    scan = ScanOp(P.add((3,)).first(rest=[(3,)]), n=4, n_state=1)
+    assert "step: First" in describe(scan) and "SumOp" in describe(scan)
