@@ -20,4 +20,4 @@ from . import recurrent, autoencoder, training
 from . import optim, trainer, fast
 from .optim import adam, momentum, sgd
 from .trainer import fit, fit_sequences
-from .serve import Predictor
+from .serve import Predictor, SequencePredictor

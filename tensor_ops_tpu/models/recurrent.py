@@ -75,6 +75,24 @@ class RecurrentNetwork:
         outs = fn(x, *self.states, *self.params)
         return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]), self.params)
 
+    def run_seq(self, be: Backend, xs: Any) -> Tuple[Any, "RecurrentNetwork"]:
+        """Run a whole ``(n, *in_shape)`` sequence in one compiled scan;
+        returns ``(ys of shape (n, *out_shape), network with the final
+        states)`` — ``runNetwork`` folded over the sequence as a single
+        program instead of n dispatches."""
+        from ..ops.loops import ScanOp
+
+        n = int(be.shape_of(xs)[0])
+        k = len(self.states)
+        key = ("run_seq", n) + be.cache_key()
+        fn = self.op._compiled.get(key)
+        if fn is None:
+            scan = ScanOp(self.op, n, k)
+            fn = engine.compile_run(scan, be)
+            self.op._compiled[key] = fn
+        outs = fn(xs, *self.states, *self.params)
+        return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]), self.params)
+
     # -- composition (Recurrent.hs:176-224, 243-263) ---------------------
     def then(self, other: "RecurrentNetwork") -> "RecurrentNetwork":
         """``net1 ~*~ net2``: result state stack is ``ss2 ++ ss1`` and

@@ -137,3 +137,83 @@ class Predictor:
 
     def latency(self) -> dict:
         return self.timer.summary()
+
+
+class SequencePredictor:
+    """Serving for the recurrent family: batched whole-sequence
+    prediction with shape bucketing on the BATCH axis (sequence length
+    is part of the compiled program; one jit specialization per (bucket,
+    length) pair).
+
+    Stateless per request: every sequence starts from the network's
+    stored initial states — the deployment analog of the reference's
+    per-sequence ``runNetwork`` fold — and runs as ONE compiled scan
+    per batch (`RecurrentNetwork.run_seq` vmapped over the batch).
+    On TPU the batched matmuls may differ from single-sequence
+    evaluation by the default bf16 matmul precision (~5e-4 absolute);
+    exact agreement needs ``JaxBackend(precision="highest")``."""
+
+    def __init__(self, rnet, be: Backend, buckets: Sequence[int] = (1, 8, 32)):
+        from ..ops.loops import ScanOp
+
+        self.rnet = rnet
+        self.be = be
+        self.buckets = sorted(buckets)
+        self.timer = StepTimer()
+        self._ScanOp = ScanOp
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        if i < len(self.buckets):
+            return self.buckets[i]
+        top = self.buckets[-1]
+        return ((n + top - 1) // top) * top
+
+    def _forward_fn(self, n: int):
+        k = len(self.rnet.states)
+        key = ("serve_seq", n) + self.be.cache_key()
+        fn = self.rnet.op._compiled.get(key)
+        if fn is None:
+            scan = self._ScanOp(self.rnet.op, n, k)
+            if self.be.name == "jax":
+                import jax
+
+                from ..ops import ir as _ir
+
+                def one(xs, *sp):
+                    return _ir.run(scan, self.be, (xs,) + sp)[0]
+
+                nsp = k + len(self.rnet.params)
+                fn = jax.jit(jax.vmap(one, in_axes=(0,) + (None,) * nsp))
+            else:
+                from ..ops import ir as _ir
+
+                def fn(xb, *sp):
+                    return np.stack([
+                        np.asarray(_ir.run(scan, self.be, (x,) + sp)[0])
+                        for x in xb])
+
+            self.rnet.op._compiled[key] = fn
+        return fn
+
+    def predict(self, xs: Any) -> np.ndarray:
+        """``(B, n, *in_shape)`` sequences -> ``(B, n, *out_shape)``
+        outputs (a single ``(n, *in_shape)`` sequence is auto-batched)."""
+        xs = np.asarray(xs, dtype=np.float32)
+        squeeze = xs.ndim == len(self.rnet.in_shape) + 1
+        if squeeze:
+            xs = xs[None]
+        B = xs.shape[0]
+        b = self._bucket(B)
+        if b != B:
+            xs = np.pad(xs, ((0, b - B),) + ((0, 0),) * (xs.ndim - 1))
+        fn = self._forward_fn(int(xs.shape[1]))
+        self.timer.start()
+        out = np.asarray(fn(self.be.asarray(xs), *self.rnet.states,
+                            *self.rnet.params))
+        self.timer.stop()
+        out = out[:B]
+        return out[0] if squeeze else out
+
+    def latency(self) -> dict:
+        return self.timer.summary()

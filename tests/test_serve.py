@@ -226,3 +226,28 @@ def test_serve_cli_bf16_rejects_quantized_checkpoint(tmp_path, jb):
     save_quantized(ck, qm)
     with pytest.raises(SystemExit):
         serve_app.main([ck, "--bf16", "--bench", "--buckets", "4"])
+
+
+def test_sequence_predictor(jb):
+    """SequencePredictor: batched whole-sequence serving equals the
+    per-sequence run_seq fold; bucketing pads the batch axis."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.models.serve import SequencePredictor
+
+    rnet = gen_rnet(jb, 2, 1, [(5, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(jb, seed=1))
+    sp = SequencePredictor(rnet, jb, buckets=(4,))
+    xs = np.random.default_rng(0).uniform(0, 1, size=(3, 6, 2)) \
+        .astype(np.float32)
+
+    out = sp.predict(xs)                       # 3 rides the 4-bucket
+    assert out.shape == (3, 6, 1)
+    for i in range(3):
+        want, _ = rnet.run_seq(jb, jb.asarray(xs[i]))
+        np.testing.assert_allclose(out[i], np.asarray(want), atol=1e-6)
+
+    single = sp.predict(xs[0])                 # auto-batch a lone sequence
+    np.testing.assert_allclose(single, out[0], atol=1e-6)
+    assert sp.latency()["n"] == 2
