@@ -124,6 +124,29 @@ def shard_network(net: Network, mesh: Mesh) -> Network:
     return Network(net.op, params, net.act_names)
 
 
+def shard_fused(fm, mesh: Mesh):
+    """Tensor-parallel SERVING: place a FusedMLP's weights with the
+    Megatron alternating specs over the mesh's ``model`` axis and return
+    the re-built model.  Nothing else changes — the weights are jit
+    ARGUMENTS in every forward path, so XLA propagates the shardings and
+    inserts the activation all-gathers/reduces over ICI by itself (the
+    designed no-hand-written-collectives seam); ``Predictor`` works
+    unmodified on the sharded model.  Use when one model's weights
+    exceed a chip's HBM."""
+    from ..models.fast import FusedMLP
+
+    stack = []
+    for w, b in zip(fm.weights, fm.biases):
+        stack += [tuple(w.shape), tuple(b.shape)]
+    specs = param_specs(tuple(stack), mesh)
+    ws, bs = [], []
+    for k, (w, b) in enumerate(zip(fm.weights, fm.biases)):
+        ws.append(jax.device_put(w, NamedSharding(mesh, specs[2 * k])))
+        bs.append(jax.device_put(b, NamedSharding(mesh, specs[2 * k + 1])))
+    return FusedMLP(tuple(ws), tuple(bs), fm.acts, fm.softmax_out,
+                    fm.precision, fm.loss_kind)
+
+
 def sharded_train_step(
     net: Network, loss: TOp, be: Backend, mesh: Mesh
 ) -> Callable:

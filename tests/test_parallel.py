@@ -129,3 +129,40 @@ def test_init_distributed_env_resolution(monkeypatch):
                     "num_processes": 4, "process_id": 2}
     assert info["initialized"] is True
     monkeypatch.setattr(D, "_initialized", False)  # restore module state
+
+
+def test_shard_fused_tensor_parallel_serving(jb):
+    """shard_fused: Megatron-placed FusedMLP weights serve identically
+    to the unsharded model — XLA inserts the activation collectives
+    from the param shardings alone; Predictor works unmodified."""
+    import jax
+    from jax.sharding import PartitionSpec as PSpec
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, act_softmax, gen_net
+    from tensor_ops_tpu.models.fast import FusedMLP
+    from tensor_ops_tpu.models.serve import Predictor
+    from tensor_ops_tpu.parallel.mesh import (MODEL_AXIS, make_mesh,
+                                              shard_fused)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)  # dp=2 x tp=4
+
+    net = gen_net(jb, 16, 8, [(32, act_logistic()), (16, act_logistic())],
+                  act_softmax(), Rng(jb, seed=2))
+    fm = FusedMLP.from_network(net)
+    sfm = shard_fused(fm, mesh)
+
+    # weights actually sharded over the model axis (alternating specs)
+    assert sfm.weights[0].sharding.spec == PSpec(MODEL_AXIS, None)
+    assert sfm.weights[1].sharding.spec == PSpec(None, MODEL_AXIS)
+
+    x = np.random.default_rng(3).uniform(0, 1, size=(8, 16)) \
+        .astype(np.float32)
+    ref = np.asarray(fm.run_xla(x))
+    got = np.asarray(sfm.run_xla(x))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    p = Predictor(sfm, buckets=(8,), xla_threshold=1)
+    np.testing.assert_allclose(np.asarray(p.predict(x)), ref, atol=1e-6)
