@@ -80,16 +80,8 @@ class RecurrentNetwork:
         returns ``(ys of shape (n, *out_shape), network with the final
         states)`` — ``runNetwork`` folded over the sequence as a single
         program instead of n dispatches."""
-        from ..ops.loops import ScanOp
-
         n = int(be.shape_of(xs)[0])
-        k = len(self.states)
-        key = ("run_seq", n) + be.cache_key()
-        fn = self.op._compiled.get(key)
-        if fn is None:
-            scan = ScanOp(self.op, n, k)
-            fn = engine.compile_run(scan, be)
-            self.op._compiled[key] = fn
+        fn = engine.compile_run(seq_scan_op(self.op, n, len(self.states)), be)
         outs = fn(xs, *self.states, *self.params)
         return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]), self.params)
 
@@ -265,6 +257,20 @@ class RecurrentNetwork:
         new_s, new_p = fn(rate_state, rate_param, xs_batch, targets_batch,
                           self.states, self.params)
         return RecurrentNetwork(self.op, tuple(new_s), tuple(new_p))
+
+
+def seq_scan_op(op: TOp, n: int, n_state: int):
+    """The cached length-``n`` ScanOp over a recurrent step op — the one
+    construction (and cache-key convention) shared by ``run_seq`` and
+    the serving ``SequencePredictor``."""
+    from ..ops.loops import ScanOp
+
+    key = ("seq_scan", n, n_state)
+    scan = op._compiled.get(key)
+    if scan is None:
+        scan = ScanOp(op, n, n_state)
+        op._compiled[key] = scan
+    return scan
 
 
 def stateless(ff: Network) -> RecurrentNetwork:

@@ -20,6 +20,29 @@ from .feedforward import Network
 from .training import batched_run
 
 
+def _is_model_sharded(w) -> bool:
+    """True when a weight is a jax Array placed over more than one
+    device without full replication (i.e. genuinely sharded)."""
+    sh = getattr(w, "sharding", None)
+    if sh is None:
+        return False
+    try:
+        return len(sh.device_set) > 1 and not sh.is_fully_replicated
+    except AttributeError:
+        return False
+
+
+def _bucket_of(buckets, n: int) -> int:
+    """Pad target for a batch of n rows: the next bucket, or beyond the
+    largest bucket the next multiple of it (so jit specializations stay
+    bounded instead of one per request size)."""
+    i = bisect.bisect_left(buckets, n)
+    if i < len(buckets):
+        return buckets[i]
+    top = buckets[-1]
+    return ((n + top - 1) // top) * top
+
+
 class Predictor:
     """Batched prediction with shape bucketing (pad to the next bucket so
     jit compiles once per bucket, not once per request size).
@@ -72,15 +95,15 @@ class Predictor:
             self._q_uniform = (use_fused_kernel and N % 128 == 0
                                and all(q.shape == (N, N) for q in model.wqs)
                                and len(set(model.acts[:-1])) <= 1)
+        # a mesh-sharded FusedMLP (parallel.mesh.shard_fused) must stay on
+        # the XLA path: the pallas kernels cannot consume sharded
+        # operands, so routing them there would silently all-gather the
+        # full weights per device — defeating the sharding's purpose
+        self._sharded = isinstance(model, FusedMLP) and any(
+            _is_model_sharded(w) for w in model.weights)
 
     def _bucket(self, n: int) -> int:
-        i = bisect.bisect_left(self.buckets, n)
-        if i < len(self.buckets):
-            return self.buckets[i]
-        # beyond the largest bucket: round up to a multiple of it so jit
-        # specializations stay bounded instead of one per request size
-        top = self.buckets[-1]
-        return ((n + top - 1) // top) * top
+        return _bucket_of(self.buckets, n)
 
     def _forward(self, xb):
         if isinstance(self.model, QuantizedMLP):
@@ -88,6 +111,8 @@ class Predictor:
                 return self.model.run_fused(xb)
             return self.model.run(xb)
         if isinstance(self.model, FusedMLP):
+            if self._sharded:
+                return self.model.run_xla(xb)
             if not self.use_fused_kernel:
                 return self.model.run(xb)
             if xb.shape[0] >= self.xla_threshold:
@@ -154,46 +179,39 @@ class SequencePredictor:
     exact agreement needs ``JaxBackend(precision="highest")``."""
 
     def __init__(self, rnet, be: Backend, buckets: Sequence[int] = (1, 8, 32)):
-        from ..ops.loops import ScanOp
-
         self.rnet = rnet
         self.be = be
         self.buckets = sorted(buckets)
         self.timer = StepTimer()
-        self._ScanOp = ScanOp
-
-    def _bucket(self, n: int) -> int:
-        i = bisect.bisect_left(self.buckets, n)
-        if i < len(self.buckets):
-            return self.buckets[i]
-        top = self.buckets[-1]
-        return ((n + top - 1) // top) * top
 
     def _forward_fn(self, n: int):
-        k = len(self.rnet.states)
-        key = ("serve_seq", n) + self.be.cache_key()
-        fn = self.rnet.op._compiled.get(key)
+        from .recurrent import seq_scan_op
+
+        rnet, be = self.rnet, self.be  # capture locals, not self: the
+        # op._compiled cache must not pin predictors (nor their timers)
+        k = len(rnet.states)
+        key = ("serve_seq", n) + be.cache_key()
+        fn = rnet.op._compiled.get(key)
         if fn is None:
-            scan = self._ScanOp(self.rnet.op, n, k)
-            if self.be.name == "jax":
+            scan = seq_scan_op(rnet.op, n, k)
+            from ..ops import ir as _ir
+
+            if be.name == "jax":
                 import jax
 
-                from ..ops import ir as _ir
-
                 def one(xs, *sp):
-                    return _ir.run(scan, self.be, (xs,) + sp)[0]
+                    return _ir.run(scan, be, (xs,) + sp)[0]
 
-                nsp = k + len(self.rnet.params)
+                nsp = k + len(rnet.params)
                 fn = jax.jit(jax.vmap(one, in_axes=(0,) + (None,) * nsp))
             else:
-                from ..ops import ir as _ir
 
                 def fn(xb, *sp):
                     return np.stack([
-                        np.asarray(_ir.run(scan, self.be, (x,) + sp)[0])
+                        np.asarray(_ir.run(scan, be, (x,) + sp)[0])
                         for x in xb])
 
-            self.rnet.op._compiled[key] = fn
+            rnet.op._compiled[key] = fn
         return fn
 
     def predict(self, xs: Any) -> np.ndarray:
@@ -204,7 +222,9 @@ class SequencePredictor:
         if squeeze:
             xs = xs[None]
         B = xs.shape[0]
-        b = self._bucket(B)
+        # bucketing amortizes jit specializations; the numpy fallback is
+        # a plain loop, so padding there would just scan zeros
+        b = _bucket_of(self.buckets, B) if self.be.name == "jax" else B
         if b != B:
             xs = np.pad(xs, ((0, b - B),) + ((0, 0),) * (xs.ndim - 1))
         fn = self._forward_fn(int(xs.shape[1]))

@@ -130,9 +130,11 @@ def shard_fused(fm, mesh: Mesh):
     the re-built model.  Nothing else changes — the weights are jit
     ARGUMENTS in every forward path, so XLA propagates the shardings and
     inserts the activation all-gathers/reduces over ICI by itself (the
-    designed no-hand-written-collectives seam); ``Predictor`` works
-    unmodified on the sharded model.  Use when one model's weights
-    exceed a chip's HBM."""
+    designed no-hand-written-collectives seam).  ``Predictor`` detects
+    the sharded weights and pins itself to the XLA path — the pallas
+    kernels cannot consume sharded operands, and routing them there
+    would silently all-gather the full weights per device.  Use when
+    one model's weights exceed a chip's HBM."""
     from ..models.fast import FusedMLP
 
     stack = []

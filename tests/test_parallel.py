@@ -164,5 +164,10 @@ def test_shard_fused_tensor_parallel_serving(jb):
     got = np.asarray(sfm.run_xla(x))
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
-    p = Predictor(sfm, buckets=(8,), xla_threshold=1)
+    # the Predictor detects sharded weights and pins itself to the XLA
+    # path even below xla_threshold (the pallas kernels would silently
+    # all-gather the full weights per device)
+    p = Predictor(sfm, buckets=(8,))
+    assert p._sharded
     np.testing.assert_allclose(np.asarray(p.predict(x)), ref, atol=1e-6)
+    assert not Predictor(fm, buckets=(8,))._sharded
