@@ -220,13 +220,23 @@ def test_profile_step_reports_rates():
         return jnp.tanh(c @ w)
 
     init = jnp.ones((8, 64), jnp.float32)
-    stats = profile_step(step, init, steps=(5, 25), reps=2)
+    # the differential can come out negative under heavy host
+    # contention (two tiny walls subtracted); retry with a larger step
+    # gap before declaring failure — the assertion targets the API
+    # contract, not the machine's scheduler
+    for attempt, steps in enumerate(((20, 200), (50, 1000), (50, 2000))):
+        stats = profile_step(step, init, steps=steps, reps=3)
+        if stats["per_step_s"] > 0:
+            break
     assert stats["per_step_s"] > 0 and stats["steps_per_s"] > 0
     assert stats["compile_s"] >= 0
     # XLA's cost model counts the matmul flops
     ca = cost_analysis(step, init)
     assert ca.get("flops", 0) >= 2 * 8 * 64 * 64 * 0.5
-    m = measure_loop(step, init, steps=(5, 25), reps=2)
+    for steps in ((20, 200), (50, 1000), (50, 2000)):
+        m = measure_loop(step, init, steps=steps, reps=3)
+        if m["per_step_s"] > 0:
+            break
     assert m["per_step_s"] > 0
 
 
