@@ -103,6 +103,6 @@ class Encoder:
         ne = len(self.encoder.params)
         ps = res.net.params
         return Encoder(
-            Network(self.encoder.op, ps[:ne]),
-            Network(self.decoder.op, ps[ne:]),
+            Network(self.encoder.op, ps[:ne], self.encoder.act_names),
+            Network(self.decoder.op, ps[ne:], self.decoder.act_names),
         ), res

@@ -57,20 +57,28 @@ class Network:
 
     # -- composition (~*~ / ~* / *~, FeedForward.hs:82-121) -------------
     def then(self, other: "Network") -> "Network":
-        """``net1 ~*~ net2`` (``FeedForward.hs:82-90``)."""
+        """``net1 ~*~ net2`` (``FeedForward.hs:82-90``).  Activation
+        metadata concatenates when both sides carry it (so e.g. an
+        encoder>>decoder joint network keeps the auto-act path into
+        ``FusedMLP.from_network``)."""
         if self.out_shape != other.in_shape:
             raise ShapeError(
                 f"network compose: {self.out_shape} -> {other.in_shape} mismatch"
             )
-        return Network(self.op.lead(other.op), self.params + other.params)
+        acts = None
+        if self.act_names is not None and other.act_names is not None:
+            acts = tuple(self.act_names) + tuple(other.act_names)
+        return Network(self.op.lead(other.op), self.params + other.params,
+                       acts)
 
     def pre_op(self, f: TOp) -> "Network":
-        """``f ~* net`` (``FeedForward.hs:96-101``)."""
-        return Network(f.lead(self.op), self.params)
+        """``f ~* net`` (``FeedForward.hs:96-101``); a pre-op changes no
+        layer activations, so the metadata survives."""
+        return Network(f.lead(self.op), self.params, self.act_names)
 
     def post_op(self, f: TOp) -> "Network":
         """``net *~ f`` (``FeedForward.hs:103-108``)."""
-        return Network(self.op >> f, self.params)
+        return Network(self.op >> f, self.params, self.act_names)
 
     def nmap(self, f: Callable) -> "Network":
         """``nmap`` (``FeedForward.hs:115-121``)."""

@@ -148,7 +148,7 @@ class RecurrentNetwork:
         if g is not None:
             return g
         k = len(self.states)
-        scan = ScanOp(self.op, n, k)
+        scan = seq_scan_op(self.op, n, k)
         tgt_shape = (n,) + self.out_shape
         after = scan.out_stack + (tgt_shape,)          # ys, ss_final, tgts
         pick = Shuffle(after, (0, len(after) - 1))     # ys, tgts (final states dropped)
@@ -261,10 +261,10 @@ class RecurrentNetwork:
 
 def seq_scan_op(op: TOp, n: int, n_state: int):
     """The cached length-``n`` ScanOp over a recurrent step op — the one
-    construction (and cache-key convention) shared by ``run_seq`` and
-    the serving ``SequencePredictor``."""
-    from ..ops.loops import ScanOp
-
+    construction (and cache-key convention) shared by the training seq
+    graph (``_seq_graph``), ``run_seq`` and the serving
+    ``SequencePredictor``, so the scan is built and compiled once per
+    (op, n)."""
     key = ("seq_scan", n, n_state)
     scan = op._compiled.get(key)
     if scan is None:

@@ -214,6 +214,19 @@ class SequencePredictor:
             rnet.op._compiled[key] = fn
         return fn
 
+    def warmup(self, lengths: Sequence[int]) -> None:
+        """Compile every (bucket, length) pair ahead of serving, so the
+        first production request doesn't pay trace+compile inside the
+        timed region (matches ``Predictor.warmup``; sequence length is
+        part of the compiled program, so it must be supplied)."""
+        in_shape = tuple(self.rnet.in_shape)
+        for n in lengths:
+            fn = self._forward_fn(int(n))
+            for b in self.buckets:
+                x = self.be.asarray(
+                    np.zeros((b, int(n)) + in_shape, np.float32))
+                np.asarray(fn(x, *self.rnet.states, *self.rnet.params))
+
     def predict(self, xs: Any) -> np.ndarray:
         """``(B, n, *in_shape)`` sequences -> ``(B, n, *out_shape)``
         outputs (a single ``(n, *in_shape)`` sequence is auto-batched)."""

@@ -173,3 +173,29 @@ def test_encoder_fit_production_loop(jb):
     # encoding still produces the bottleneck shape
     z = ae2.encode(jb, jb.asarray(X[0]))
     assert np.asarray(z).shape == (3,)
+
+
+def test_encoder_fit_preserves_act_names(jb):
+    """Regression (review): the trained encoder/decoder keep their
+    activation metadata, so FusedMLP.from_network still works on the
+    trained artifact; then() concatenates act_names."""
+    import numpy as np
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import (Encoder, act_logistic, gen_net,
+                                       squared_error)
+    from tensor_ops_tpu.models.fast import FusedMLP
+
+    rng = Rng(jb, seed=0)
+    enc = gen_net(jb, 6, 2, [(8, act_logistic())], act_logistic(), rng)
+    dec = gen_net(jb, 2, 6, [(8, act_logistic())], act_logistic(), rng)
+    ae = Encoder(enc, dec)
+    assert ae.encoder_net().act_names == enc.act_names + dec.act_names
+
+    X = np.random.default_rng(1).uniform(0, 1, size=(64, 6))
+    ae2, res = ae.fit(squared_error(6), jb, X, epochs=1, batch_size=32,
+                      lr=0.01, verbose=False)
+    assert ae2.encoder.act_names == enc.act_names
+    assert ae2.decoder.act_names == dec.act_names
+    FusedMLP.from_network(ae2.encoder)       # must not raise
+    FusedMLP.from_network(res.net)           # the joint net too

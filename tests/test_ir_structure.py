@@ -237,3 +237,19 @@ def test_describe_and_graph_stats(nb):
 
     scan = ScanOp(P.add((3,)).first(rest=[(3,)]), n=4, n_state=1)
     assert "step: First" in describe(scan) and "SumOp" in describe(scan)
+
+
+def test_describe_handles_deep_chains(nb):
+    """Regression (review): introspection is iterative — a then-chain
+    far beyond Python's recursion depth renders and counts fine, and
+    max_depth truncation doesn't recurse into the suppressed subtree."""
+    from tensor_ops_tpu.ops import describe, graph_stats
+    from tensor_ops_tpu.ops import prim as P
+
+    g = P.map_op((4,), lambda x: x, name="id0")
+    for i in range(1200):
+        g = g >> P.map_op((4,), lambda x: x, name=f"id{i}")
+    s = graph_stats(g)
+    assert s["nodes"] == 2401 and s["depth"] >= 1200
+    short = describe(g, max_depth=3)
+    assert "more nodes" in short and short.count("\n") < 20
