@@ -326,6 +326,17 @@ def fit(
                 "multi-process pipeline training needs a data axis in "
                 "the mesh (a stage-only mesh replicates the batch, which "
                 "per-process disjoint loader shards cannot assemble)")
+        from ..parallel.mesh import MODEL_AXIS
+
+        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+            import warnings
+
+            warnings.warn(
+                "fit(mesh=...): the staged-IR pipeline path does not "
+                "shard weights over the model axis — it will sit idle "
+                "(replicated). Use a (data, stage) mesh here, or "
+                "parallel.pipeline's 3D PipelineMLP path for dp x pp x "
+                "tp.", stacklevel=2)
         spnet = shard_pipelined_params(
             split_network(net, mesh.shape[STAGE_AXIS]), mesh)
         params = spnet.flat_params()

@@ -251,3 +251,20 @@ def test_fit_pipeline_mesh_ragged_dataset(jb):
         fit(_deep_uniform_net(jb, seed=8), cross_entropy(2), jb,
             X[:16], Y[:16], epochs=1, batch_size=32, verbose=False,
             mesh=make_pipeline_mesh(8), pipeline_microbatches=4)
+
+
+@multi
+def test_fit_pipeline_mesh_warns_on_idle_model_axis(jb):
+    import warnings
+
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    r = np.random.default_rng(11)
+    X = r.uniform(0, 1, size=(64, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=64)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fit(_deep_uniform_net(jb, seed=12), cross_entropy(2), jb, X, Y,
+            epochs=1, batch_size=16, verbose=False, prefetch=0,
+            mesh=make_3d_pipeline_mesh(2, 2, 2), pipeline_microbatches=4)
+    assert any("model axis" in str(x.message) for x in w)
