@@ -31,16 +31,38 @@ from tensor_ops_tpu.models.serve import Predictor
 from tensor_ops_tpu.utils.checkpoint import load_arrays, network_from_arrays
 
 
+def load_recurrent_model(path: str, layers, in_dim: int, out_dim: int,
+                         act: str, state_act: str):
+    """Rebuild a recurrent template from the CLI architecture flags and
+    load the checkpoint's states + params into it (shape-validated)."""
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.utils.checkpoint import load_recurrent
+
+    be = T.JaxBackend()
+
+    def _sact():
+        return (None if state_act == "none"
+                else activation_by_name(state_act))
+
+    rnet = gen_rnet(
+        be, in_dim, out_dim,
+        [(h, activation_by_name(act), _sact()) for h in layers],
+        activation_by_name(act), _sact(), Rng(be, seed=0))
+    return load_recurrent(path, rnet, be), be
+
+
 def load_model(path: str, layers, in_dim: int, out_dim: int, int8: bool,
-               act: str = "logistic"):
+               act: str = "logistic", preloaded=None):
     """Dispatch on the checkpoint's ``kind`` metadata (the file is read
-    once).  Bare Network checkpoints rebuild the op graph from the
-    activation names stored in the checkpoint (``save_network`` since
-    round 2); older checkpoints without them fall back to the ``--act``
-    flag for hidden layers + softmax out."""
+    once — ``preloaded`` carries the (arrays, meta) main already read).
+    Bare Network checkpoints rebuild the op graph from the activation
+    names stored in the checkpoint (``save_network`` since round 2);
+    older checkpoints without them fall back to the ``--act`` flag for
+    hidden layers + softmax out."""
     from tensor_ops_tpu.utils import checkpoint as C
 
-    arrays, meta = load_arrays(path)
+    arrays, meta = preloaded if preloaded is not None else load_arrays(path)
     kind = meta.get("kind", "network")
     if kind == "quantized_mlp":
         return C._quantized_from_arrays(arrays, meta)
@@ -108,7 +130,14 @@ def main(argv=None):
                    choices=("logistic", "relu", "tanh"),
                    help="Hidden activation for OLD bare-Network "
                         "checkpoints without stored activation names "
-                        "(new checkpoints carry them)")
+                        "(new checkpoints carry them); also the "
+                        "recurrent template's activation")
+    p.add_argument("--state-act", type=str, default="logistic",
+                   choices=("logistic", "relu", "tanh", "none"),
+                   help="Recurrent checkpoints: the state activation "
+                        "('none' = stateless layers)")
+    p.add_argument("--seq-len", type=int, default=16,
+                   help="Recurrent --bench: sequence length to time")
     p.add_argument("-i", "--input", type=str, default=None,
                    help="Batch file (.npy/.npz/CSV) to predict")
     p.add_argument("--probs", action="store_true",
@@ -123,8 +152,15 @@ def main(argv=None):
     buckets = tuple(int(x) for x in args.buckets.split(",") if x)
     if args.int8 and args.bf16:
         p.error("--int8 and --bf16 are mutually exclusive")
+
+    payload = load_arrays(args.checkpoint)
+    if payload[1].get("kind") == "recurrent":
+        if args.int8 or args.bf16:
+            p.error("--int8/--bf16 do not apply to recurrent checkpoints")
+        return serve_recurrent(p, args, layers, buckets)
+
     model = load_model(args.checkpoint, layers, args.in_dim, args.out_dim,
-                       args.int8, act=args.act)
+                       args.int8, act=args.act, preloaded=payload)
     if args.bf16 and isinstance(model, QuantizedMLP):
         p.error("--bf16 does not apply to an int8 (quantized_mlp) "
                 "checkpoint — it is already the smaller artifact")
@@ -154,6 +190,53 @@ def main(argv=None):
         return
 
     p.error("nothing to do: pass --bench or -i BATCH")
+
+
+def serve_recurrent(p, args, layers, buckets):
+    """Recurrent-checkpoint serving: whole sequences through the
+    SequencePredictor (input: a ``(B, n, in_dim)`` .npy/.npz; output:
+    one line per sequence — the final timestep's outputs)."""
+    from tensor_ops_tpu.models.serve import SequencePredictor
+
+    rnet, be = load_recurrent_model(
+        args.checkpoint, layers, args.in_dim, args.out_dim,
+        args.act, args.state_act)
+    sp = SequencePredictor(rnet, be, buckets=buckets)
+    print(f"Serving RecurrentNetwork from {args.checkpoint} "
+          f"(buckets {buckets})")
+
+    if args.bench:
+        sp.warmup(lengths=(args.seq_len,))
+        r = np.random.default_rng(0)
+        for b in buckets:
+            xs = r.uniform(0, 1, size=(b, args.seq_len, args.in_dim)) \
+                .astype(np.float32)
+            for _ in range(5):
+                sp.predict(xs)
+        print(json.dumps({"latency": sp.latency()}))
+        return
+
+    if args.input:
+        if args.input.endswith(".npy"):
+            xs = np.load(args.input)
+        elif args.input.endswith(".npz"):
+            z = np.load(args.input)
+            xs = z[list(z.files)[0]]
+        else:
+            raise SystemExit("recurrent serving needs a (B, n, in_dim) "
+                             ".npy/.npz of sequences")
+        xs = np.asarray(xs, dtype=np.float32)
+        if xs.ndim == 2:
+            xs = xs[None]
+        if xs.ndim != 3 or xs.shape[2] != args.in_dim:
+            raise SystemExit(f"expected (B, n, {args.in_dim}) sequences, "
+                             f"got {xs.shape}")
+        out = sp.predict(xs)
+        for seq_out in out:
+            print(",".join(f"{v:.6f}" for v in np.atleast_1d(seq_out[-1])))
+        return
+
+    p.error("nothing to do: pass --bench or -i SEQS")
 
 
 if __name__ == "__main__":

@@ -251,3 +251,49 @@ def test_sequence_predictor(jb):
     single = sp.predict(xs[0])                 # auto-batch a lone sequence
     np.testing.assert_allclose(single, out[0], atol=1e-6)
     assert sp.latency()["n"] == 2
+
+
+def test_serve_cli_recurrent_checkpoint(tmp_path, jb):
+    """A recurrent checkpoint serves through the CLI: template rebuilt
+    from the architecture flags, last-timestep outputs printed, and
+    --bench emits latency JSON."""
+    import contextlib
+    import io
+    import json as _json
+
+    import apps.serve as serve_app
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.utils.checkpoint import save_recurrent
+
+    be = T.JaxBackend()
+    rnet = gen_rnet(be, 2, 1, [(5, act_logistic(), act_logistic())],
+                    act_logistic(), act_logistic(), Rng(be, seed=7))
+    ck = str(tmp_path / "rnn.npz")
+    save_recurrent(ck, rnet)
+
+    xs = np.random.default_rng(0).uniform(0, 1, size=(3, 6, 2)) \
+        .astype(np.float32)
+    xfile = str(tmp_path / "seqs.npy")
+    np.save(xfile, xs)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve_app.main([ck, "--layers", "5", "--in-dim", "2",
+                        "--out-dim", "1", "--buckets", "4", "-i", xfile])
+    vals = [float(l) for l in buf.getvalue().splitlines()
+            if l and l[0].isdigit() or l.startswith("-")]
+    want, _ = rnet.run_seq(be, be.asarray(xs[0]))
+    assert len(vals) == 3
+    np.testing.assert_allclose(vals[0], float(np.asarray(want)[-1, 0]),
+                               atol=1e-4)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve_app.main([ck, "--layers", "5", "--in-dim", "2",
+                        "--out-dim", "1", "--buckets", "2", "--bench",
+                        "--seq-len", "6"])
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    assert _json.loads(line)["latency"]["n"] >= 5
