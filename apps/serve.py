@@ -31,25 +31,42 @@ from tensor_ops_tpu.models.serve import Predictor
 from tensor_ops_tpu.utils.checkpoint import load_arrays, network_from_arrays
 
 
-def load_recurrent_model(path: str, layers, in_dim: int, out_dim: int,
+def load_recurrent_model(payload, layers, in_dim: int, out_dim: int,
                          act: str, state_act: str):
-    """Rebuild a recurrent template from the CLI architecture flags and
-    load the checkpoint's states + params into it (shape-validated)."""
+    """Rebuild the recurrent template — from the checkpoint's stored
+    ``arch`` metadata when present (new checkpoints; no flags needed),
+    else from the CLI architecture flags — and load the checkpoint's
+    states + params into it (count- and shape-validated)."""
     from tensor_ops_tpu.backend.rng import Rng
     from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
-    from tensor_ops_tpu.utils.checkpoint import load_recurrent
+    from tensor_ops_tpu.utils.checkpoint import recurrent_from_arrays
 
     be = T.JaxBackend()
+    arrays, meta = payload
+    arch = meta.get("arch")
+    if arch is not None:
+        hidden = [
+            (h, activation_by_name(a),
+             activation_by_name(s) if s is not None else None)
+            for h, a, s in zip(arch["sizes"], arch["acts"],
+                               arch["state_acts"])
+        ]
+        out_act = activation_by_name(arch["acts"][-1])
+        s_last = arch["state_acts"][-1]
+        out_sact = activation_by_name(s_last) if s_last is not None else None
+        rnet = gen_rnet(be, arch["in"], arch["out"], hidden, out_act,
+                        out_sact, Rng(be, seed=0))
+    else:
 
-    def _sact():
-        return (None if state_act == "none"
-                else activation_by_name(state_act))
+        def _sact():
+            return (None if state_act == "none"
+                    else activation_by_name(state_act))
 
-    rnet = gen_rnet(
-        be, in_dim, out_dim,
-        [(h, activation_by_name(act), _sact()) for h in layers],
-        activation_by_name(act), _sact(), Rng(be, seed=0))
-    return load_recurrent(path, rnet, be), be
+        rnet = gen_rnet(
+            be, in_dim, out_dim,
+            [(h, activation_by_name(act), _sact()) for h in layers],
+            activation_by_name(act), _sact(), Rng(be, seed=0))
+    return recurrent_from_arrays(arrays, meta, rnet, be), be
 
 
 def load_model(path: str, layers, in_dim: int, out_dim: int, int8: bool,
@@ -93,15 +110,20 @@ def load_model(path: str, layers, in_dim: int, out_dim: int, int8: bool,
     return QuantizedMLP.from_fused(fm) if int8 else fm
 
 
-def read_batch(path: str, in_dim: int) -> np.ndarray:
+def _load_array_file(path: str) -> np.ndarray:
+    """.npy / .npz (first array) / CSV -> float32 ndarray."""
     if path.endswith(".npy"):
         x = np.load(path)
     elif path.endswith(".npz"):
-        z = np.load(path)
-        x = z[list(z.files)[0]]
+        with np.load(path) as z:
+            x = z[list(z.files)[0]]
     else:  # CSV
         x = np.loadtxt(path, delimiter=",")
-    x = np.asarray(x, dtype=np.float32)
+    return np.asarray(x, dtype=np.float32)
+
+
+def read_batch(path: str, in_dim: int) -> np.ndarray:
+    x = _load_array_file(path)
     if x.ndim == 1:
         # 1-D is ambiguous: N samples of one feature vs one sample of N
         # features — the model dim decides
@@ -157,7 +179,7 @@ def main(argv=None):
     if payload[1].get("kind") == "recurrent":
         if args.int8 or args.bf16:
             p.error("--int8/--bf16 do not apply to recurrent checkpoints")
-        return serve_recurrent(p, args, layers, buckets)
+        return serve_recurrent(p, args, layers, buckets, payload)
 
     model = load_model(args.checkpoint, layers, args.in_dim, args.out_dim,
                        args.int8, act=args.act, preloaded=payload)
@@ -192,15 +214,20 @@ def main(argv=None):
     p.error("nothing to do: pass --bench or -i BATCH")
 
 
-def serve_recurrent(p, args, layers, buckets):
+def serve_recurrent(p, args, layers, buckets, payload):
     """Recurrent-checkpoint serving: whole sequences through the
     SequencePredictor (input: a ``(B, n, in_dim)`` .npy/.npz; output:
-    one line per sequence — the final timestep's outputs)."""
+    one line per sequence — the final timestep's outputs, or the full
+    per-timestep trajectory with ``--probs``)."""
     from tensor_ops_tpu.models.serve import SequencePredictor
+    from tensor_ops_tpu.ops.shapes import ShapeError
 
-    rnet, be = load_recurrent_model(
-        args.checkpoint, layers, args.in_dim, args.out_dim,
-        args.act, args.state_act)
+    try:
+        rnet, be = load_recurrent_model(
+            payload, layers, args.in_dim, args.out_dim,
+            args.act, args.state_act)
+    except (ValueError, ShapeError) as e:
+        raise SystemExit(f"error: {e}")
     sp = SequencePredictor(rnet, be, buckets=buckets)
     print(f"Serving RecurrentNetwork from {args.checkpoint} "
           f"(buckets {buckets})")
@@ -208,8 +235,9 @@ def serve_recurrent(p, args, layers, buckets):
     if args.bench:
         sp.warmup(lengths=(args.seq_len,))
         r = np.random.default_rng(0)
+        in_dim = rnet.in_shape[0]
         for b in buckets:
-            xs = r.uniform(0, 1, size=(b, args.seq_len, args.in_dim)) \
+            xs = r.uniform(0, 1, size=(b, args.seq_len, in_dim)) \
                 .astype(np.float32)
             for _ in range(5):
                 sp.predict(xs)
@@ -217,23 +245,28 @@ def serve_recurrent(p, args, layers, buckets):
         return
 
     if args.input:
-        if args.input.endswith(".npy"):
-            xs = np.load(args.input)
-        elif args.input.endswith(".npz"):
-            z = np.load(args.input)
-            xs = z[list(z.files)[0]]
-        else:
+        if not args.input.endswith((".npy", ".npz")):
             raise SystemExit("recurrent serving needs a (B, n, in_dim) "
                              ".npy/.npz of sequences")
-        xs = np.asarray(xs, dtype=np.float32)
+        xs = _load_array_file(args.input)
         if xs.ndim == 2:
             xs = xs[None]
-        if xs.ndim != 3 or xs.shape[2] != args.in_dim:
-            raise SystemExit(f"expected (B, n, {args.in_dim}) sequences, "
+        in_dim = rnet.in_shape[0]
+        if xs.ndim != 3 or xs.shape[2] != in_dim:
+            raise SystemExit(f"expected (B, n, {in_dim}) sequences, "
                              f"got {xs.shape}")
         out = sp.predict(xs)
         for seq_out in out:
-            print(",".join(f"{v:.6f}" for v in np.atleast_1d(seq_out[-1])))
+            if args.probs:
+                # full trajectory: one line per timestep, blank between
+                # sequences
+                for t in range(seq_out.shape[0]):
+                    print(",".join(f"{v:.6f}"
+                                   for v in np.atleast_1d(seq_out[t])))
+                print()
+            else:
+                print(",".join(f"{v:.6f}"
+                               for v in np.atleast_1d(seq_out[-1])))
         return
 
     p.error("nothing to do: pass --bench or -i SEQS")

@@ -39,6 +39,9 @@ class RecurrentNetwork:
     op: TOp                    # step: ([i] : ss ++ ps) -> ([o] : ss)
     states: Tuple[Any, ...]    # current state tensors (ss)
     params: Tuple[Any, ...]    # parameters (ps)
+    arch: Optional[dict] = None  # set by gen_net ({sizes, acts,
+    # state_acts, in, out}); travels with checkpoints so serving can
+    # rebuild the graph without out-of-band flags
 
     def __post_init__(self):
         self.states = tuple(self.states)
@@ -73,7 +76,8 @@ class RecurrentNetwork:
         (``runNetwork``)."""
         fn = engine.compile_run(self.op, be)
         outs = fn(x, *self.states, *self.params)
-        return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]), self.params)
+        return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]),
+                                         self.params, self.arch)
 
     def run_seq(self, be: Backend, xs: Any) -> Tuple[Any, "RecurrentNetwork"]:
         """Run a whole ``(n, *in_shape)`` sequence in one compiled scan;
@@ -83,7 +87,8 @@ class RecurrentNetwork:
         n = int(be.shape_of(xs)[0])
         fn = engine.compile_run(seq_scan_op(self.op, n, len(self.states)), be)
         outs = fn(xs, *self.states, *self.params)
-        return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]), self.params)
+        return outs[0], RecurrentNetwork(self.op, tuple(outs[1:]),
+                                         self.params, self.arch)
 
     # -- composition (Recurrent.hs:176-224, 243-263) ---------------------
     def then(self, other: "RecurrentNetwork") -> "RecurrentNetwork":
@@ -125,13 +130,15 @@ class RecurrentNetwork:
 
     def pre_op(self, f: TOp) -> "RecurrentNetwork":
         """``f ~* net`` (``Recurrent.hs:243-248``)."""
-        return RecurrentNetwork(f.lead(self.op), self.states, self.params)
+        return RecurrentNetwork(f.lead(self.op), self.states, self.params,
+                                self.arch)
 
     def post_op(self, f: TOp) -> "RecurrentNetwork":
         """``net *~ f`` — applies to the output only, not the state
         (``Recurrent.hs:250-255``)."""
         return RecurrentNetwork(
-            self.op >> First(f, rest=self.state_stack), self.states, self.params
+            self.op >> First(f, rest=self.state_stack), self.states,
+            self.params, self.arch
         )
 
     def nmap(self, f: Callable) -> "RecurrentNetwork":
@@ -192,7 +199,7 @@ class RecurrentNetwork:
         _, gS, gP = self.seq_grad(loss, be, xs, targets)
         new_s = tuple(s - rate_state * g for s, g in zip(self.states, gS))
         new_p = tuple(p - rate_param * g for p, g in zip(self.params, gP))
-        return RecurrentNetwork(self.op, new_s, new_p)
+        return RecurrentNetwork(self.op, new_s, new_p, self.arch)
 
     def train_batch(
         self,
@@ -256,7 +263,8 @@ class RecurrentNetwork:
             self.op._compiled[key] = fn
         new_s, new_p = fn(rate_state, rate_param, xs_batch, targets_batch,
                           self.states, self.params)
-        return RecurrentNetwork(self.op, tuple(new_s), tuple(new_p))
+        return RecurrentNetwork(self.op, tuple(new_s), tuple(new_p),
+                                self.arch)
 
 
 def seq_scan_op(op: TOp, n: int, n_state: int):
@@ -336,4 +344,11 @@ def gen_net(
         layer = layer.post_op(acts[k](sizes[k + 1]))
         net = layer if net is None else net.then(layer)
     assert net is not None
+    # architecture metadata: enough to rebuild this exact graph
+    # (checkpoint meta -> serve CLI, no out-of-band flags needed)
+    net.arch = {
+        "in": i, "out": o, "sizes": [h for h, _, _ in hidden],
+        "acts": [a.name for a in acts],
+        "state_acts": [s.name if s is not None else None for s in sacts],
+    }
     return net

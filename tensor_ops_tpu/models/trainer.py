@@ -699,7 +699,7 @@ def fit_sequences(
         net = RecurrentNetwork(
             net.op,
             tuple(be.asarray(s) for s in flat[:k]),
-            tuple(be.asarray(p) for p in flat[k:]))
+            tuple(be.asarray(p) for p in flat[k:]), net.arch)
         if verbose:
             print(f"resumed from {state_path} at step {step} "
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
@@ -731,7 +731,8 @@ def fit_sequences(
                 xb, tb = be.asarray(xb), be.asarray(tb)
             v, new_s, new_p = step_fn(rate_state, rate_param, xb, tb,
                                       tuple(net.states), tuple(net.params))
-            net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p))
+            net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
+                                   net.arch)
             step += 1
             if step % log_every == 0 or step == first_step_of_run:
                 v = float(np.asarray(v))

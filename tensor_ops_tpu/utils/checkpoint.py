@@ -345,7 +345,12 @@ def load_pipeline(path: str):
 def _recurrent_payload(net, extra_meta: Optional[dict]) -> Tuple[dict, dict]:
     arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
     arrays.update({f"state_{i}": s for i, s in enumerate(net.states)})
-    meta = {"kind": "recurrent", "n_states": len(net.states)}
+    meta = {"kind": "recurrent", "n_states": len(net.states),
+            "n_params": len(net.params)}
+    if getattr(net, "arch", None) is not None:
+        # gen_net's architecture record: lets serving rebuild the exact
+        # graph (sizes + activations) with no out-of-band flags
+        meta["arch"] = net.arch
     meta.update(extra_meta or {})
     return arrays, meta
 
@@ -361,10 +366,37 @@ def save_recurrent_async(path: str, net, extra_meta: Optional[dict] = None):
     return save_arrays_async(path, arrays, meta)
 
 
-def load_recurrent(path: str, net, be) -> Any:
+def recurrent_from_arrays(arrays, meta, net, be) -> Any:
+    """Rebuild a RecurrentNetwork from already-loaded checkpoint
+    contents, validating counts AND shapes against the template (a
+    wrong architecture raises a clean error, never a KeyError)."""
     from ..models.recurrent import RecurrentNetwork
+    from ..ops.shapes import ShapeError
 
+    n_p = sum(1 for k in arrays if k.startswith("param_"))
+    n_s = sum(1 for k in arrays if k.startswith("state_"))
+    if n_p != len(net.params) or n_s != len(net.states):
+        raise ValueError(
+            f"recurrent checkpoint has {n_p} params / {n_s} states but "
+            f"the template network expects {len(net.params)} / "
+            f"{len(net.states)} — rebuild with the architecture it was "
+            f"trained with" + (f" (stored arch: {meta['arch']})"
+                               if "arch" in meta else ""))
+    params = tuple(be.asarray(arrays[f"param_{i}"]) for i in range(n_p))
+    states = tuple(be.asarray(arrays[f"state_{i}"]) for i in range(n_s))
+    for got, want, what in (
+        (params, net.param_stack, "param"),
+        (states, net.state_stack, "state"),
+    ):
+        for i, (a, sh) in enumerate(zip(got, want)):
+            if tuple(a.shape) != tuple(sh):
+                raise ShapeError(
+                    f"recurrent checkpoint {what} {i} has shape "
+                    f"{tuple(a.shape)}, expected {tuple(sh)}")
+    return RecurrentNetwork(net.op, states, params,
+                            meta.get("arch", net.arch))
+
+
+def load_recurrent(path: str, net, be) -> Any:
     arrays, meta = load_arrays(path)
-    params = tuple(be.asarray(arrays[f"param_{i}"]) for i in range(len(net.params)))
-    states = tuple(be.asarray(arrays[f"state_{i}"]) for i in range(len(net.states)))
-    return RecurrentNetwork(net.op, states, params)
+    return recurrent_from_arrays(arrays, meta, net, be)

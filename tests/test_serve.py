@@ -254,11 +254,14 @@ def test_sequence_predictor(jb):
 
 
 def test_serve_cli_recurrent_checkpoint(tmp_path, jb):
-    """A recurrent checkpoint serves through the CLI: template rebuilt
-    from the architecture flags, last-timestep outputs printed, and
-    --bench emits latency JSON."""
+    """A recurrent checkpoint serves through the CLI with NO
+    architecture flags (stored arch metadata rebuilds the graph);
+    --probs prints trajectories; wrong flags on old checkpoints die
+    cleanly; --bench emits latency JSON."""
     import contextlib
     import io
+
+    import pytest
     import json as _json
 
     import apps.serve as serve_app
@@ -279,16 +282,36 @@ def test_serve_cli_recurrent_checkpoint(tmp_path, jb):
     xfile = str(tmp_path / "seqs.npy")
     np.save(xfile, xs)
 
+    # NO architecture flags: the stored arch metadata rebuilds the graph
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        serve_app.main([ck, "--layers", "5", "--in-dim", "2",
-                        "--out-dim", "1", "--buckets", "4", "-i", xfile])
+        serve_app.main([ck, "--buckets", "4", "-i", xfile])
     vals = [float(l) for l in buf.getvalue().splitlines()
             if l and l[0].isdigit() or l.startswith("-")]
     want, _ = rnet.run_seq(be, be.asarray(xs[0]))
     assert len(vals) == 3
     np.testing.assert_allclose(vals[0], float(np.asarray(want)[-1, 0]),
                                atol=1e-4)
+
+    # --probs prints the full per-timestep trajectory
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve_app.main([ck, "--buckets", "4", "-i", xfile, "--probs"])
+    rows = [l for l in buf.getvalue().splitlines()
+            if l and (l[0].isdigit() or l.startswith("-"))]
+    assert len(rows) == 3 * 6                  # B x n timesteps
+
+    # a wrong architecture dies cleanly, not with a KeyError
+    from tensor_ops_tpu.utils.checkpoint import load_arrays, save_arrays
+    arrays, meta = load_arrays(ck)
+    meta.pop("arch")                           # simulate an old checkpoint
+    ck_old = str(tmp_path / "old.npz")
+    save_arrays(ck_old, arrays, meta)
+    with pytest.raises(SystemExit):
+        with contextlib.redirect_stdout(io.StringIO()):
+            serve_app.main([ck_old, "--layers", "5,5", "--in-dim", "2",
+                            "--out-dim", "1", "--buckets", "4",
+                            "-i", xfile])
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
