@@ -226,8 +226,9 @@ def serve_recurrent(p, args, layers, buckets, payload):
         rnet, be = load_recurrent_model(
             payload, layers, args.in_dim, args.out_dim,
             args.act, args.state_act)
-    except (ValueError, ShapeError) as e:
-        raise SystemExit(f"error: {e}")
+    except (ValueError, KeyError, ShapeError) as e:
+        raise SystemExit(f"error: cannot rebuild the recurrent network "
+                         f"from this checkpoint: {e!r}")
     sp = SequencePredictor(rnet, be, buckets=buckets)
     print(f"Serving RecurrentNetwork from {args.checkpoint} "
           f"(buckets {buckets})")

@@ -86,7 +86,8 @@ class Encoder:
         pE = tuple(p - rate * g for p, g in zip(self.encoder.params, gE))
         pD = tuple(p - rate * g for p, g in zip(self.decoder.params, gD))
         return Encoder(
-            Network(self.encoder.op, pE), Network(self.decoder.op, pD)
+            Network(self.encoder.op, pE, self.encoder.act_names),
+            Network(self.decoder.op, pD, self.decoder.act_names),
         )
 
     def fit(self, loss: TOp, be: Backend, X, **fit_kwargs

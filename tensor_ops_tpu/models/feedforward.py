@@ -72,13 +72,17 @@ class Network:
                        acts)
 
     def pre_op(self, f: TOp) -> "Network":
-        """``f ~* net`` (``FeedForward.hs:96-101``); a pre-op changes no
-        layer activations, so the metadata survives."""
-        return Network(f.lead(self.op), self.params, self.act_names)
+        """``f ~* net`` (``FeedForward.hs:96-101``).  Drops the
+        activation metadata: consumers of ``act_names`` (FusedMLP.
+        from_network, checkpoint->serve rebuild) encode ONLY the layer
+        stack, so carrying it past a graph-altering composition would
+        let them silently omit ``f``."""
+        return Network(f.lead(self.op), self.params)
 
     def post_op(self, f: TOp) -> "Network":
-        """``net *~ f`` (``FeedForward.hs:103-108``)."""
-        return Network(self.op >> f, self.params, self.act_names)
+        """``net *~ f`` (``FeedForward.hs:103-108``).  Drops the
+        activation metadata (see ``pre_op``)."""
+        return Network(self.op >> f, self.params)
 
     def nmap(self, f: Callable) -> "Network":
         """``nmap`` (``FeedForward.hs:115-121``)."""

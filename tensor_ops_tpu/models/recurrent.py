@@ -130,15 +130,16 @@ class RecurrentNetwork:
 
     def pre_op(self, f: TOp) -> "RecurrentNetwork":
         """``f ~* net`` (``Recurrent.hs:243-248``)."""
-        return RecurrentNetwork(f.lead(self.op), self.states, self.params,
-                                self.arch)
+        # graph-altering composition invalidates the gen_net arch: a
+        # checkpoint->serve rebuild from it would silently omit ``f``
+        return RecurrentNetwork(f.lead(self.op), self.states, self.params)
 
     def post_op(self, f: TOp) -> "RecurrentNetwork":
         """``net *~ f`` — applies to the output only, not the state
         (``Recurrent.hs:250-255``)."""
         return RecurrentNetwork(
             self.op >> First(f, rest=self.state_stack), self.states,
-            self.params, self.arch
+            self.params  # arch dropped: the rebuilt graph would omit f
         )
 
     def nmap(self, f: Callable) -> "RecurrentNetwork":

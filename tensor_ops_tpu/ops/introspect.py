@@ -21,25 +21,39 @@ from .ir import TOp
 from .shapes import fmt_stack
 
 
+_SLOT_CACHE: Dict[type, Tuple[str, ...]] = {}
+
+
+def _candidate_slots(cls: type) -> Tuple[str, ...]:
+    """The class's public slot names (MRO-wide), computed once per node
+    class — ``children`` runs once per node in every traversal, so the
+    MRO walk must not repeat."""
+    names = _SLOT_CACHE.get(cls)
+    if names is None:
+        seen = []
+        for c in cls.__mro__:
+            for name in getattr(c, "__slots__", ()):
+                if not name.startswith("_") and name not in seen:
+                    seen.append(name)
+        names = tuple(seen)
+        _SLOT_CACHE[cls] = names
+    return names
+
+
 def children(op: TOp) -> List[Tuple[str, TOp]]:
     """The node's child ops as ``(attr_name, child)`` pairs, discovered
     from ``__slots__`` across the class hierarchy (Compose's f/g,
     First/Second/Mapped/Remat's op, ScanOp's step, and any future node
     shape — including children held in tuples/lists)."""
     out: List[Tuple[str, TOp]] = []
-    seen = set()
-    for cls in type(op).__mro__:
-        for name in getattr(cls, "__slots__", ()):
-            if name in seen or name.startswith("_"):
-                continue
-            seen.add(name)
-            v = getattr(op, name, None)
-            if isinstance(v, TOp):
-                out.append((name, v))
-            elif isinstance(v, (tuple, list)):
-                out.extend(
-                    (f"{name}[{i}]", c)
-                    for i, c in enumerate(v) if isinstance(c, TOp))
+    for name in _candidate_slots(type(op)):
+        v = getattr(op, name, None)
+        if isinstance(v, TOp):
+            out.append((name, v))
+        elif isinstance(v, (tuple, list)):
+            out.extend(
+                (f"{name}[{i}]", c)
+                for i, c in enumerate(v) if isinstance(c, TOp))
     return out
 
 

@@ -345,8 +345,7 @@ def load_pipeline(path: str):
 def _recurrent_payload(net, extra_meta: Optional[dict]) -> Tuple[dict, dict]:
     arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
     arrays.update({f"state_{i}": s for i, s in enumerate(net.states)})
-    meta = {"kind": "recurrent", "n_states": len(net.states),
-            "n_params": len(net.params)}
+    meta = {"kind": "recurrent", "n_states": len(net.states)}
     if getattr(net, "arch", None) is not None:
         # gen_net's architecture record: lets serving rebuild the exact
         # graph (sizes + activations) with no out-of-band flags

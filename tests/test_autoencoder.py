@@ -199,3 +199,39 @@ def test_encoder_fit_preserves_act_names(jb):
     assert ae2.decoder.act_names == dec.act_names
     FusedMLP.from_network(ae2.encoder)       # must not raise
     FusedMLP.from_network(res.net)           # the joint net too
+
+
+def test_graph_altering_composition_drops_metadata(jb):
+    """Regression (review): pre_op/post_op invalidate act_names/arch —
+    FusedMLP.from_network and the checkpoint->serve rebuild encode only
+    the layer stack, so stale metadata would silently drop the composed
+    op.  Encoder.train (per-sample path) preserves metadata like fit."""
+    import pytest
+
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import (Encoder, act_logistic, gen_net,
+                                       squared_error)
+    from tensor_ops_tpu.models.fast import FusedMLP
+    from tensor_ops_tpu.ops import prim as P
+
+    rng = Rng(jb, seed=0)
+    net = gen_net(jb, 4, 2, [(6, act_logistic())], act_logistic(), rng)
+    assert net.act_names is not None
+    doubled = net.post_op(P.scale((2,), 2.0))
+    assert doubled.act_names is None
+    with pytest.raises(ValueError, match="act"):
+        FusedMLP.from_network(doubled)
+
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    rnet = gen_rnet(jb, 2, 1, [(4, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(jb, seed=1))
+    assert rnet.arch is not None
+    assert rnet.nmap(lambda x: x * 2).arch is None
+
+    enc = gen_net(jb, 4, 2, [(6, act_logistic())], act_logistic(), rng)
+    dec = gen_net(jb, 2, 4, [(6, act_logistic())], act_logistic(), rng)
+    ae2 = Encoder(enc, dec).train(squared_error(4), 0.01, jb,
+                                  jb.asarray([0.1, 0.2, 0.3, 0.4]))
+    assert ae2.encoder.act_names == enc.act_names
+    FusedMLP.from_network(ae2.encoder)
