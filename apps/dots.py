@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tensor_ops_tpu as T
 from tensor_ops_tpu.backend.rng import Rng
 from tensor_ops_tpu.models import act_logistic, gen_net, squared_error
-from tensor_ops_tpu.models.training import train_fold, train_minibatch
+from tensor_ops_tpu.models.training import (batched_run, train_fold,
+                                            train_minibatch)
 from tensor_ops_tpu.utils.timing import timed
 
 BACKEND_ALIASES = {
@@ -57,7 +58,6 @@ def net_test(backend_name: str, rate: float, n: int, hidden: List[int],
              seed: int, minibatch: int = 0) -> str:
     """Train and render (``netTest``, ``Dots.hs:46-100``)."""
     be = make_backend(backend_name)
-    rng = Rng(be, seed=seed)
     data_rng = np.random.default_rng(seed)
 
     def gen_points():
@@ -104,7 +104,7 @@ def net_test(backend_name: str, rate: float, n: int, hidden: List[int],
         return tuple(m.params)
 
     params, tn = timed(train)
-    trained = net.__class__(net.op, params)
+    trained = net.__class__(net.op, params, net.act_names)
     print(f"Network trained ({tn:.3f}s)")
 
     # 51x21 ASCII render of (net output)^2 (``join TT.dot . runNetwork``,
@@ -119,8 +119,6 @@ def net_test(backend_name: str, rate: float, n: int, hidden: List[int],
         if r <= 0.8:
             return "="
         return "#"
-
-    from tensor_ops_tpu.models.training import batched_run
 
     grid_pts = np.array(
         [[x / 25 - 1, y / 10 - 1] for y in range(21) for x in range(51)]
@@ -160,10 +158,12 @@ def main(argv=None):
     hidden = [int(x) for x in args.layers.split(",") if x]
     print(f"rate: {args.rate} | samps: {args.samps} | layers: {hidden}")
 
-    seen = []
     for b in args.backends or ["jax"]:
         if b not in BACKEND_ALIASES:
-            p.error(f"Unknown backend: {b}")
+            p.error(f"Unknown backend: {b}")  # before ANY training runs
+
+    seen = []
+    for b in args.backends or ["jax"]:
         resolved = BACKEND_ALIASES[b]
         if resolved in seen:
             continue

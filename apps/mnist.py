@@ -36,6 +36,8 @@ from tensor_ops_tpu.models.training import (
     train_fold,
     train_minibatch,
 )
+from tensor_ops_tpu.models.fast import FusedMLP
+from tensor_ops_tpu.utils.checkpoint import save_network_async
 from tensor_ops_tpu.utils.mnist_data import load_mnist
 from tensor_ops_tpu.utils.timing import timed
 
@@ -70,7 +72,7 @@ def print_confusion(mat: np.ndarray) -> None:
     ``MNIST.hs:335-356``)."""
     n = mat.shape[0]
     width = max(5, len(str(mat.max())) + 1)
-    header = "      " + "".join(f"{j:>{width}}" for j in range(n))
+    header = "     " + "".join(f"{j:>{width}}" for j in range(n))
     print(header)
     for i in range(n):
         print(f"[{i:>2}] " + "".join(f"{mat[i, j]:>{width}}" for j in range(n)))
@@ -125,8 +127,9 @@ def main(argv=None):
                    help="Save network parameters to this .npz after every batch")
     args = p.parse_args(argv)
 
-    if args.induce is not None and not (0 <= args.induce <= 9):
-        p.error(f"Number {args.induce} out of range (9)")
+    hi = 10 if args.white else 9   # -w adds the eleventh class
+    if args.induce is not None and not (0 <= args.induce <= hi):
+        p.error(f"Number {args.induce} out of range ({hi})")
     if args.fused and args.minibatch <= 1:
         p.error("--fused requires --minibatch N (the mega-kernel trains minibatches)")
     if args.fused and args.backend != "jax":
@@ -179,7 +182,9 @@ def main(argv=None):
         from tensor_ops_tpu.utils.mnist_data import verify_real_mnist
 
         metrics.log(0, kind="header", seed=args.seed, rate=args.rate,
-                    layers=layers, batch=args.batch,
+                    layers=layers, batch=args.batch, white=args.white,
+                    limit=args.limit, minibatch=args.minibatch,
+                    fused=args.fused,
                     data=verify_real_mnist(args.data))
 
     def white_extras(n: int):
@@ -190,8 +195,18 @@ def main(argv=None):
         )
         return xs, np.full(n, 10)
 
+    vX_dev = be.asarray(vX)   # validation set: one transfer, not per batch
+
+    def _concat_rows(a, b_rows):
+        if be.name == "jax":
+            import jax.numpy as jnp
+
+            return jnp.concatenate([a, b_rows])
+        return np.concatenate([a, b_rows])
+
     epoch = 1
     fused_model = None
+    ckpt_future = None
     try:
         while args.epochs == 0 or epoch <= args.epochs:
             print(f"[Epoch {epoch}]")
@@ -216,9 +231,7 @@ def main(argv=None):
 
                 def train_chunk():
                     nonlocal net, fused_model
-                    if args.fused and args.minibatch > 1:
-                        from tensor_ops_tpu.models.fast import FusedMLP
-
+                    if args.fused:
                         if fused_model is None:
                             fused_model = FusedMLP.from_network(net)
                         for k in range(0, len(xs), args.minibatch):
@@ -250,19 +263,22 @@ def main(argv=None):
                 _, t = timed(train_chunk)
                 print(f"Trained on {len(xs)} samples in {t:.3f}s")
 
-                vXe, vLe = vX, vL
                 if args.white:
+                    # only the fresh noise rows transfer each batch; the
+                    # 10k real rows sit on device once (vX_dev)
                     nx, nl = white_extras(len(vX) // 10)
-                    vXe = np.concatenate([vX, nx])
+                    vXe_dev = _concat_rows(vX_dev, be.asarray(nx))
                     vLe = np.concatenate([vL, nl])
+                else:
+                    vXe_dev, vLe = vX_dev, vL
 
                 tscore = accuracy(net, be, be.asarray(xs), ls)
                 print(f"Training:   {(1 - tscore) * 100:.2f}% error")
                 if args.noconfusion:
-                    vscore = accuracy(net, be, be.asarray(vXe), vLe)
+                    vscore = accuracy(net, be, vXe_dev, vLe)
                     print(f"Validation: {(1 - vscore) * 100:.2f}% error")
                 else:
-                    conf = confusion(net, be, be.asarray(vXe), vLe, o)
+                    conf = confusion(net, be, vXe_dev, vLe, o)
                     vscore = conf.trace() / conf.sum()
                     print(f"Validation: {(1 - vscore) * 100:.2f}% error")
                     print_confusion(conf)
@@ -271,9 +287,9 @@ def main(argv=None):
                             train_err=(1 - tscore), val_err=(1 - vscore),
                             batch_seconds=t)
                 if args.checkpoint:
-                    from tensor_ops_tpu.utils.checkpoint import save_network
-
-                    save_network(args.checkpoint, net)
+                    if ckpt_future is not None:
+                        ckpt_future.result()   # surface prior write errors
+                    ckpt_future = save_network_async(args.checkpoint, net)
 
                 if args.induce is not None:
                     target = be.asarray(one_hot(args.induce, o))
@@ -289,6 +305,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         print("\nInterrupted.")
     finally:
+        if ckpt_future is not None:
+            ckpt_future.result()   # join the last async checkpoint write
         metrics.close()
 
 

@@ -274,3 +274,16 @@ def test_require_real_data_rejects_tampered_decoded_cache(tmp_path, monkeypatch)
     (tmp_path / MNIST_FILES[0][0]).write_bytes(encode_idx(bad))
     with pytest.raises(RealDataError, match="differs from the verified"):
         load_mnist(str(tmp_path), require_real=True)
+
+
+def test_mnist_induce_range_honors_white_class(tmp_path):
+    """-w adds class 10, so -i 10 is valid WITH -w (reference: Finite o
+    with o=11) and invalid without it."""
+    with pytest.raises(SystemExit):
+        run_cli(mnist.main, ["-i", "10", "-d", str(tmp_path)])
+    out = run_cli(
+        mnist.main,
+        ["--epochs", "1", "--limit", "100", "-b", "110", "--minibatch", "50",
+         "-r", "0.2", "-d", str(tmp_path), "-w", "-c", "-i", "10"],
+    )
+    assert "inducing: 10" in out
