@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 
 import numpy as np
@@ -262,6 +263,28 @@ def bench_int8_serving(n=4096, layers=4, batch=16):
     return dt * 1e6, layers * n * n / dt / 1e9  # us/fwd, GB/s int8 stream
 
 
+def _stable_reps(fn, reps: int = 5, extra_under_load: int = 2):
+    """Median-of-``reps`` samples of a CPU throughput benchmark.
+
+    Host contention only ever *slows* the denominator benches (it cannot
+    make BLAS faster), so a single run under a loaded machine halves the
+    measured baseline and doubles the headline multiplier (the round-2
+    228k-vs-117k swing, BENCH.md).  The median of 5 runs is stable
+    against bursts; when the 1-minute load average exceeds the core
+    count at start (a loaded host) extra reps are taken so the median
+    has clean samples to land on.  Returns ``(median, lo, hi)``."""
+    try:
+        loaded = os.getloadavg()[0] > (os.cpu_count() or 1)
+    except OSError:
+        loaded = False
+    if loaded:
+        reps += extra_under_load
+    vals = sorted(fn() for _ in range(reps))
+    return (vals[len(vals) // 2] if reps % 2 else
+            0.5 * (vals[reps // 2 - 1] + vals[reps // 2]),
+            vals[0], vals[-1])
+
+
 def bench_cpu_baseline(n_samples=60):
     """Per-sample SGD on the NumPy float64 oracle — the reference-shaped
     CPU path (per-sample SGD over dense kernels)."""
@@ -325,7 +348,10 @@ def main():
     mm_tflops, mm_roofline = bench_fused_matmul_roofline()
     int8_us, int8_gbps = bench_int8_serving()
     base = bench_cpu_baseline()
-    blas_base = bench_cpu_blas_baseline()
+    # the headline denominator: median-of-5 with a load guard, so the
+    # multiplier is a pinned median instead of a per-run lottery against
+    # host contention (round-2 saw a 2x swing from a single-run baseline)
+    blas_base, blas_lo, blas_hi = _stable_reps(bench_cpu_blas_baseline)
     best_samples = max(samples_per_sec, samples4k, mk_samples)
     result = {
         "metric": "mnist_mlp_train_throughput",
@@ -336,6 +362,10 @@ def main():
         "vs_baseline": round(best_samples / blas_base, 2),
         "detail": {
             "cpu_blas_per_sample_sgd_samples_per_sec": round(blas_base, 1),
+            "cpu_blas_baseline_range_samples_per_sec": [
+                round(blas_lo, 1), round(blas_hi, 1)],
+            "vs_baseline_range": [round(best_samples / blas_hi, 2),
+                                  round(best_samples / blas_lo, 2)],
             "vs_numpy_oracle_baseline": round(best_samples / base, 2),
             "ir_xla_batch1024_steps_per_sec": round(steps_per_sec, 2),
             "ir_xla_batch1024_samples_per_sec": round(samples_per_sec, 1),

@@ -45,6 +45,40 @@ from .vfunc import VFunc
 Arrays = Tuple[Any, ...]
 
 
+class CompiledCache(dict):
+    """The per-op compiled-artifact cache (jitted steps, composed loss
+    graphs, serving forwards), bounded as a small LRU.
+
+    Long-lived processes cycle many cache keys through one op object — a
+    ``SequencePredictor`` sees a key per sequence length, ``fit`` a key
+    per (loss, optimizer, mesh, ...) combination — and an unbounded dict
+    grows monotonically, each entry pinning a jitted executable.  A hit
+    refreshes recency, so hot keys never recompile; only keys untouched
+    for ``maxsize`` distinct insertions fall out (eviction is always
+    safe: the artifact is rebuilt from the op on the next miss)."""
+
+    __slots__ = ("maxsize",)
+    DEFAULT_MAXSIZE = 128
+
+    def __init__(self, maxsize: int = DEFAULT_MAXSIZE):
+        super().__init__()
+        self.maxsize = int(maxsize)
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)
+            super().__setitem__(key, val)  # refresh recency (move to end)
+            return val
+        return default
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().pop(key)
+        elif len(self) >= self.maxsize:
+            super().pop(next(iter(self)))  # evict least-recently-used
+        super().__setitem__(key, val)
+
+
 class TOp:
     """A tensor operation from stack ``in_stack`` to stack ``out_stack``."""
 
@@ -53,7 +87,7 @@ class TOp:
     def __init__(self, in_stack: Stack, out_stack: Stack):
         self.in_stack: Stack = as_stack(in_stack)
         self.out_stack: Stack = as_stack(out_stack)
-        self._compiled: dict = {}
+        self._compiled: dict = CompiledCache()
 
     def struct_key(self) -> tuple:
         """Structural identity: two ops with equal keys compute the same

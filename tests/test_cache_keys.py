@@ -170,3 +170,41 @@ def test_callable_key_recursive_global_terminates():
     exec(src, ns)
     k = V.callable_key(ns["fact"])
     assert k[0] in ("code", "id")
+
+
+def test_compiled_cache_is_bounded_lru(jb):
+    """Cycling 100 sequence lengths through a SequencePredictor must not
+    grow the op cache past its LRU bound, and hot keys must stay cached
+    (no recompile of recently used entries)."""
+    from tensor_ops_tpu.models import act_logistic
+    from tensor_ops_tpu.models.recurrent import fully_connected
+    from tensor_ops_tpu.models.serve import SequencePredictor
+    from tensor_ops_tpu.ops.ir import CompiledCache
+
+    rng = Rng(jb, seed=0)
+    rnet = fully_connected(act_logistic(), jb, 3, 3, rng)
+    pred = SequencePredictor(rnet, jb, buckets=(1,))
+    cache = rnet.op._compiled
+    assert isinstance(cache, CompiledCache)
+    x1 = np.zeros((1, 2, 3), np.float32)
+    pred.predict(x1)  # the hot key: length 2
+    hot = [k for k in cache if isinstance(k, tuple) and k[0] == "serve_seq"]
+    assert len(hot) == 1
+    hot_fn = cache.get(hot[0])
+    for n in range(3, 103):
+        pred.predict(np.zeros((1, n, 3), np.float32))
+        cache.get(hot[0])  # a production hot path touches its key
+    assert len(cache) <= cache.maxsize
+    # the hot key survived 100 distinct insertions because it stayed recent
+    assert cache.get(hot[0]) is hot_fn
+
+
+def test_compiled_cache_evicts_cold_keys():
+    from tensor_ops_tpu.ops.ir import CompiledCache
+
+    c = CompiledCache(maxsize=4)
+    for k in range(4):
+        c[k] = k * 10
+    c.get(0)  # refresh 0
+    c[99] = 990  # evicts 1 (oldest untouched), not 0
+    assert 0 in c and 1 not in c and len(c) == 4
