@@ -23,6 +23,18 @@ from .ir import TOp
 from .shapes import ShapeError, fmt_stack
 
 
+def _sqrt_divisor(n: int) -> int:
+    """The divisor of ``n`` nearest sqrt(n) — the block size minimizing
+    the checkpointed scan's O(n/k + k) residual state."""
+    best, target = 1, n ** 0.5
+    for d in range(1, int(n ** 0.5) + 1):
+        if n % d == 0:
+            for cand in (d, n // d):
+                if abs(cand - target) < abs(best - target):
+                    best = cand
+    return best
+
+
 class ScanOp(TOp):
     """Run ``step`` — a TOp ``([x] : ss ++ ps) -> ([y] : ss)`` — over a
     stacked time axis.
@@ -36,13 +48,33 @@ class ScanOp(TOp):
     the reference's one-stack-slot-per-step unroll with reversed input
     order (``Recurrent.hs:392-431``); gradients are verified equal to the
     unrolled-graph semantics in tests.
+
+    ``remat_every=k`` checkpoints the scan: only every k-th carry is
+    taped and the backward recomputes the intervening forwards per
+    block, dropping residual state from O(n·state) to O((n/k + k)·state)
+    — the long-sequence memory wall the plain scan hits at n ~ 10^4.
+    ``remat_every="sqrt"`` picks the divisor of ``n`` nearest sqrt(n)
+    (the minimizing schedule).  Gradients are bit-identical to the plain
+    scan (the same ops run in the same order, just recomputed).
     """
 
-    __slots__ = ("step", "n", "n_state")
+    __slots__ = ("step", "n", "n_state", "remat_every")
 
-    def __init__(self, step: TOp, n: int, n_state: int):
+    def __init__(self, step: TOp, n: int, n_state: int, remat_every=None):
         if n < 1:
             raise ShapeError("scan needs n >= 1 steps")
+        if remat_every == "sqrt":
+            remat_every = _sqrt_divisor(n)
+        if remat_every is not None:
+            remat_every = int(remat_every)
+            if remat_every < 1 or n % remat_every != 0:
+                raise ShapeError(
+                    f"remat_every ({remat_every}) must be a divisor of the "
+                    f"scan length ({n}); pass 'sqrt' to pick the divisor "
+                    f"nearest sqrt(n) automatically")
+            if remat_every == 1:
+                remat_every = None  # every carry saved == the plain scan
+        self.remat_every = remat_every
         if len(step.out_stack) != 1 + n_state:
             raise ShapeError(
                 f"scan step must output [y] + {n_state} states, got "
@@ -66,7 +98,8 @@ class ScanOp(TOp):
         )
 
     def _skey_parts(self):
-        return (self.step.struct_key(), self.n, self.n_state)
+        return (self.step.struct_key(), self.n, self.n_state,
+                self.remat_every)
 
     def _split(self, xs):
         k = self.n_state
@@ -74,28 +107,48 @@ class ScanOp(TOp):
 
     def apply_tape(self, be, xs, with_tape=True):
         xarr, s0, params = self._split(xs)
+        k = self.remat_every
         if be.name == "jax":
             import jax
 
             def f(carry, x_t):
                 outs = self.step.apply(be, (x_t,) + carry + params)
                 y_t, s_new = outs[0], tuple(outs[1:])
-                return s_new, (y_t, carry)
+                if with_tape and k is None:
+                    return s_new, (y_t, carry)
+                return s_new, y_t
 
-            s_final, (ys, s_ins) = jax.lax.scan(f, s0, xarr)
-            tape = (xarr, s_ins, params) if with_tape else None
-            return (ys,) + s_final, tape
+            if with_tape and k is not None:
+                # checkpointed: tape only every k-th carry (the block
+                # entry); the backward recomputes the k-1 intervening
+                # carries per block — O(n/k + k) residual state instead
+                # of O(n)
+                xb = xarr.reshape((self.n // k, k) + xarr.shape[1:])
+
+                def blk(carry, x_blk):
+                    c_end, ys_blk = jax.lax.scan(f, carry, x_blk)
+                    return c_end, (ys_blk, carry)
+
+                s_final, (ys_b, s_blk_ins) = jax.lax.scan(blk, s0, xb)
+                ys = ys_b.reshape((self.n,) + ys_b.shape[2:])
+                return (ys,) + s_final, (xarr, s_blk_ins, params)
+            if with_tape:
+                s_final, (ys, s_ins) = jax.lax.scan(f, s0, xarr)
+                return (ys,) + s_final, (xarr, s_ins, params)
+            s_final, ys = jax.lax.scan(f, s0, xarr)
+            return (ys,) + s_final, None
         # numpy oracle: plain loop
         s = s0
         ys = []
         s_ins = []
         for t in range(self.n):
-            s_ins.append(s)
+            if k is None or t % k == 0:
+                s_ins.append(s)
             outs = self.step.apply(be, (xarr[t],) + s + params)
             ys.append(outs[0])
             s = tuple(outs[1:])
         stacked_s_ins = tuple(
-            np.stack([si[k] for si in s_ins]) for k in range(self.n_state)
+            np.stack([si[j] for si in s_ins]) for j in range(self.n_state)
         )
         tape = (xarr, stacked_s_ins, params) if with_tape else None
         return (np.stack(ys),) + s, tape
@@ -115,6 +168,7 @@ class ScanOp(TOp):
             dp = tuple(in_cts[1 + self.n_state :])
             return ds_in, dx_t, dp
 
+        k = self.remat_every
         if be.name == "jax":
             import jax
             import jax.numpy as jnp
@@ -127,6 +181,30 @@ class ScanOp(TOp):
                 return (ds_in, p_acc), dx_t
 
             p_zero = tuple(jnp.zeros_like(p) for p in params)
+            if k is not None:
+                # s_ins holds only block-entry carries; re-run each
+                # block's forward from its entry to recover the per-step
+                # carries, then reverse inside the block — blocks
+                # themselves reverse in the outer scan
+                xb = xarr.reshape((self.n // k, k) + xarr.shape[1:])
+                yb = y_cts.reshape((self.n // k, k) + y_cts.shape[1:])
+
+                def fwd(carry, x_t):
+                    outs = self.step.apply(be, (x_t,) + carry + params)
+                    return tuple(outs[1:]), carry  # emit carry-IN per step
+
+                def blk(carry, scanned):
+                    x_blk, s_blk_in, y_ct_blk = scanned
+                    _, s_in_blk = jax.lax.scan(fwd, s_blk_in, x_blk)
+                    carry, dx_blk = jax.lax.scan(
+                        f, carry, (x_blk, s_in_blk, y_ct_blk), reverse=True)
+                    return carry, dx_blk
+
+                (s0_cts, p_cts), dxb = jax.lax.scan(
+                    blk, (s_final_cts, p_zero), (xb, s_ins, yb),
+                    reverse=True)
+                dxs = dxb.reshape((self.n,) + dxb.shape[2:])
+                return (dxs,) + s0_cts + p_cts
             (s0_cts, p_cts), dxs_rev = jax.lax.scan(
                 f, (s_final_cts, p_zero), (xarr, s_ins, y_cts), reverse=True
             )
@@ -135,6 +213,18 @@ class ScanOp(TOp):
         s_ct = s_final_cts
         p_cts = tuple(np.zeros_like(p) for p in params)
         dxs = [None] * self.n
+        if k is not None:
+            # recover all per-step carries from the block-entry saves
+            full = [None] * self.n
+            for bidx in range(self.n // k):
+                s = tuple(si[bidx] for si in s_ins)
+                for t in range(bidx * k, bidx * k + k):
+                    full[t] = s
+                    outs = self.step.apply(be, (xarr[t],) + s + params)
+                    s = tuple(outs[1:])
+            s_ins = tuple(
+                np.stack([full[t][j] for t in range(self.n)])
+                for j in range(self.n_state))
         for t in range(self.n - 1, -1, -1):
             s_in = tuple(si[t] for si in s_ins)
             ds_in, dx_t, dp = backstep(s_ct, xarr[t], s_in, y_cts[t])

@@ -293,3 +293,84 @@ def test_recurrent_compose_associative(nb):
     ll = float(np.asarray(left.seq_loss(loss, nb, xs, tg)))
     lr_ = float(np.asarray(right.seq_loss(loss, nb, xs, tg)))
     assert np.isclose(ll, lr_)
+
+
+# ---------------------------------------------------------------------------
+# checkpointed scan (remat_every)
+# ---------------------------------------------------------------------------
+
+
+def _scan_grads(be, net, xs, tg, loss, remat_every):
+    g = net._seq_graph(loss, xs.shape[0], remat_every=remat_every)
+    return ir.grad(g, be, (be.asarray(xs),) + tuple(net.states)
+                   + tuple(net.params) + (be.asarray(tg),))
+
+
+@pytest.mark.parametrize("remat", [2, 4, 6, "sqrt", 12])
+def test_remat_scan_grads_equal_plain(nb, jb, remat):
+    """Checkpointed-scan gradients == plain-scan gradients at 1e-9 on
+    both backends (VERDICT r2 item 5): same ops, same order, just
+    recomputed."""
+    net = make_rnn(nb)
+    n = 12
+    xs, tg = r(5, n, 3), r(6, n, 2)
+    loss = squared_error(2)
+    plain = _scan_grads(nb, net, xs, tg, loss, None)
+    ck = _scan_grads(nb, net, xs, tg, loss, remat)
+    for a, b in zip(plain, ck):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+    jnet = RecurrentNetwork(net.op,
+                            tuple(jb.asarray(s) for s in net.states),
+                            tuple(jb.asarray(p) for p in net.params))
+    jck = _scan_grads(jb, jnet, xs, tg, loss, remat)
+    for a, b in zip(plain, jck):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+
+def test_remat_scan_forward_identical(nb, jb):
+    net = make_rnn(nb)
+    n = 8
+    xs, tg = r(7, n, 3), r(8, n, 2)
+    loss = squared_error(2)
+    for be, m in ((nb, net),
+                  (jb, RecurrentNetwork(
+                      net.op, tuple(jb.asarray(s) for s in net.states),
+                      tuple(jb.asarray(p) for p in net.params)))):
+        a = np.asarray(m.seq_loss(loss, be, be.asarray(xs), be.asarray(tg)))
+        g = m._seq_graph(loss, n, remat_every=4)
+        b = np.asarray(ir.run(g, be, (be.asarray(xs),) + tuple(m.states)
+                              + tuple(m.params) + (be.asarray(tg),))[0])
+        np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
+
+
+def test_remat_requires_divisor():
+    from tensor_ops_tpu.ops.shapes import ShapeError
+
+    step_net = make_rnn(T.NumpyBackend())
+    with pytest.raises(ShapeError, match="divisor"):
+        ScanOp(step_net.op, 10, 1, remat_every=3)
+
+
+def test_sqrt_divisor_schedule():
+    from tensor_ops_tpu.ops.loops import _sqrt_divisor
+
+    assert _sqrt_divisor(4096) == 64
+    assert _sqrt_divisor(12) in (3, 4)
+    assert _sqrt_divisor(7) in (1, 7)
+    assert 100 % _sqrt_divisor(100) == 0
+
+
+def test_remat_tape_is_smaller(nb):
+    """The taped carries shrink from n to n/k block entries."""
+    net = make_rnn(nb)
+    n, k = 12, 4
+    xs = r(9, n, 3)
+    plain = ScanOp(net.op, n, 1)
+    ck = ScanOp(net.op, n, 1, remat_every=k)
+    args = (xs,) + tuple(net.states) + tuple(net.params)
+    _, tape_p = plain.apply_tape(nb, args)
+    _, tape_c = ck.apply_tape(nb, args)
+    assert tape_p[1][0].shape[0] == n
+    assert tape_c[1][0].shape[0] == n // k
