@@ -305,20 +305,20 @@ def fit(
 
         if be.name != "jax":
             raise ValueError("pipeline mesh requires the jax backend")
-        if accum_steps > 1 or mixed_precision:
-            raise ValueError(
-                "accum_steps/mixed_precision are not supported on a "
-                "pipeline (stage-axis) mesh yet")
         M = pipeline_microbatches
-        if batch_size % M != 0:
+        # with accumulation each chunk (batch/accum rows) flows through
+        # the microbatch grid separately, so the grid constraints apply
+        # to the chunk, not the whole batch
+        chunk = batch_size // accum_steps
+        if chunk % M != 0:
             raise ValueError(
-                f"batch_size ({batch_size}) must be divisible by "
-                f"pipeline_microbatches ({M})")
+                f"batch rows per accumulation chunk ({chunk}) must be "
+                f"divisible by pipeline_microbatches ({M})")
         has_data = DATA_AXIS in mesh.axis_names
         dp = mesh.shape[DATA_AXIS] if has_data else 1
-        if (batch_size // M) % dp != 0:
+        if (chunk // M) % dp != 0:
             raise ValueError(
-                f"microbatch rows ({batch_size // M}) must be divisible "
+                f"microbatch rows ({chunk // M}) must be divisible "
                 f"by the data-axis size ({dp})")
         n_proc, proc_idx = jax.process_count(), jax.process_index()
         if n_proc > 1 and not has_data:
@@ -344,17 +344,58 @@ def fit(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
 
         key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
-               mesh, M) + be.cache_key()
+               mesh, M, int(accum_steps), mixed_precision) + be.cache_key()
         step_fn = net.op._compiled.get(key)
         if step_fn is None:
+            import jax.numpy as jnp
+
             # the closure captures only a structure skeleton — no pinned
             # parameter copy survives in the jit cache
-            loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M,
-                                               pnet=spnet.skeleton())
+            if mixed_precision:
+                # bf16 compute, f32 master params (same recipe as
+                # make_opt_step): the pipelined forward/backward runs in
+                # the MXU-native dtype; grads upcast before clip/update
+                from ..backend.jax_backend import JaxBackend
+
+                be_c = JaxBackend(dtype=jnp.bfloat16,
+                                  precision=getattr(be, "_precision_name",
+                                                    "default"))
+                loss_fn_lp, _ = make_ir_pipeline_loss(
+                    net, loss, be_c, mesh, M, pnet=spnet.skeleton())
+
+                def _vag(params, xc, yc):
+                    lp = tuple(p.astype(jnp.bfloat16) for p in params)
+                    v, grads = jax.value_and_grad(loss_fn_lp)(
+                        lp, xc.astype(jnp.bfloat16),
+                        yc.astype(jnp.bfloat16))
+                    return (v.astype(jnp.float32),
+                            tuple(g.astype(jnp.float32) for g in grads))
+            else:
+                loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M,
+                                                   pnet=spnet.skeleton())
+                _vag = jax.value_and_grad(loss_fn)
 
             def _pl_step(lr, xb, yb, opt_state, params):
-                v, grads = jax.value_and_grad(loss_fn)(tuple(params),
-                                                       xb, yb)
+                if accum_steps <= 1:
+                    v, grads = _vag(tuple(params), xb, yb)
+                else:
+                    from jax import lax
+
+                    B = xb.shape[0]
+                    c = B // accum_steps
+                    xm = xb.reshape((accum_steps, c) + xb.shape[1:])
+                    ym = yb.reshape((accum_steps, c) + yb.shape[1:])
+
+                    def body(carry, ch):
+                        vsum, gsum = carry
+                        vc, gc = _vag(tuple(params), ch[0], ch[1])
+                        return (vsum + vc, tuple(a + g for a, g in
+                                                 zip(gsum, gc))), None
+
+                    zero = tuple(jnp.zeros_like(p) for p in params)
+                    (v, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
+                    v = v / accum_steps
+                    grads = tuple(g / accum_steps for g in gsum)
                 if clip_norm:
                     grads = clip_by_global_norm(grads, clip_norm)
                 opt_state, params = opt.update(opt_state, tuple(params),
@@ -548,17 +589,35 @@ def fit(
     return FitResult(_as_network(params), history, step)
 
 
-def _seq_train_step(net, loss: TOp, be: Backend, n: int):
-    """Jitted fused sequence-batch step: ``fn(rs, rp, xb, tb, states,
-    params) -> (mean_loss, new_states, new_params)`` — the vmapped
-    scan-BPTT ``value_and_grad`` plus the dual-rate update in ONE
-    program, so the logged batch loss costs no extra forward pass."""
-    g = net._seq_graph(loss, n)
+def _seq_train_step(net, loss: TOp, be: Backend, n: int,
+                    opt: Optional[Optimizer] = None,
+                    clip_norm: Optional[float] = None,
+                    remat_every=None):
+    """Jitted fused sequence-batch step — the vmapped scan-BPTT
+    ``value_and_grad`` plus the update in ONE program, so the logged
+    batch loss costs no extra forward pass.
+
+    Without ``opt``: ``fn(rs, rp, xb, tb, states, params) ->
+    (mean_loss, new_states, new_params)`` — the reference's dual-rate
+    SGD (``Recurrent.hs:326-354``).  With ``opt``: ``fn(rs, rp, xb, tb,
+    opt_state, states, params) -> (mean_loss, opt_state, new_states,
+    new_params)`` — states and params update through the optimizer at
+    rate ``rp``, with the state gradients pre-scaled by ``rs/rp`` so the
+    dual-rate semantic survives any optimizer.  ``clip_norm`` clips the
+    joint (state+param) gradient by global L2 norm before either
+    update.  ``remat_every`` checkpoints the scan's backward."""
+    g = net._seq_graph(loss, n, remat_every=remat_every)
     k = len(net.states)
-    key = ("seq_fit_step", loss.struct_key(), n) + be.cache_key()
+    key = ("seq_fit_step", loss.struct_key(), n,
+           opt.struct_key() if opt is not None else None, clip_norm,
+           remat_every) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
+
+    def _clip(grads):
+        return clip_by_global_norm(grads, clip_norm) if clip_norm else grads
+
     if be.name == "jax":
         import jax
         import jax.numpy as jnp
@@ -570,18 +629,31 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int):
         nsp = k + len(net.params)
         vm = jax.vmap(one, in_axes=(0, 0) + (None,) * nsp)
 
-        def step(rs, rp, xb, tb, states, params):
-            vals, grads = vm(xb, tb, *states, *params)
-            gS = tuple(jnp.mean(gr, axis=0) for gr in grads[:k])
-            gP = tuple(jnp.mean(gr, axis=0) for gr in grads[k:])
-            return (jnp.mean(vals),
-                    tuple(s - rs * gg for s, gg in zip(states, gS)),
-                    tuple(p - rp * gg for p, gg in zip(params, gP)))
+        if opt is None:
+
+            def step(rs, rp, xb, tb, states, params):
+                vals, grads = vm(xb, tb, *states, *params)
+                mean = _clip(tuple(jnp.mean(gr, axis=0) for gr in grads))
+                gS, gP = mean[:k], mean[k:]
+                return (jnp.mean(vals),
+                        tuple(s - rs * gg for s, gg in zip(states, gS)),
+                        tuple(p - rp * gg for p, gg in zip(params, gP)))
+
+        else:
+
+            def step(rs, rp, xb, tb, opt_state, states, params):
+                vals, grads = vm(xb, tb, *states, *params)
+                mean = _clip(tuple(jnp.mean(gr, axis=0) for gr in grads))
+                scaled = tuple((rs / rp) * gg for gg in mean[:k]) + mean[k:]
+                leaves = tuple(states) + tuple(params)
+                opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
+                return (jnp.mean(vals), opt_state,
+                        tuple(leaves[:k]), tuple(leaves[k:]))
 
         fn = jax.jit(step)
     else:
 
-        def fn(rs, rp, xb, tb, states, params):
+        def _mean_grads(xb, tb, states, params):
             accS = [np.zeros_like(s) for s in states]
             accP = [np.zeros_like(p) for p in params]
             vals = []
@@ -594,11 +666,25 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int):
                     a += gg
                 for a, gg in zip(accP, grads[1 + k : -1]):
                     a += gg
-            return (
-                float(np.mean(vals)),
-                tuple(s - rs * a / B for s, a in zip(states, accS)),
-                tuple(p - rp * a / B for p, a in zip(params, accP)),
-            )
+            mean = _clip(tuple(a / B for a in accS) + tuple(a / B for a in accP))
+            return float(np.mean(vals)), mean[:k], mean[k:]
+
+        if opt is None:
+
+            def fn(rs, rp, xb, tb, states, params):
+                v, gS, gP = _mean_grads(xb, tb, states, params)
+                return (v,
+                        tuple(s - rs * a for s, a in zip(states, gS)),
+                        tuple(p - rp * a for p, a in zip(params, gP)))
+
+        else:
+
+            def fn(rs, rp, xb, tb, opt_state, states, params):
+                v, gS, gP = _mean_grads(xb, tb, states, params)
+                scaled = tuple((rs / rp) * a for a in gS) + tuple(gP)
+                leaves = tuple(states) + tuple(params)
+                opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
+                return v, opt_state, tuple(leaves[:k]), tuple(leaves[k:])
 
     net.op._compiled[key] = fn
     return fn
@@ -647,6 +733,10 @@ def fit_sequences(
     batch_size: int = 16,
     rate_state: float = 0.01,
     rate_param: float = 0.05,
+    optimizer: Optional[Optimizer] = None,
+    clip_norm: Optional[float] = None,
+    lr_schedule: Optional[Callable[[int], float]] = None,
+    remat_every=None,
     seed: int = 0,
     metrics_path: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
@@ -672,11 +762,22 @@ def fit_sequences(
     overlaps the next batches' host->device transfer with the step
     (jax).  Checkpoints: ``checkpoint_path`` saves the servable
     recurrent net (``save_recurrent``) and a sibling ``.state`` with
-    states + params + step."""
+    states + params + optimizer moments + step.
+
+    ``optimizer`` (e.g. ``adam()``) replaces the dual-rate SGD update:
+    states and params update through the optimizer at ``rate_param``,
+    with state gradients pre-scaled by ``rate_state/rate_param`` so the
+    dual-rate semantic survives (dual-rate SGD stays the default, for
+    reference parity).  ``clip_norm`` clips the joint gradient by
+    global L2 norm; ``lr_schedule`` maps the global step to the param
+    rate (the state rate keeps its ratio); ``remat_every`` checkpoints
+    the scan-BPTT backward for long sequences
+    (O(n/k + k) residual state, see ``ScanOp``)."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
 
+    opt = optimizer
     N = XS.shape[0]
     if N < batch_size:
         raise ValueError(
@@ -688,10 +789,15 @@ def fit_sequences(
     net = rnet
     step = 0
     state_path = (checkpoint_path + ".state") if checkpoint_path else None
+    opt_state = (opt.init(tuple(net.states) + tuple(net.params))
+                 if opt is not None else ())
+    opt_key = (opt.struct_key()
+               if opt is not None and opt.hyper is not None else None)
     if resume and state_path and os.path.exists(state_path):
-        # the .state "params" slot holds states + params; opt_state is
-        # empty (dual-rate SGD carries no moments)
-        flat, _, step = load_train_state(state_path, ())
+        # the .state "params" slot holds states + params; opt_state
+        # carries the optimizer moments (empty for dual-rate SGD)
+        flat, r_opt_state, step = load_train_state(state_path, opt_state,
+                                                   opt_key=opt_key)
         if len(flat) != k + len(net.params):
             raise ValueError(
                 f"checkpoint has {len(flat)} leaves, the network needs "
@@ -700,6 +806,8 @@ def fit_sequences(
             net.op,
             tuple(be.asarray(s) for s in flat[:k]),
             tuple(be.asarray(p) for p in flat[k:]), net.arch)
+        if opt is not None:
+            opt_state = _restore_opt_state(opt_state, r_opt_state, be)
         if verbose:
             print(f"resumed from {state_path} at step {step} "
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
@@ -716,7 +824,8 @@ def fit_sequences(
         source = None
 
     n_seq = XS.shape[1]
-    step_fn = _seq_train_step(net, loss, be, n_seq)
+    step_fn = _seq_train_step(net, loss, be, n_seq, opt=opt,
+                              clip_norm=clip_norm, remat_every=remat_every)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
     history = []
@@ -724,13 +833,24 @@ def fit_sequences(
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
+            if lr_schedule is not None:
+                rp = lr_schedule(step)
+                rs = rate_state * (rp / rate_param)
+            else:
+                rp, rs = rate_param, rate_state
             if source is not None:
                 xb, tb = source.next()
             else:
                 xb, tb = stream.next()
                 xb, tb = be.asarray(xb), be.asarray(tb)
-            v, new_s, new_p = step_fn(rate_state, rate_param, xb, tb,
-                                      tuple(net.states), tuple(net.params))
+            if opt is None:
+                v, new_s, new_p = step_fn(rs, rp, xb, tb,
+                                          tuple(net.states),
+                                          tuple(net.params))
+            else:
+                v, opt_state, new_s, new_p = step_fn(
+                    rs, rp, xb, tb, opt_state,
+                    tuple(net.states), tuple(net.params))
             net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
                                    net.arch)
             step += 1
@@ -746,7 +866,9 @@ def fit_sequences(
                     save_recurrent_async(checkpoint_path, net),
                     save_train_state_async(
                         state_path,
-                        tuple(net.states) + tuple(net.params), (), step))
+                        tuple(net.states) + tuple(net.params),
+                        opt_state if opt is not None else (), step,
+                        opt_key=opt_key))
     finally:
         save_err = saves.join()
         logger.close()

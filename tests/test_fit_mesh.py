@@ -268,3 +268,77 @@ def test_fit_pipeline_mesh_warns_on_idle_model_axis(jb):
             epochs=1, batch_size=16, verbose=False, prefetch=0,
             mesh=make_3d_pipeline_mesh(2, 2, 2), pipeline_microbatches=4)
     assert any("model axis" in str(x.message) for x in w)
+
+
+@multi
+def test_fit_pipeline_accum_matches_plain(jb):
+    """accum_steps on the pipeline mesh: accumulating 2 half-batch
+    chunks equals the full-batch pipelined step at 1e-9 (the mean of
+    chunk means IS the batch mean)."""
+    from tensor_ops_tpu.parallel.pipeline import make_dp_pipeline_mesh
+
+    r = np.random.default_rng(21)
+    X = r.uniform(0, 1, size=(128, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=128)]
+    loss = cross_entropy(2)
+    mesh = make_dp_pipeline_mesh(2, 4)
+    kw = dict(epochs=2, batch_size=32, lr=0.05, verbose=False,
+              prefetch=0, mesh=mesh, log_every=1)
+    r_acc = fit(_deep_uniform_net(jb, seed=13), loss, jb, X, Y,
+                accum_steps=2, pipeline_microbatches=2, **kw)
+    r_pl = fit(_deep_uniform_net(jb, seed=13), loss, jb, X, Y,
+               pipeline_microbatches=4, **kw)
+    for ra, rb in zip(r_acc.history, r_pl.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_acc.net.params, r_pl.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+@multi
+def test_fit_pipeline_accum_chunk_validated(jb):
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    X, Y = np.zeros((64, 12)), np.eye(2)[np.zeros(64, int)]
+    with pytest.raises(ValueError, match="accumulation chunk"):
+        fit(_deep_uniform_net(jb), cross_entropy(2), jb, X, Y,
+            batch_size=32, accum_steps=2, pipeline_microbatches=32,
+            mesh=make_pipeline_mesh(8), verbose=False)
+
+
+@multi
+def test_fit_pipeline_mixed_precision_and_accum_resume(jb, tmp_path):
+    """The formerly-rejected combinations run on the pipeline mesh:
+    bf16 mixed precision trains to finite losses, and the crash/resume
+    property holds under (pipeline x accum)."""
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    r = np.random.default_rng(23)
+    X = r.uniform(0, 1, size=(128, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=128)]
+    loss = cross_entropy(2)
+    mesh = make_pipeline_mesh(8)
+
+    res = fit(_deep_uniform_net(jb, seed=14), loss, jb, X, Y, epochs=1,
+              batch_size=32, lr=0.05, mixed_precision=True,
+              pipeline_microbatches=4, mesh=mesh, verbose=False,
+              prefetch=0, log_every=1)
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+
+    ck = str(tmp_path / "ppacc.npz")
+    kw = dict(batch_size=32, lr=0.01, optimizer=adam(), accum_steps=2,
+              pipeline_microbatches=2, mesh=mesh, verbose=False,
+              prefetch=0)
+
+    def net():
+        return _deep_uniform_net(jb, seed=15)
+
+    fit(net(), loss, jb, X, Y, epochs=1, checkpoint_path=ck,
+        checkpoint_every=2, **kw)
+    resumed = fit(net(), loss, jb, X, Y, epochs=2, checkpoint_path=ck,
+                  checkpoint_every=2, resume=True, **kw)
+    straight = fit(net(), loss, jb, X, Y, epochs=2, **kw)
+    assert resumed.steps == straight.steps == 8
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-7)

@@ -432,3 +432,81 @@ def test_fit_sequences_resume_equivalence_property(nb, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(resumed.net.states, straight.net.states):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_sequences_optimizer_clip_schedule(jb, tmp_path):
+    """fit_sequences now carries fit's full surface: adam + clip_norm +
+    lr_schedule trains, and the crash/resume chain under adam restores
+    the optimizer moments bit-exactly."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.optim import adam, cosine_schedule
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences(n_seqs=32, T=6, seed=7)
+    loss = squared_error(1)
+
+    def rnet(seed):
+        return gen_rnet(jb, 1, 1, [(6, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(jb, seed=seed))
+
+    kw = dict(batch_size=8, rate_state=0.02, rate_param=0.05,
+              optimizer=adam(), clip_norm=1.0,
+              lr_schedule=cosine_schedule(0.05, 12),
+              verbose=False, log_every=2)
+    r1 = fit_sequences(rnet(5), loss, jb, XS, TS, epochs=3, **kw)
+    assert r1.steps == 12
+    assert r1.history[-1]["loss"] < r1.history[0]["loss"]
+
+    ck = str(tmp_path / "rnn_adam.npz")
+    fit_sequences(rnet(5), loss, jb, XS, TS, epochs=1, checkpoint_path=ck,
+                  checkpoint_every=2, **kw)
+    resumed = fit_sequences(rnet(99), loss, jb, XS, TS, epochs=3,
+                            checkpoint_path=ck, checkpoint_every=2,
+                            resume=True, **kw)
+    assert resumed.steps == 12
+    for a, b in zip(resumed.net.params, r1.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(resumed.net.states, r1.net.states):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_sequences_optimizer_mismatch_rejected(jb, tmp_path):
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.optim import adam
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences(n_seqs=16, T=4, seed=8)
+    loss = squared_error(1)
+    rnet = gen_rnet(jb, 1, 1, [(4, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(jb, seed=6))
+    ck = str(tmp_path / "rmm.npz")
+    fit_sequences(rnet, loss, jb, XS, TS, epochs=1, batch_size=8,
+                  optimizer=adam(b1=0.9), checkpoint_path=ck,
+                  checkpoint_every=1, verbose=False)
+    with pytest.raises(ValueError, match="optimizer mismatch"):
+        fit_sequences(rnet, loss, jb, XS, TS, epochs=2, batch_size=8,
+                      optimizer=adam(b1=0.5), checkpoint_path=ck,
+                      checkpoint_every=1, resume=True, verbose=False)
+
+
+def test_fit_sequences_remat_matches_plain(nb):
+    """remat_every through the production loop: identical trajectory."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences(n_seqs=16, T=6, seed=9)
+    loss = squared_error(1)
+
+    def rnet(seed):
+        return gen_rnet(nb, 1, 1, [(4, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(nb, seed=seed))
+
+    kw = dict(batch_size=8, rate_state=0.02, rate_param=0.1,
+              verbose=False, log_every=1)
+    a = fit_sequences(rnet(7), loss, nb, XS, TS, epochs=2, **kw)
+    b = fit_sequences(rnet(7), loss, nb, XS, TS, epochs=2,
+                      remat_every=3, **kw)
+    for ra, rb in zip(a.history, b.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-12
+    for x, y in zip(a.net.params, b.net.params):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-12)
