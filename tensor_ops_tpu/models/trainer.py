@@ -299,8 +299,8 @@ def fit(
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
         from ..parallel.ir_pipeline import (make_ir_pipeline_loss,
-                                            shard_pipelined_params,
-                                            split_network)
+                                            partition_network,
+                                            shard_pipelined_params)
         from ..parallel.mesh import DATA_AXIS
 
         if be.name != "jax":
@@ -338,7 +338,7 @@ def fit(
                 "parallel.pipeline's 3D PipelineMLP path for dp x pp x "
                 "tp.", stacklevel=2)
         spnet = shard_pipelined_params(
-            split_network(net, mesh.shape[STAGE_AXIS]), mesh)
+            partition_network(net, mesh.shape[STAGE_AXIS]), mesh)
         params = spnet.flat_params()
         data_sh = NamedSharding(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())

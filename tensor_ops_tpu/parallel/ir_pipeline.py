@@ -176,6 +176,211 @@ class PipelinedNetwork:
         return tuple(ps)
 
 
+def _op_flops(op: TOp) -> float:
+    """Crude FLOP estimate of a sub-graph — enough to balance stage
+    cuts.  Contractions dominate (2*|ms|*|os|*|ns| per GMul); structure
+    nodes recurse; everything else counts its output elements."""
+    from ..ops.ir import Compose, Fanout, First, GMul, Par, Second
+
+    if isinstance(op, GMul):
+        return 2.0 * float(np.prod(op.ms + op.os + op.ns, dtype=np.float64))
+    if isinstance(op, Compose):
+        return _op_flops(op.f) + _op_flops(op.g)
+    if isinstance(op, (Par, Fanout)):
+        return _op_flops(op.f) + _op_flops(op.g)
+    if isinstance(op, (First, Second)):
+        return _op_flops(op.op)
+    inner = getattr(op, "op", None)
+    if isinstance(inner, TOp):  # ScanOp/MappedOp/Remat wrappers
+        return float(getattr(op, "n", 1)) * _op_flops(inner)
+    return float(sum(np.prod(s, dtype=np.float64) if s else 1.0
+                     for s in op.out_stack))
+
+
+def _balanced_partition(costs, n_groups: int):
+    """Contiguous partition of ``costs`` into ``n_groups`` non-empty
+    groups minimizing the maximum group cost (DP, exact).  Returns
+    ``[(start, end), ...]`` index bounds."""
+    n = len(costs)
+    prefix = [0.0]
+    for c in costs:
+        prefix.append(prefix[-1] + c)
+    INF = float("inf")
+    dp = [[INF] * (n + 1) for _ in range(n_groups + 1)]
+    cut = [[0] * (n + 1) for _ in range(n_groups + 1)]
+    dp[0][0] = 0.0
+    for s in range(1, n_groups + 1):
+        for i in range(s, n + 1):
+            for j in range(s - 1, i):
+                v = max(dp[s - 1][j], prefix[i] - prefix[j])
+                if v < dp[s][i]:
+                    dp[s][i], cut[s][i] = v, j
+    bounds = []
+    i = n
+    for s in range(n_groups, 0, -1):
+        j = cut[s][i]
+        bounds.append((j, i))
+        i = j
+    return list(reversed(bounds))
+
+
+@dataclass
+class HeteroPipelinedNetwork:
+    """A Network cut into S contiguous, FLOP-balanced stage groups of
+    (possibly structurally distinct) segments — the general partition
+    that pipelines the REAL flagship 784->300->100->10 chain
+    (``/root/reference/app/MNIST.hs:89-104``), not just uniform-width
+    bodies.
+
+    Ragged per-stage parameters pack into one ``(S, Lmax)`` array of
+    flattened-and-padded rows (sharded over the stage axis); ragged
+    inter-stage activations ride the ppermute ring padded to the
+    maximum boundary width.  Each device evaluates ITS stage's segment
+    sequence via ``lax.switch`` on the stage index — every segment
+    still runs the framework's own transposition AD (``ir_call``)."""
+
+    stage_ops: List[List[TOp]]      # S stages of segment sub-ops
+    packed: Optional[Any]           # (S, Lmax) padded flat param rows
+    width: int                      # ring activation width H (max boundary)
+    lmax: int
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.stage_ops)
+
+    @property
+    def in_width(self) -> int:
+        return self.stage_ops[0][0].in_stack[0][0]
+
+    @property
+    def out_width(self) -> int:
+        return self.stage_ops[-1][-1].out_stack[0][0]
+
+    def flat_params(self) -> Tuple[Any, ...]:
+        return (self.packed,)
+
+    def unflatten(self, flat: Tuple[Any, ...]) -> "HeteroPipelinedNetwork":
+        (packed,) = flat
+        return HeteroPipelinedNetwork(self.stage_ops, packed, self.width,
+                                      self.lmax)
+
+    def skeleton(self) -> "HeteroPipelinedNetwork":
+        return HeteroPipelinedNetwork(self.stage_ops, None, self.width,
+                                      self.lmax)
+
+    def to_network_params(self) -> Tuple[Any, ...]:
+        """Back to the original Network param stack (unpack each stage
+        row into its segments' shapes, in chain order)."""
+        ps: List[Any] = []
+        for s, ops in enumerate(self.stage_ops):
+            row = self.packed[s]
+            ofs = 0
+            for op in ops:
+                for sh in op.in_stack[1:]:
+                    k = int(np.prod(sh, dtype=np.int64)) if sh else 1
+                    ps.append(row[ofs : ofs + k].reshape(sh))
+                    ofs += k
+        return tuple(ps)
+
+
+def split_network_hetero(net: Network, n_stages: int
+                         ) -> HeteroPipelinedNetwork:
+    """Cut ANY ``then``-chain into ``n_stages`` contiguous stage groups
+    (FLOP-balanced via exact min-max DP) — the generalization of
+    :func:`split_network` beyond uniform bodies."""
+    segs = network_segments(net)
+    if len(segs) < n_stages:
+        raise ShapeError(
+            f"pipeline needs >= {n_stages} composition segments, the "
+            f"network has {len(segs)}")
+    widths = set()
+    for op, _ in segs:
+        for sh in (op.in_stack[0], op.out_stack[0]):
+            if len(sh) != 1:
+                raise ShapeError(
+                    f"hetero pipeline stages exchange rank-1 activations; "
+                    f"segment boundary has shape {sh}")
+            widths.add(sh[0])
+    H = max(widths)
+    bounds = _balanced_partition([_op_flops(op) for op, _ in segs],
+                                 n_stages)
+    stage_ops: List[List[TOp]] = []
+    rows = []
+    for a, b in bounds:
+        stage_ops.append([op for op, _ in segs[a:b]])
+        flat = [jnp.ravel(p) for _, ps in segs[a:b] for p in ps]
+        dtype = (net.params[0].dtype if net.params else jnp.float32)
+        rows.append(jnp.concatenate(flat) if flat
+                    else jnp.zeros((0,), dtype))
+    lmax = max(int(r.shape[0]) for r in rows)
+    packed = jnp.stack([
+        jnp.pad(r, (0, lmax - r.shape[0])) for r in rows])
+    return HeteroPipelinedNetwork(stage_ops, packed, H, lmax)
+
+
+def _make_stage_branch(ops_s: List[TOp], be: Backend, H: int):
+    """One stage's callable ``(pvec, x_padded) -> y_padded``: slice the
+    live input width, unpack the stage's params from its flat row, run
+    each segment's staged sub-graph (framework AD), re-pad the output."""
+    calls = [batched_ir_call(op, be) for op in ops_s]
+    pshapes = [tuple(op.in_stack[1:]) for op in ops_s]
+    in_w = ops_s[0].in_stack[0][0]
+    out_w = ops_s[-1].out_stack[0][0]
+
+    def branch(pv, x):
+        h = x[:, :in_w]
+        ofs = 0
+        for call, shapes in zip(calls, pshapes):
+            ps = []
+            for sh in shapes:
+                k = int(np.prod(sh, dtype=np.int64)) if sh else 1
+                ps.append(pv[ofs : ofs + k].reshape(sh))
+                ofs += k
+            h = call(h, *ps)
+        if out_w < H:
+            h = jnp.pad(h, ((0, 0), (0, H - out_w)))
+        return h
+
+    return branch
+
+
+def _make_hetero_spmd_body(stage_ops: List[List[TOp]], be: Backend):
+    """The shard_map-ed GPipe loop over heterogeneous stages: the same
+    schedule as :func:`_make_spmd_body`, but each device evaluates its
+    OWN stage's segment sequence via ``lax.switch`` on the stage index
+    (ragged activations ride the ring padded to the max width)."""
+
+    def spmd(packed_local, mb_inputs):
+        pv = packed_local[0]            # this device's (Lmax,) row
+        s = lax.axis_index(STAGE_AXIS)
+        S = lax.axis_size(STAGE_AXIS)
+        H = mb_inputs.shape[-1]
+        branches = [_make_stage_branch(ops_s, be, H)
+                    for ops_s in stage_ops]
+        M = mb_inputs.shape[0]
+        T = M + S - 1
+        state = jnp.zeros_like(mb_inputs[0])
+        outputs = jnp.zeros_like(mb_inputs)
+
+        def step(carry, t):
+            state, outputs = carry
+            inject = mb_inputs[jnp.minimum(t, M - 1)]
+            x_in = jnp.where(s == 0, inject, state)
+            y = lax.switch(s, branches, pv, x_in)
+            oidx = t - (S - 1)
+            updated = lax.dynamic_update_index_in_dim(
+                outputs, y, jnp.maximum(oidx, 0), 0)
+            outputs = jnp.where((s == S - 1) & (oidx >= 0), updated, outputs)
+            state = lax.ppermute(
+                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            return (state, outputs), None
+
+        (state, outputs), _ = lax.scan(step, (state, outputs), jnp.arange(T))
+        return lax.psum(outputs, STAGE_AXIS)
+
+    return spmd
+
+
 def split_network(net: Network, n_stages: int) -> PipelinedNetwork:
     """Cut the network at its composition points: find the maximal run of
     structurally identical segments (the uniform ffLayer body), require
@@ -285,12 +490,20 @@ def make_ir_pipeline_loss(
     ``pnet`` may be a prebuilt partition (or a skeleton of one — the
     closure uses only its STRUCTURE: ops and per-segment param counts,
     never the array values), avoiding a second ``split_network`` and
-    keeping no extra parameter copy alive."""
+    keeping no extra parameter copy alive.
+
+    Uniform-body networks take the stacked-params fast path
+    (:func:`split_network`); any other ``then``-chain falls back to the
+    heterogeneous FLOP-balanced partition
+    (:func:`split_network_hetero`) — so the real flagship
+    784->300->100->10 pipelines too."""
     if be.name != "jax":
         raise ValueError("ir pipeline requires the jax backend")
     S = mesh.shape[STAGE_AXIS]
     if pnet is None:
-        pnet = split_network(net, S)
+        pnet = partition_network(net, S)
+    if isinstance(pnet, HeteroPipelinedNetwork):
+        return _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet)
     L = pnet.n_body // S
     n_bp = len(pnet.body_params)
     M = n_microbatches
@@ -320,6 +533,46 @@ def make_ir_pipeline_loss(
         for call, (_, seg_p) in zip(post_calls, p.post):
             h = call(h, *seg_p)
         return jnp.mean(loss_batched(h, yb))
+
+    return loss_fn, pnet
+
+
+def partition_network(net: Network, n_stages: int):
+    """The stage partition ``fit``/``make_ir_pipeline_loss`` use: the
+    uniform stacked-body cut when the network has one, else the general
+    heterogeneous FLOP-balanced cut."""
+    try:
+        return split_network(net, n_stages)
+    except ShapeError:
+        return split_network_hetero(net, n_stages)
+
+
+def _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet):
+    """(loss_fn, pnet) for a heterogeneous partition: the whole chain is
+    pipelined (no replicated pre/post); the batch is padded to the ring
+    width on entry and sliced to the output width before the loss."""
+    M = n_microbatches
+    has_data = DATA_AXIS in mesh.axis_names
+    mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
+    pipelined = shard_map(
+        _make_hetero_spmd_body(pnet.stage_ops, be),
+        mesh=mesh,
+        in_specs=(PSpec(STAGE_AXIS), mb_spec),
+        out_specs=mb_spec,
+        check_vma=False,
+    )
+    H, out_w = pnet.width, pnet.out_width
+    loss_call = ir_call(loss, be)
+    loss_batched = jax.vmap(lambda o, y: loss_call(o, y)[0])
+
+    def loss_fn(flat_params, xb, yb):
+        (packed,) = flat_params
+        B = xb.shape[0]
+        h = xb if xb.shape[1] == H else jnp.pad(
+            xb, ((0, 0), (0, H - xb.shape[1])))
+        mb = h.reshape(M, B // M, H)
+        out = pipelined(packed, mb).reshape(B, H)[:, :out_w]
+        return jnp.mean(loss_batched(out, yb))
 
     return loss_fn, pnet
 
@@ -373,11 +626,16 @@ def ir_pipeline_grads(
     return grads
 
 
-def shard_pipelined_params(pnet: PipelinedNetwork, mesh: Mesh) -> PipelinedNetwork:
+def shard_pipelined_params(pnet, mesh: Mesh):
     """Place the body param stacks over the stage axis, pre/post
-    replicated."""
+    replicated (uniform partition) — or the packed ``(S, Lmax)`` rows
+    over the stage axis (heterogeneous partition)."""
     repl = NamedSharding(mesh, PSpec())
     stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+    if isinstance(pnet, HeteroPipelinedNetwork):
+        return HeteroPipelinedNetwork(
+            pnet.stage_ops, jax.device_put(pnet.packed, stage_sh),
+            pnet.width, pnet.lmax)
     pre = [(op, tuple(jax.device_put(x, repl) for x in p))
            for op, p in pnet.pre]
     post = [(op, tuple(jax.device_put(x, repl) for x in p))
