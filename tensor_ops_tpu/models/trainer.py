@@ -326,17 +326,10 @@ def fit(
                 "multi-process pipeline training needs a data axis in "
                 "the mesh (a stage-only mesh replicates the batch, which "
                 "per-process disjoint loader shards cannot assemble)")
-        from ..parallel.mesh import MODEL_AXIS
-
-        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
-            import warnings
-
-            warnings.warn(
-                "fit(mesh=...): the staged-IR pipeline path does not "
-                "shard weights over the model axis — it will sit idle "
-                "(replicated). Use a (data, stage) mesh here, or "
-                "parallel.pipeline's 3D PipelineMLP path for dp x pp x "
-                "tp.", stacklevel=2)
+        # a model axis in the mesh tensor-parallels the body segments
+        # (row-sharded weights + activation all-gather) when they match
+        # the ffLayer pattern; make_ir_pipeline_loss warns loudly on the
+        # non-shardable fallback (replicated body)
         spnet = shard_pipelined_params(
             partition_network(net, mesh.shape[STAGE_AXIS]), mesh)
         params = spnet.flat_params()

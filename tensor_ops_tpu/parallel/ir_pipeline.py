@@ -34,10 +34,10 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from ..backend.base import Backend
-from ..ops.ir import Compose, First, TOp
+from ..ops.ir import Compose, First, GMul, LiftOp, Shuffle, SumOp, TOp
 from ..ops.shapes import ShapeError
 from ..models.feedforward import Network
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 from .pipeline import STAGE_AXIS, shard_map
 
 
@@ -423,24 +423,106 @@ def split_network(net: Network, n_stages: int) -> PipelinedNetwork:
 # ---------------------------------------------------------------------------
 
 
-def _ir_pipeline_specs(mesh: Mesh, n_body_params: int):
+def _tp_local_segment(op: TOp, tp: int) -> Optional[TOp]:
+    """Row-parallel (Megatron) variant of a uniform ffLayer body segment:
+    if ``op`` matches the gen_net layer pattern
+    ``First(swap >> matVec, rest=[(o,)]) >> add >> [elementwise...]``
+    and ``o`` divides ``tp``, return the same graph rebuilt at local
+    width ``o/tp`` — weights/bias row-sharded over the ``model`` axis,
+    each shard computing its slice of the pre-activation + elementwise
+    tail (elementwise ops decompose rowwise; softmax does not, which is
+    why only the body — never the output head — tp-shards).  Returns
+    None when the segment doesn't match (caller falls back, loudly)."""
+    from ..ops import prim as P
+
+    def flat(o):
+        return (flat(o.f) + flat(o.g)) if isinstance(o, Compose) else [o]
+
+    nodes = flat(op)
+    if len(nodes) < 2 or not isinstance(nodes[0], First):
+        return None
+    inner = flat(nodes[0].op)
+    if len(inner) != 2:
+        return None
+    sw, gm = inner
+    if not (isinstance(sw, Shuffle) and sw.idxs == (1, 0)):
+        return None
+    if not (isinstance(gm, GMul) and len(gm.ms) == 1 and len(gm.os) == 1
+            and not gm.ns):
+        return None
+    o, i = gm.ms[0], gm.os[0]
+    if o % tp != 0 or nodes[0].rest != ((o,),):
+        return None
+    if not (isinstance(nodes[1], SumOp) and nodes[1].n == 2
+            and nodes[1].shape == (o,)):
+        return None
+    for nd in nodes[2:]:
+        if not (isinstance(nd, LiftOp) and nd.shape == (o,)
+                and nd.vf.n_args == 1):
+            return None
+    o_l = o // tp
+    local = P.first(P.swap((i,), (o_l, i)) >> P.mat_vec(o_l, i),
+                    rest=[(o_l,)]) >> SumOp(2, (o_l,))
+    for nd in nodes[2:]:
+        local = local >> LiftOp(nd.vf, (o_l,))
+    return local
+
+
+def pipeline_tp_segment(pnet, mesh: Mesh) -> Optional[TOp]:
+    """The row-local body segment when this partition can tensor-parallel
+    over the mesh's ``model`` axis (uniform body matching the ffLayer
+    pattern with tp-divisible width); None otherwise."""
+    if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] <= 1:
+        return None
+    if not isinstance(pnet, PipelinedNetwork) or pnet.body_op is None:
+        return None
+    return _tp_local_segment(pnet.body_op, mesh.shape[MODEL_AXIS])
+
+
+def _ir_pipeline_specs(mesh: Mesh, body_param_shapes, tp: bool):
+    """shard_map specs: body param stacks over ``stage`` (and, under
+    tp, their leading per-segment row dim over ``model``); microbatches
+    over ``data``, replicated over ``model``."""
     has_data = DATA_AXIS in mesh.axis_names
     mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
-    param_specs = tuple(PSpec(STAGE_AXIS) for _ in range(n_body_params))
+    if tp:
+        param_specs = tuple(
+            PSpec(STAGE_AXIS, MODEL_AXIS, *([None] * (len(s) - 1)))
+            for s in body_param_shapes)
+    else:
+        param_specs = tuple(PSpec(STAGE_AXIS) for _ in body_param_shapes)
     return param_specs + (mb_spec,), mb_spec
 
 
-def _make_spmd_body(body_op: TOp, be: Backend, L: int, n_body_params: int):
+def _make_spmd_body(body_op: TOp, be: Backend, L: int, n_body_params: int,
+                    tp_local_op: Optional[TOp] = None):
     """The shard_map-ed GPipe loop: each device holds L consecutive body
     segments' params; microbatches ring-shift with ppermute; every
-    segment evaluates its staged sub-graph via framework AD."""
-    seg_call = batched_ir_call(body_op, be)
+    segment evaluates its staged sub-graph via framework AD.
 
-    def stage_forward(params_local, x):
-        h = x
-        for l in range(L):
-            h = seg_call(h, *(p[l] for p in params_local))
-        return h
+    With ``tp_local_op`` each segment is additionally tensor-parallel
+    over the ``model`` axis: the device's row-slice of the weights
+    computes its slice of the activation through the LOCAL staged
+    sub-graph (still framework transposition AD via ``ir_call``), and an
+    ``all_gather`` restores the full activation between segments (AD
+    transposes it to a reduce-scatter)."""
+    if tp_local_op is not None:
+        seg_call_local = batched_ir_call(tp_local_op, be)
+
+        def stage_forward(params_local, x):
+            h = x  # full width, replicated over the model axis
+            for l in range(L):
+                a_local = seg_call_local(h, *(p[l] for p in params_local))
+                h = lax.all_gather(a_local, MODEL_AXIS, axis=1, tiled=True)
+            return h
+    else:
+        seg_call = batched_ir_call(body_op, be)
+
+        def stage_forward(params_local, x):
+            h = x
+            for l in range(L):
+                h = seg_call(h, *(p[l] for p in params_local))
+            return h
 
     def spmd(*args):
         params_local = args[:n_body_params]  # each (L, *shape)
@@ -508,9 +590,25 @@ def make_ir_pipeline_loss(
     n_bp = len(pnet.body_params)
     M = n_microbatches
 
-    in_specs, out_spec = _ir_pipeline_specs(mesh, n_bp)
+    tp_local = pipeline_tp_segment(pnet, mesh)
+    if (tp_local is None and MODEL_AXIS in mesh.axis_names
+            and mesh.shape[MODEL_AXIS] > 1):
+        import warnings
+
+        warnings.warn(
+            "staged-IR pipeline: the body segment does not match the "
+            "row-shardable ffLayer pattern (or its width does not divide "
+            "the model-axis size) — the model axis will sit idle "
+            "(replicated body)", stacklevel=2)
+    per_seg_shapes = [p.shape[1:] if p is not None else None
+                      for p in pnet.body_params]
+    if per_seg_shapes and per_seg_shapes[0] is None:
+        # skeleton partitions carry no arrays; shapes come from the op
+        per_seg_shapes = list(pnet.body_op.in_stack[1:])
+    in_specs, out_spec = _ir_pipeline_specs(mesh, per_seg_shapes,
+                                            tp=tp_local is not None)
     pipelined = shard_map(
-        _make_spmd_body(pnet.body_op, be, L, n_bp),
+        _make_spmd_body(pnet.body_op, be, L, n_bp, tp_local_op=tp_local),
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -627,9 +725,11 @@ def ir_pipeline_grads(
 
 
 def shard_pipelined_params(pnet, mesh: Mesh):
-    """Place the body param stacks over the stage axis, pre/post
-    replicated (uniform partition) — or the packed ``(S, Lmax)`` rows
-    over the stage axis (heterogeneous partition)."""
+    """Place the body param stacks over the stage axis — and, when the
+    body tensor-parallels (``pipeline_tp_segment``), their per-segment
+    row dim over the model axis too — pre/post replicated (uniform
+    partition); or the packed ``(S, Lmax)`` rows over the stage axis
+    (heterogeneous partition)."""
     repl = NamedSharding(mesh, PSpec())
     stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
     if isinstance(pnet, HeteroPipelinedNetwork):
@@ -640,5 +740,12 @@ def shard_pipelined_params(pnet, mesh: Mesh):
            for op, p in pnet.pre]
     post = [(op, tuple(jax.device_put(x, repl) for x in p))
             for op, p in pnet.post]
-    body = tuple(jax.device_put(x, stage_sh) for x in pnet.body_params)
+    if pipeline_tp_segment(pnet, mesh) is not None:
+        body = tuple(
+            jax.device_put(x, NamedSharding(
+                mesh, PSpec(STAGE_AXIS, MODEL_AXIS,
+                            *([None] * (x.ndim - 2)))))
+            for x in pnet.body_params)
+    else:
+        body = tuple(jax.device_put(x, stage_sh) for x in pnet.body_params)
     return PipelinedNetwork(pre, pnet.body_op, body, pnet.n_body, post)

@@ -254,20 +254,69 @@ def test_fit_pipeline_mesh_ragged_dataset(jb):
 
 
 @multi
-def test_fit_pipeline_mesh_warns_on_idle_model_axis(jb):
+def test_fit_3d_mesh_tp_shards_ir_pipeline_body(jb):
+    """The round-2 Weak #1 closed: fit on a (2,2,2) (data, stage, model)
+    mesh tensor-parallels the staged-IR body (row-sharded weights +
+    activation all-gather through ir_call's transposition AD) — params
+    land NON-replicated over the model axis and the loss curve equals
+    the single-device run at 1e-9."""
     import warnings
 
-    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+    from tensor_ops_tpu.parallel.ir_pipeline import (partition_network,
+                                                     shard_pipelined_params)
+    from tensor_ops_tpu.parallel.pipeline import STAGE_AXIS, make_3d_pipeline_mesh
 
     r = np.random.default_rng(11)
     X = r.uniform(0, 1, size=(64, 12))
     Y = np.eye(2)[r.integers(0, 2, size=64)]
+    loss = cross_entropy(2)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    kw = dict(epochs=2, batch_size=16, lr=0.05, verbose=False,
+              prefetch=0, log_every=1)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NO idle-model-axis warning
+        r_3d = fit(_deep_uniform_net(jb, seed=12), loss, jb, X, Y,
+                   mesh=mesh, pipeline_microbatches=4, **kw)
+    r_sd = fit(_deep_uniform_net(jb, seed=12), loss, jb, X, Y, **kw)
+    for ra, rb in zip(r_3d.history, r_sd.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_3d.net.params, r_sd.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+    # body stacks are genuinely sharded over BOTH stage and model
+    spnet = shard_pipelined_params(
+        partition_network(_deep_uniform_net(jb, seed=12), 2), mesh)
+    for x in spnet.body_params:
+        spec = tuple(x.sharding.spec)
+        assert spec[0] == STAGE_AXIS and spec[1] == MODEL_AXIS, spec
+        assert not x.sharding.is_fully_replicated
+
+
+@multi
+def test_fit_3d_mesh_warns_when_body_not_shardable(jb):
+    """A body whose width does not divide tp still trains — replicated —
+    with a loud warning (never silent)."""
+    import warnings
+
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    rng = Rng(jb, seed=30)
+    # 15-wide body: 15 % 2 != 0 -> not tp-shardable
+    net = gen_net(jb, 12, 2, [(15, act_logistic())] * 3,
+                  act_softmax(), rng)
+    r = np.random.default_rng(31)
+    X = r.uniform(0, 1, size=(32, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=32)]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        fit(_deep_uniform_net(jb, seed=12), cross_entropy(2), jb, X, Y,
-            epochs=1, batch_size=16, verbose=False, prefetch=0,
-            mesh=make_3d_pipeline_mesh(2, 2, 2), pipeline_microbatches=4)
-    assert any("model axis" in str(x.message) for x in w)
+        res = fit(net, cross_entropy(2), jb, X, Y, epochs=1,
+                  batch_size=16, verbose=False, prefetch=0,
+                  mesh=make_3d_pipeline_mesh(2, 2, 2),
+                  pipeline_microbatches=4)
+    assert any("model axis will sit idle" in str(x.message) for x in w)
+    assert all(np.isfinite(h["loss"]) for h in res.history)
 
 
 @multi

@@ -265,3 +265,70 @@ def test_hetero_fit_pipeline_flagship(jb, tmp_path):
     for a, b in zip(resumed.net.params, r_pp.net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-9, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism composed with the staged-IR pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_tp_local_segment_pattern_match(jb):
+    from tensor_ops_tpu.parallel.ir_pipeline import (_tp_local_segment,
+                                                     network_segments)
+
+    net = _uniform_chain(jb, h=8, n_layers=3)
+    seg_op = network_segments(net)[1][0]
+    local = _tp_local_segment(seg_op, 2)
+    assert local is not None
+    assert local.in_stack == ((8,), (4, 8), (4,))
+    assert local.out_stack == ((4,),)
+    # softmax tails don't rowshard
+    rng = Rng(jb, seed=1)
+    smax = gen_net(jb, 8, 8, [], act_softmax(), rng)
+    assert _tp_local_segment(network_segments(smax)[0][0], 2) is None
+    # non-divisible width doesn't either
+    odd = _uniform_chain(jb, h=9, n_layers=3)
+    assert _tp_local_segment(network_segments(odd)[1][0], 2) is None
+
+
+def test_tp_local_segment_matches_full_rowwise(jb):
+    """The local segment IS the row-slice of the full segment: applying
+    it to the sliced params reproduces the matching output rows."""
+    from tensor_ops_tpu.ops import ir
+    from tensor_ops_tpu.parallel.ir_pipeline import (_tp_local_segment,
+                                                     network_segments)
+
+    net = _uniform_chain(jb, h=8, n_layers=3, seed=5)
+    (seg_op, (w, b)) = network_segments(net)[1]
+    local = _tp_local_segment(seg_op, 2)
+    x = jb.asarray(np.random.default_rng(2).normal(size=(8,)))
+    full = np.asarray(ir.run(seg_op, jb, (x, w, b))[0])
+    lo = np.asarray(ir.run(local, jb, (x, w[:4], b[:4]))[0])
+    hi = np.asarray(ir.run(local, jb, (x, w[4:], b[4:]))[0])
+    np.testing.assert_allclose(np.concatenate([lo, hi]), full, atol=1e-12)
+
+
+@multi
+def test_ir_pipeline_tp_grads_equal_sequential(jb):
+    """(stage=2, model=2) + dp: pipelined-and-tensor-parallel staged-IR
+    gradients equal the sequential framework gradients at 1e-9."""
+    from tensor_ops_tpu.parallel.ir_pipeline import ir_pipeline_train_step
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    net = _uniform_chain(jb, h=8, n_layers=5, seed=9)  # 4-segment body
+    loss = cross_entropy(8)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    r = np.random.default_rng(3)
+    B = 8
+    xb = jb.asarray(r.uniform(0, 1, size=(B, 8)))
+    yb = jb.asarray(np.eye(8)[r.integers(0, 8, size=B)])
+
+    step, pnet = ir_pipeline_train_step(net, loss, jb, mesh,
+                                        n_microbatches=2)
+    v, new_flat = step(0.1, xb, yb, *pnet.flat_params())
+    got = pnet.unflatten(tuple(new_flat)).to_network_params()
+    sv, g = _seq_grads(net, loss, jb, np.asarray(xb), np.asarray(yb))
+    assert abs(float(v) - sv) < 1e-9
+    for p, gg, nn in zip(net.params, g, got):
+        np.testing.assert_allclose(np.asarray(p) - 0.1 * gg,
+                                   np.asarray(nn), atol=1e-9, rtol=0)
