@@ -64,6 +64,45 @@ class _CheckpointWrites:
         return err
 
 
+def _place(host, sharding):
+    """Place a host array onto a device sharding — including shardings
+    spanning OTHER processes (multi-host resume): ``device_put`` only
+    accepts fully-addressable targets, so the cross-process case builds
+    the global array from this process's slices via
+    ``make_array_from_callback`` (every process holds the full host copy
+    after a checkpoint load, so the callback just slices it)."""
+    import jax
+
+    host = np.asarray(host)
+    if all(d.process_index == jax.process_index()
+           for d in sharding.device_set):
+        return jax.device_put(host, sharding)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx])
+
+
+def _global_host_tree(tree, mesh):
+    """Host numpy copies of every jax leaf in a (possibly sharded,
+    possibly multi-process) pytree: reshard each leaf fully-replicated
+    over ``mesh`` (a collective when the mesh spans processes — ALL
+    processes must call this together) and read the local replica.
+    What multi-host checkpointing needs before rank 0 writes."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    rep = NamedSharding(mesh, PSpec())
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            y = jax.jit(lambda a: a, out_shardings=rep)(x)
+            return np.asarray(y.addressable_data(0))
+        if isinstance(x, jax.Array):
+            return np.asarray(x)
+        return x
+
+    return jax.tree.map(fetch, tree)
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
@@ -456,19 +495,17 @@ def fit(
         rparams, r_opt_state, step = load_train_state(
             state_path, opt_state, opt_key=opt_key)
         if pipeline_mode:
-            import jax
-
             # .state stores the FLAT pipelined layout; re-place each
-            # leaf on its stage/replicated sharding from setup
+            # leaf on its stage/replicated sharding from setup (_place
+            # handles shardings spanning other processes)
             params = tuple(
-                jax.device_put(np.asarray(p), t.sharding)
+                _place(np.asarray(p), t.sharding)
                 for p, t in zip(rparams, params))
         elif mesh is not None:
-            import jax
             from jax.sharding import NamedSharding
 
             params = tuple(
-                jax.device_put(be.asarray(p), NamedSharding(mesh, s))
+                _place(np.asarray(be.asarray(p)), NamedSharding(mesh, s))
                 for p, s in zip(rparams, pspecs))
         else:
             params = tuple(be.asarray(p) for p in rparams)
@@ -568,11 +605,26 @@ def fit(
                 # stalls only for the D2H copy, not the serialization.
                 # The sibling .state file carries optimizer moments +
                 # step for exact resume (fit(resume=True)).
-                saves.add(
-                    save_network_async(checkpoint_path,
-                                       _as_network(params)),
-                    save_train_state_async(state_path, params, opt_state,
-                                           step, opt_key=opt_key))
+                if n_proc > 1:
+                    # leaves sharded ACROSS processes aren't host-
+                    # fetchable directly: every rank joins the
+                    # replicate-and-fetch collective, rank 0 writes
+                    host_p, host_o = _global_host_tree(
+                        (tuple(params), opt_state), mesh)
+                    if proc_idx == 0:
+                        saves.add(
+                            save_network_async(checkpoint_path,
+                                               _as_network(host_p)),
+                            save_train_state_async(state_path, host_p,
+                                                   host_o, step,
+                                                   opt_key=opt_key))
+                else:
+                    saves.add(
+                        save_network_async(checkpoint_path,
+                                           _as_network(params)),
+                        save_train_state_async(state_path, params,
+                                               opt_state, step,
+                                               opt_key=opt_key))
     finally:
         save_err = saves.join()
         loader.close()
@@ -899,5 +951,5 @@ def _restore_opt_state(template, restored, be: Backend):
         import jax
 
         if isinstance(template, jax.Array):
-            return jax.device_put(np.asarray(restored), template.sharding)
+            return _place(np.asarray(restored), template.sharding)
     return be.asarray(restored)

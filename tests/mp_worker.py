@@ -1,0 +1,87 @@
+"""Multi-process integration worker (NOT collected by pytest — launched
+as a subprocess by ``test_multihost.py``, one copy per rank).
+
+Each rank: 4 virtual CPU devices, ``jax.distributed`` wired through
+``init_distributed`` (TOPS_* env), a shared global ``(data, model)``
+mesh over all 8 devices, then the REAL production path end-to-end:
+``fit(mesh=...)`` with the per-process ``NativeLoader(shard=(rank, 2))``
++ ``make_array_from_process_local_data`` branch, a rank-0 checkpoint
+mid-run, and an exact resume — the round-2 "multi-host code paths have
+zero executed coverage" gap, executed."""
+
+import json
+import os
+
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+
+import numpy as np
+
+import jax
+import jax._src.xla_bridge as _xb
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+_xb._clear_backends()
+jax.config.update("jax_enable_x64", True)
+
+from tensor_ops_tpu.parallel.distributed import (  # noqa: E402
+    init_distributed,
+    shutdown_distributed,
+)
+
+info = init_distributed()
+assert info["initialized"], info
+assert info["process_count"] == 2, info
+assert info["local_devices"] == 4, info
+assert info["global_devices"] == 8, info
+
+import jax.numpy as jnp  # noqa: E402
+
+import tensor_ops_tpu as T  # noqa: E402
+from tensor_ops_tpu.backend.rng import Rng  # noqa: E402
+from tensor_ops_tpu.models import (  # noqa: E402
+    act_logistic,
+    act_softmax,
+    adam,
+    cross_entropy,
+    gen_net,
+)
+from tensor_ops_tpu.models.trainer import fit  # noqa: E402
+from tensor_ops_tpu.parallel.mesh import make_mesh  # noqa: E402
+
+
+def build_net(be):
+    return gen_net(be, 12, 4, [(8, act_logistic())], act_softmax(),
+                   Rng(be, seed=0))
+
+
+be = T.JaxBackend(dtype=jnp.float64)
+r = np.random.default_rng(0)
+X = r.uniform(0, 1, size=(64, 12))
+Y = np.eye(4)[r.integers(0, 4, size=64)]
+loss = cross_entropy(4)
+mesh = make_mesh(len(jax.devices()))  # global (data=2, model=4)
+ck = os.environ["TOPS_MP_CKPT"]
+kw = dict(batch_size=16, lr=0.05, optimizer=adam(), log_every=1,
+          verbose=False, seed=0, checkpoint_path=ck, checkpoint_every=2)
+
+# leg 1: train 1 epoch (4 steps), checkpointing from rank 0
+res1 = fit(build_net(be), loss, be, X, Y, epochs=1, mesh=mesh, **kw)
+# leg 2: resume from the shared checkpoint to the 2-epoch budget
+res2 = fit(build_net(be), loss, be, X, Y, epochs=2, mesh=mesh,
+           resume=True, **kw)
+assert res1.steps == 4 and res2.steps == 8
+
+from tensor_ops_tpu.models.trainer import _global_host_tree  # noqa: E402
+
+host_params = _global_host_tree(tuple(res2.net.params), mesh)
+out = {
+    "rank": info["process_index"],
+    "losses": [h["loss"] for h in res1.history]
+              + [h["loss"] for h in res2.history],
+    "params": [p.tolist() for p in host_params],
+}
+with open(os.environ["TOPS_MP_OUT"], "w") as f:
+    json.dump(out, f)
+shutdown_distributed()
