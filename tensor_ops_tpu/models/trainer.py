@@ -258,6 +258,8 @@ def fit(
     mixed_precision: bool = False,
     mesh=None,
     pipeline_microbatches: int = 4,
+    pipeline_schedule: str = "gpipe",
+    pipeline_chunks: int = 2,
     prefetch: int = 2,
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
@@ -339,7 +341,8 @@ def fit(
 
         from ..parallel.ir_pipeline import (make_ir_pipeline_loss,
                                             partition_network,
-                                            shard_pipelined_params)
+                                            shard_pipelined_params,
+                                            split_network_circular)
         from ..parallel.mesh import DATA_AXIS
 
         if be.name != "jax":
@@ -369,14 +372,23 @@ def fit(
         # (row-sharded weights + activation all-gather) when they match
         # the ffLayer pattern; make_ir_pipeline_loss warns loudly on the
         # non-shardable fallback (replicated body)
-        spnet = shard_pipelined_params(
-            partition_network(net, mesh.shape[STAGE_AXIS]), mesh)
+        if pipeline_schedule == "circular":
+            part = split_network_circular(net, mesh.shape[STAGE_AXIS],
+                                          pipeline_chunks)
+        elif pipeline_schedule == "gpipe":
+            part = partition_network(net, mesh.shape[STAGE_AXIS])
+        else:
+            raise ValueError(
+                f"pipeline_schedule must be 'gpipe' or 'circular', got "
+                f"{pipeline_schedule!r}")
+        spnet = shard_pipelined_params(part, mesh)
         params = spnet.flat_params()
         data_sh = NamedSharding(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
 
         key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
-               mesh, M, int(accum_steps), mixed_precision) + be.cache_key()
+               mesh, M, int(accum_steps), mixed_precision,
+               pipeline_schedule, pipeline_chunks) + be.cache_key()
         step_fn = net.op._compiled.get(key)
         if step_fn is None:
             import jax.numpy as jnp
@@ -393,7 +405,8 @@ def fit(
                                   precision=getattr(be, "_precision_name",
                                                     "default"))
                 loss_fn_lp, _ = make_ir_pipeline_loss(
-                    net, loss, be_c, mesh, M, pnet=spnet.skeleton())
+                    net, loss, be_c, mesh, M, pnet=spnet.skeleton(),
+                    schedule=pipeline_schedule, n_chunks=pipeline_chunks)
 
                 def _vag(params, xc, yc):
                     lp = tuple(p.astype(jnp.bfloat16) for p in params)
@@ -403,8 +416,9 @@ def fit(
                     return (v.astype(jnp.float32),
                             tuple(g.astype(jnp.float32) for g in grads))
             else:
-                loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, M,
-                                                   pnet=spnet.skeleton())
+                loss_fn, _ = make_ir_pipeline_loss(
+                    net, loss, be, mesh, M, pnet=spnet.skeleton(),
+                    schedule=pipeline_schedule, n_chunks=pipeline_chunks)
                 _vag = jax.value_and_grad(loss_fn)
 
             def _pl_step(lr, xb, yb, opt_state, params):

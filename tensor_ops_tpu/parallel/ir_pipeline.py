@@ -419,6 +419,149 @@ def split_network(net: Network, n_stages: int) -> PipelinedNetwork:
 
 
 # ---------------------------------------------------------------------------
+# circular (interleaved) schedule over the staged IR
+# ---------------------------------------------------------------------------
+
+
+def _interleave_perm(n_body: int, S: int, V: int) -> np.ndarray:
+    """Segment permutation for the circular schedule: global chunk
+    ``c = v*S + d`` (``Lc`` consecutive segments) lands at device ``d``'s
+    local chunk ``v`` — stored device-major so a plain stage-axis shard
+    hands each device its V chunks contiguously."""
+    Lc = n_body // (S * V)
+    idx = []
+    for d in range(S):
+        for v in range(V):
+            c = v * S + d
+            idx.extend(range(c * Lc, (c + 1) * Lc))
+    return np.asarray(idx)
+
+
+@dataclass
+class CircularPipelinedNetwork(PipelinedNetwork):
+    """A uniform-body partition stored in circular-schedule order: the
+    body param stacks are segment-permuted (``_interleave_perm``) so the
+    stage-axis shard gives device ``d`` chunks ``d, S+d, 2S+d, ...`` —
+    the interleaved placement that shrinks the pipeline bubble from
+    (SV·Lc-terms) to (S-1)/(VM+S-1).  ``to_network_params`` undoes the
+    permutation, so checkpoints stay ordinary Network stacks."""
+
+    n_stages: int = 0
+    n_chunks: int = 0  # V
+
+    def to_network_params(self) -> Tuple[Any, ...]:
+        perm = _interleave_perm(self.n_body, self.n_stages, self.n_chunks)
+        inv = np.argsort(perm)
+        logical = PipelinedNetwork(
+            self.pre, self.body_op,
+            tuple(b[inv] for b in self.body_params), self.n_body,
+            self.post)
+        return logical.to_network_params()
+
+    def unflatten(self, flat: Tuple[Any, ...]) -> "CircularPipelinedNetwork":
+        p = super().unflatten(flat)
+        return CircularPipelinedNetwork(
+            p.pre, p.body_op, p.body_params, p.n_body, p.post,
+            n_stages=self.n_stages, n_chunks=self.n_chunks)
+
+    def skeleton(self) -> "CircularPipelinedNetwork":
+        p = super().skeleton()
+        return CircularPipelinedNetwork(
+            p.pre, p.body_op, p.body_params, p.n_body, p.post,
+            n_stages=self.n_stages, n_chunks=self.n_chunks)
+
+
+def split_network_circular(net: Network, n_stages: int, n_chunks: int
+                           ) -> CircularPipelinedNetwork:
+    """The uniform split with the body stored in circular order: the
+    longest uniform run must hold S*V chunk-rows (each device runs V
+    round-robin chunks of Lc = n_body/(S*V) segments)."""
+    p = split_network(net, n_stages * n_chunks)
+    perm = _interleave_perm(p.n_body, n_stages, n_chunks)
+    return CircularPipelinedNetwork(
+        p.pre, p.body_op, tuple(b[perm] for b in p.body_params),
+        p.n_body, p.post, n_stages=n_stages, n_chunks=n_chunks)
+
+
+def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
+                             n_body_params: int,
+                             tp_local_op: Optional[TOp] = None):
+    """The circular-schedule shard_map body over the staged IR: device d
+    processes local chunk v's microbatch m at tick t = v*M + m + d; the
+    activation ring wraps V times; with M > S the wrapped activation
+    waits in a depth-(M-S) FIFO (one slot written + read per tick).
+    Each chunk evaluates its Lc segments' staged sub-graphs through the
+    framework's transposition AD (``ir_call``); with ``tp_local_op``
+    each segment is additionally row-sharded over ``model`` with an
+    activation all-gather (same as the GPipe body)."""
+    seg_call = batched_ir_call(tp_local_op or body_op, be)
+    gather = tp_local_op is not None
+
+    def chunk_forward(params_local, v, x):
+        # params_local: each (V, Lc, *shape); dynamic chunk v, static l
+        h = x
+        for l in range(Lc):
+            ps = tuple(
+                lax.dynamic_index_in_dim(p, v, 0, keepdims=False)[l]
+                for p in params_local)
+            a = seg_call(h, *ps)
+            h = (lax.all_gather(a, MODEL_AXIS, axis=1, tiled=True)
+                 if gather else a)
+        return h
+
+    def spmd(*args):
+        params_local = tuple(
+            p.reshape((V, Lc) + p.shape[1:]) for p in args[:n_body_params])
+        mb_inputs = args[n_body_params]
+        d = lax.axis_index(STAGE_AXIS)
+        S = lax.axis_size(STAGE_AXIS)
+        M = mb_inputs.shape[0]
+        T = V * M + S - 1
+        F = M - S  # FIFO depth (ticks a wrapped activation waits)
+        state = jnp.zeros_like(mb_inputs[0])
+        outputs = jnp.zeros_like(mb_inputs)
+
+        def step(carry, t):
+            if F > 0:
+                state, outputs, fifo = carry
+            else:
+                state, outputs = carry
+            k = t - d
+            kc = jnp.clip(k, 0, V * M - 1)
+            v = kc // M
+            m = kc % M
+            inject = mb_inputs[m]
+            if F > 0:
+                slot = t % F
+                x_wrap = lax.dynamic_index_in_dim(fifo, slot, 0,
+                                                  keepdims=False)
+                fifo = lax.dynamic_update_index_in_dim(fifo, state, slot, 0)
+            else:
+                x_wrap = state
+            x_in = jnp.where((d == 0) & (v == 0), inject,
+                             jnp.where(d == 0, x_wrap, state))
+            y = chunk_forward(params_local, v, x_in)
+            collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
+            updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
+            outputs = jnp.where(collect, updated, outputs)
+            state = lax.ppermute(
+                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            if F > 0:
+                return (state, outputs, fifo), None
+            return (state, outputs), None
+
+        if F > 0:
+            fifo0 = jnp.zeros((F,) + mb_inputs.shape[1:], mb_inputs.dtype)
+            init = (state, outputs, fifo0)
+        else:
+            init = (state, outputs)
+        out = lax.scan(step, init, jnp.arange(T))[0]
+        return lax.psum(out[1], STAGE_AXIS)
+
+    return spmd
+
+
+# ---------------------------------------------------------------------------
 # the pipelined step
 # ---------------------------------------------------------------------------
 
@@ -560,6 +703,8 @@ def make_ir_pipeline_loss(
     mesh: Mesh,
     n_microbatches: int,
     pnet: Optional[PipelinedNetwork] = None,
+    schedule: str = "gpipe",
+    n_chunks: int = 2,
 ) -> Tuple[Callable, PipelinedNetwork]:
     """``(loss_fn, pnet)``: the pipelined batch-mean loss over the
     stage-partitioned flat params — ``loss_fn(flat_params, xb, yb)`` —
@@ -578,14 +723,35 @@ def make_ir_pipeline_loss(
     (:func:`split_network`); any other ``then``-chain falls back to the
     heterogeneous FLOP-balanced partition
     (:func:`split_network_hetero`) — so the real flagship
-    784->300->100->10 pipelines too."""
+    784->300->100->10 pipelines too.
+
+    ``schedule="circular"`` (uniform bodies only) runs the interleaved
+    schedule instead of GPipe: each device holds ``n_chunks`` (V)
+    round-robin chunks of the body and the activation ring wraps V
+    times, shrinking the bubble from (S-1)/(M+S-1) ticks of an SV-long
+    GPipe chain to (S-1)/(VM+S-1); requires ``n_microbatches >= S``
+    (M > S buffers the wrap in a depth-(M-S) FIFO)."""
     if be.name != "jax":
         raise ValueError("ir pipeline requires the jax backend")
     S = mesh.shape[STAGE_AXIS]
     if pnet is None:
-        pnet = partition_network(net, S)
+        pnet = (split_network_circular(net, S, n_chunks)
+                if schedule == "circular" else partition_network(net, S))
     if isinstance(pnet, HeteroPipelinedNetwork):
+        if schedule == "circular":
+            raise ShapeError(
+                "the circular schedule needs a uniform body (stacked "
+                "chunk params); this network partitions heterogeneously")
         return _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet)
+    circ = isinstance(pnet, CircularPipelinedNetwork)
+    if schedule == "circular" and not circ:
+        raise ValueError(
+            "schedule='circular' needs a circular partition: omit pnet "
+            "or build it with split_network_circular")
+    if circ and n_microbatches < S:
+        raise ValueError(
+            f"circular schedule requires n_microbatches "
+            f"({n_microbatches}) >= stage-axis size ({S})")
     L = pnet.n_body // S
     n_bp = len(pnet.body_params)
     M = n_microbatches
@@ -607,8 +773,16 @@ def make_ir_pipeline_loss(
         per_seg_shapes = list(pnet.body_op.in_stack[1:])
     in_specs, out_spec = _ir_pipeline_specs(mesh, per_seg_shapes,
                                             tp=tp_local is not None)
+    if circ:
+        V = pnet.n_chunks
+        body_fn = _make_spmd_body_circular(
+            pnet.body_op, be, V, pnet.n_body // (S * V), n_bp,
+            tp_local_op=tp_local)
+    else:
+        body_fn = _make_spmd_body(pnet.body_op, be, L, n_bp,
+                                  tp_local_op=tp_local)
     pipelined = shard_map(
-        _make_spmd_body(pnet.body_op, be, L, n_bp, tp_local_op=tp_local),
+        body_fn,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -681,6 +855,8 @@ def ir_pipeline_train_step(
     be: Backend,
     mesh: Mesh,
     n_microbatches: int,
+    schedule: str = "gpipe",
+    n_chunks: int = 2,
 ) -> Tuple[Callable, PipelinedNetwork]:
     """Jitted pipeline-parallel SGD step over the staged IR:
     ``fn(lr, xb, yb, *flat_params) -> (mean_loss, new_flat_params)``.
@@ -692,7 +868,9 @@ def ir_pipeline_train_step(
     segment — pre, body stages, post, and the loss — evaluates through
     ``ir_call`` (forward ``apply_tape``, backward ``op.transpose``)."""
     loss_fn, pnet = make_ir_pipeline_loss(net, loss, be, mesh,
-                                          n_microbatches)
+                                          n_microbatches,
+                                          schedule=schedule,
+                                          n_chunks=n_chunks)
 
     @jax.jit
     def step(lr, xb, yb, *flat_params):
@@ -709,11 +887,14 @@ def ir_pipeline_grads(
     be: Backend,
     mesh: Mesh,
     n_microbatches: int,
+    schedule: str = "gpipe",
+    n_chunks: int = 2,
 ) -> Callable:
     """``fn(xb, yb, *flat_params) -> (mean_loss, grads)`` — the raw
     pipelined batch-mean gradient, for direct comparison against the
     sequential staged-IR gradient."""
-    step, pnet = ir_pipeline_train_step(net, loss, be, mesh, n_microbatches)
+    step, pnet = ir_pipeline_train_step(net, loss, be, mesh, n_microbatches,
+                                        schedule=schedule, n_chunks=n_chunks)
 
     @jax.jit
     def grads(xb, yb, *flat_params):
@@ -748,4 +929,8 @@ def shard_pipelined_params(pnet, mesh: Mesh):
             for x in pnet.body_params)
     else:
         body = tuple(jax.device_put(x, stage_sh) for x in pnet.body_params)
+    if isinstance(pnet, CircularPipelinedNetwork):
+        return CircularPipelinedNetwork(
+            pre, pnet.body_op, body, pnet.n_body, post,
+            n_stages=pnet.n_stages, n_chunks=pnet.n_chunks)
     return PipelinedNetwork(pre, pnet.body_op, body, pnet.n_body, post)

@@ -332,3 +332,114 @@ def test_ir_pipeline_tp_grads_equal_sequential(jb):
     for p, gg, nn in zip(net.params, g, got):
         np.testing.assert_allclose(np.asarray(p) - 0.1 * gg,
                                    np.asarray(nn), atol=1e-9, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# circular (interleaved) schedule over the staged IR
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_perm_roundtrip(jb):
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        split_network_circular)
+
+    net = _uniform_chain(jb, h=4, n_layers=9, seed=11)  # 8-segment body
+    p = split_network_circular(net, 4, 2)  # S=4, V=2, Lc=1
+    assert p.n_stages == 4 and p.n_chunks == 2
+    back = p.to_network_params()
+    for a, b in zip(back, net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@multi
+@pytest.mark.parametrize("M", [4, 6])
+def test_ir_circular_grads_equal_sequential(jb, M):
+    """Circular staged-IR schedule (V=2 chunks/device, M == S and the
+    M > S FIFO case): gradients == sequential transposition AD at
+    1e-9."""
+    net = _uniform_chain(jb, h=4, n_layers=9, seed=13)  # 8-segment body
+    loss = squared_error(4)
+    r = np.random.default_rng(4)
+    xb = jb.asarray(r.uniform(0, 1, size=(12, 4)))
+    yb = jb.asarray(r.uniform(0, 1, size=(12, 4)))
+
+    v_seq, g_seq = _seq_grads(net, loss, jb, xb, yb)
+    mesh = make_pipeline_mesh(4)
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=M,
+                            schedule="circular", n_chunks=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, M,
+                                     schedule="circular", n_chunks=2)
+    v_pp, flat_g = gfn(xb, yb, *pnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    for a, b in zip(pnet.unflatten(flat_g).to_network_params(), g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+@multi
+def test_ir_circular_with_tp(jb):
+    """Circular schedule composed with tensor parallelism on a
+    (stage=2, model=2) mesh (+ V=2 chunks): still == sequential."""
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    net = _uniform_chain(jb, h=8, n_layers=5, seed=17)  # 4-segment body
+    loss = cross_entropy(8)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    r = np.random.default_rng(5)
+    xb = jb.asarray(r.uniform(0, 1, size=(8, 8)))
+    yb = jb.asarray(np.eye(8)[r.integers(0, 8, size=8)])
+
+    v_seq, g_seq = _seq_grads(net, loss, jb, np.asarray(xb), np.asarray(yb))
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=2,
+                            schedule="circular", n_chunks=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, 2,
+                                     schedule="circular", n_chunks=2)
+    v_pp, flat_g = gfn(xb, yb, *pnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    for a, b in zip(pnet.unflatten(flat_g).to_network_params(), g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+@multi
+def test_fit_circular_ir_pipeline(jb, tmp_path):
+    """fit(pipeline_schedule='circular'): same loss curve as the GPipe
+    schedule and as single-device (identical math, different overlap),
+    with checkpoint/resume intact."""
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.models.trainer import fit
+
+    r = np.random.default_rng(19)
+    X = r.uniform(0, 1, size=(64, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=64)]
+    loss = cross_entropy(2)
+    mesh = make_pipeline_mesh(4)
+    kw = dict(epochs=2, batch_size=16, lr=0.01, optimizer=adam(),
+              verbose=False, prefetch=0, log_every=1,
+              pipeline_microbatches=4)
+
+    def net():
+        rng = Rng(jb, seed=21)
+        return gen_net(jb, 12, 2, [(16, act_logistic())] * 9,
+                       act_softmax(), rng)
+
+    r_circ = fit(net(), loss, jb, X, Y, mesh=mesh,
+                 pipeline_schedule="circular", pipeline_chunks=2, **kw)
+    r_sd = fit(net(), loss, jb, X, Y, **{
+        k: v for k, v in kw.items() if k != "pipeline_microbatches"})
+    for ra, rb in zip(r_circ.history, r_sd.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_circ.net.params, r_sd.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+    ck = str(tmp_path / "circ.npz")
+    fit(net(), loss, jb, X, Y, mesh=mesh, pipeline_schedule="circular",
+        pipeline_chunks=2, epochs=1, checkpoint_path=ck,
+        checkpoint_every=2, **{k: v for k, v in kw.items()
+                               if k != "epochs"})
+    resumed = fit(net(), loss, jb, X, Y, mesh=mesh,
+                  pipeline_schedule="circular", pipeline_chunks=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    for a, b in zip(resumed.net.params, r_circ.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
