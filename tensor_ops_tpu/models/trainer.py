@@ -81,6 +81,9 @@ def _place(host, sharding):
         host.shape, sharding, lambda idx: host[idx])
 
 
+_RESHARD_CACHE: dict = {}
+
+
 def _global_host_tree(tree, mesh):
     """Host numpy copies of every jax leaf in a (possibly sharded,
     possibly multi-process) pytree: reshard each leaf fully-replicated
@@ -90,12 +93,17 @@ def _global_host_tree(tree, mesh):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
-    rep = NamedSharding(mesh, PSpec())
+    # one jitted identity per mesh: a fresh wrapper per leaf/call would
+    # re-trace the resharding collective at every checkpoint boundary
+    reshard = _RESHARD_CACHE.get(mesh)
+    if reshard is None:
+        rep = NamedSharding(mesh, PSpec())
+        reshard = jax.jit(lambda a: a, out_shardings=rep)
+        _RESHARD_CACHE[mesh] = reshard
 
     def fetch(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            y = jax.jit(lambda a: a, out_shardings=rep)(x)
-            return np.asarray(y.addressable_data(0))
+            return np.asarray(reshard(x).addressable_data(0))
         if isinstance(x, jax.Array):
             return np.asarray(x)
         return x
@@ -499,6 +507,15 @@ def fit(
     opt_state = opt.init(params)
     history = []
     step = 0
+    # layout identity of the flat .state leaves: pipeline schedules
+    # reorder the same-shaped stacks, so resuming across layouts would
+    # silently permute body rows -- recorded at save, validated at load
+    if pipeline_mode:
+        layout = f"pipeline:{pipeline_schedule}:S{mesh.shape[STAGE_AXIS]}"
+        if pipeline_schedule == "circular":
+            layout += f":V{pipeline_chunks}"
+    else:
+        layout = "flat"
     state_path = (checkpoint_path + ".state") if checkpoint_path else None
     # id-based struct keys (custom optimizers without `hyper`) don't
     # survive process restarts — only validate factory-made optimizers
@@ -507,7 +524,13 @@ def fit(
         from ..utils.checkpoint import load_train_state
 
         rparams, r_opt_state, step = load_train_state(
-            state_path, opt_state, opt_key=opt_key)
+            state_path, opt_state, opt_key=opt_key,
+            expect_meta={"layout": layout})
+        if len(rparams) != len(params):
+            raise ValueError(
+                f"checkpoint holds {len(rparams)} parameter leaves but "
+                f"this configuration expects {len(params)} -- resume "
+                f"with the same model/pipeline configuration")
         if pipeline_mode:
             # .state stores the FLAT pipelined layout; re-place each
             # leaf on its stage/replicated sharding from setup (_place
@@ -627,18 +650,20 @@ def fit(
                         (tuple(params), opt_state), mesh)
                     if proc_idx == 0:
                         saves.add(
-                            save_network_async(checkpoint_path,
-                                               _as_network(host_p)),
-                            save_train_state_async(state_path, host_p,
-                                                   host_o, step,
-                                                   opt_key=opt_key))
+                            save_network_async(
+                                checkpoint_path, _as_network(host_p)),
+                            save_train_state_async(
+                                state_path, host_p, host_o, step,
+                                opt_key=opt_key,
+                                extra_meta={"layout": layout}))
                 else:
                     saves.add(
                         save_network_async(checkpoint_path,
                                            _as_network(params)),
-                        save_train_state_async(state_path, params,
-                                               opt_state, step,
-                                               opt_key=opt_key))
+                        save_train_state_async(
+                            state_path, params, opt_state, step,
+                            opt_key=opt_key,
+                            extra_meta={"layout": layout}))
     finally:
         save_err = saves.join()
         loader.close()
@@ -658,11 +683,14 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
 
     Without ``opt``: ``fn(rs, rp, xb, tb, states, params) ->
     (mean_loss, new_states, new_params)`` — the reference's dual-rate
-    SGD (``Recurrent.hs:326-354``).  With ``opt``: ``fn(rs, rp, xb, tb,
-    opt_state, states, params) -> (mean_loss, opt_state, new_states,
-    new_params)`` — states and params update through the optimizer at
-    rate ``rp``, with the state gradients pre-scaled by ``rs/rp`` so the
-    dual-rate semantic survives any optimizer.  ``clip_norm`` clips the
+    SGD (``Recurrent.hs:326-354``).  With ``opt``: ``fn(ratio, rp, xb,
+    tb, opt_state, states, params) -> (mean_loss, opt_state,
+    new_states, new_params)`` — states and params update through the
+    optimizer at rate ``rp``, with the state gradients pre-scaled by
+    ``ratio`` = rate_state/rate_param so the dual-rate semantic
+    survives any optimizer.  The ratio is an explicit argument (NOT
+    rs/rp computed in-step): a warmup schedule hits rp == 0 at step 0
+    and 0/0 would NaN-poison the whole run.  ``clip_norm`` clips the
     joint (state+param) gradient by global L2 norm before either
     update.  ``remat_every`` checkpoints the scan's backward."""
     g = net._seq_graph(loss, n, remat_every=remat_every)
@@ -700,10 +728,10 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
 
         else:
 
-            def step(rs, rp, xb, tb, opt_state, states, params):
+            def step(ratio, rp, xb, tb, opt_state, states, params):
                 vals, grads = vm(xb, tb, *states, *params)
                 mean = _clip(tuple(jnp.mean(gr, axis=0) for gr in grads))
-                scaled = tuple((rs / rp) * gg for gg in mean[:k]) + mean[k:]
+                scaled = tuple(ratio * gg for gg in mean[:k]) + mean[k:]
                 leaves = tuple(states) + tuple(params)
                 opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
                 return (jnp.mean(vals), opt_state,
@@ -738,9 +766,9 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
 
         else:
 
-            def fn(rs, rp, xb, tb, opt_state, states, params):
+            def fn(ratio, rp, xb, tb, opt_state, states, params):
                 v, gS, gP = _mean_grads(xb, tb, states, params)
-                scaled = tuple((rs / rp) * a for a in gS) + tuple(gP)
+                scaled = tuple(ratio * a for a in gS) + tuple(gP)
                 leaves = tuple(states) + tuple(params)
                 opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
                 return v, opt_state, tuple(leaves[:k]), tuple(leaves[k:])
@@ -907,8 +935,11 @@ def fit_sequences(
                                           tuple(net.states),
                                           tuple(net.params))
             else:
+                # the dual-rate ratio is schedule-invariant (rs and rp
+                # scale together); passing it explicitly keeps a
+                # warmup rp == 0 step finite (rs/rp would be 0/0)
                 v, opt_state, new_s, new_p = step_fn(
-                    rs, rp, xb, tb, opt_state,
+                    rate_state / rate_param, rp, xb, tb, opt_state,
                     tuple(net.states), tuple(net.params))
             net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
                                    net.arch)

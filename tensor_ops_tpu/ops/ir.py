@@ -55,28 +55,40 @@ class CompiledCache(dict):
     grows monotonically, each entry pinning a jitted executable.  A hit
     refreshes recency, so hot keys never recompile; only keys untouched
     for ``maxsize`` distinct insertions fall out (eviction is always
-    safe: the artifact is rebuilt from the op on the next miss)."""
+    safe: the artifact is rebuilt from the op on the next miss).
 
-    __slots__ = ("maxsize",)
+    Reads mutate recency order, so unlike a plain dict they need a lock:
+    concurrent serving threads sharing one op (two
+    ``SequencePredictor.predict`` calls) would otherwise race a pop
+    against a reinsert and spuriously recompile — or crash eviction's
+    ``next(iter(...))`` mid-resize."""
+
+    __slots__ = ("maxsize", "_lock")
     DEFAULT_MAXSIZE = 128
 
     def __init__(self, maxsize: int = DEFAULT_MAXSIZE):
         super().__init__()
+        import threading
+
         self.maxsize = int(maxsize)
+        self._lock = threading.Lock()
 
     def get(self, key, default=None):
-        if key in self:
-            val = super().pop(key)
-            super().__setitem__(key, val)  # refresh recency (move to end)
-            return val
-        return default
+        with self._lock:
+            if key in self:
+                val = super().pop(key)
+                # refresh recency (move to end)
+                super().__setitem__(key, val)
+                return val
+            return default
 
     def __setitem__(self, key, val):
-        if key in self:
-            super().pop(key)
-        elif len(self) >= self.maxsize:
-            super().pop(next(iter(self)))  # evict least-recently-used
-        super().__setitem__(key, val)
+        with self._lock:
+            if key in self:
+                super().pop(key)
+            elif len(self) >= self.maxsize:
+                super().pop(next(iter(self)))  # evict least-recently-used
+            super().__setitem__(key, val)
 
 
 class TOp:

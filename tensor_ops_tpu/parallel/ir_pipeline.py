@@ -190,8 +190,8 @@ def _op_flops(op: TOp) -> float:
         return _op_flops(op.f) + _op_flops(op.g)
     if isinstance(op, (First, Second)):
         return _op_flops(op.op)
-    inner = getattr(op, "op", None)
-    if isinstance(inner, TOp):  # ScanOp/MappedOp/Remat wrappers
+    inner = getattr(op, "op", None) or getattr(op, "step", None)
+    if isinstance(inner, TOp):  # MappedOp/Remat (.op) and ScanOp (.step)
         return float(getattr(op, "n", 1)) * _op_flops(inner)
     return float(sum(np.prod(s, dtype=np.float64) if s else 1.0
                      for s in op.out_stack))
@@ -476,6 +476,9 @@ def split_network_circular(net: Network, n_stages: int, n_chunks: int
     """The uniform split with the body stored in circular order: the
     longest uniform run must hold S*V chunk-rows (each device runs V
     round-robin chunks of Lc = n_body/(S*V) segments)."""
+    if n_chunks < 1:
+        raise ShapeError(
+            f"circular schedule needs n_chunks >= 1, got {n_chunks}")
     p = split_network(net, n_stages * n_chunks)
     perm = _interleave_perm(p.n_body, n_stages, n_chunks)
     return CircularPipelinedNetwork(
@@ -742,6 +745,13 @@ def make_ir_pipeline_loss(
             raise ShapeError(
                 "the circular schedule needs a uniform body (stacked "
                 "chunk params); this network partitions heterogeneously")
+        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+            import warnings
+
+            warnings.warn(
+                "staged-IR pipeline: heterogeneous partitions do not "
+                "shard over the model axis — it will sit idle "
+                "(replicated stages)", stacklevel=2)
         return _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet)
     circ = isinstance(pnet, CircularPipelinedNetwork)
     if schedule == "circular" and not circ:

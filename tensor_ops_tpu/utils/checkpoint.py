@@ -238,17 +238,31 @@ def save_train_state_async(path: str, params, opt_state, step: int,
     return save_arrays_async(path, arrays, meta)
 
 
-def load_train_state(path: str, opt_state_template, opt_key=None):
+def load_train_state(path: str, opt_state_template, opt_key=None,
+                     expect_meta: Optional[dict] = None):
     """(params, opt_state, step) — opt_state leaves are restored into
     the structure of ``opt_state_template`` (from ``opt.init(params)``),
     so the optimizer type/hyperparams must match the saving run.  When
     both the checkpoint and the caller provide an ``opt_key``
     (``Optimizer.struct_key()``), a mismatch — same structure, different
     hyperparameters — raises instead of silently reinterpreting the
-    moments under different decay rates."""
+    moments under different decay rates.
+
+    ``expect_meta`` keys are validated the same way: a key present in
+    BOTH the checkpoint and the expectation must match (e.g. ``fit``'s
+    pipeline ``layout`` — a circular-schedule flat stack has identical
+    leaf shapes to a GPipe one, so resuming across schedules would
+    silently permute body rows without this check)."""
     arrays, meta = load_arrays(path)
     if meta.get("kind") != "train_state":
         raise ValueError(f"{path} is not a train_state checkpoint")
+    for key, want in (expect_meta or {}).items():
+        have = meta.get(key)
+        if have is not None and have != want:
+            raise ValueError(
+                f"train-state mismatch on {key!r}: checkpoint was saved "
+                f"with {have!r}, resume requested {want!r} — resume with "
+                f"the same configuration")
     saved_key = meta.get("opt_key")
     if saved_key is not None and opt_key is not None:
         if saved_key != json.dumps(opt_key):

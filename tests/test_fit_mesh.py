@@ -391,3 +391,61 @@ def test_fit_pipeline_mixed_precision_and_accum_resume(jb, tmp_path):
     for a, b in zip(resumed.net.params, straight.net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-7, rtol=1e-7)
+
+
+@multi
+def test_pipeline_resume_layout_mismatch_rejected(jb, tmp_path):
+    """A circular-schedule resume of a GPipe checkpoint (identical leaf
+    shapes, permuted rows) must raise, not silently corrupt."""
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    r = np.random.default_rng(41)
+    X = r.uniform(0, 1, size=(64, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=64)]
+    mesh = make_pipeline_mesh(4)
+    ck = str(tmp_path / "layout.npz")
+    kw = dict(batch_size=16, lr=0.05, verbose=False, prefetch=0,
+              pipeline_microbatches=4)
+    net = gen_net(jb, 12, 2, [(16, act_logistic())] * 9, act_softmax(),
+                  Rng(jb, seed=43))
+    fit(net, cross_entropy(2), jb, X, Y, epochs=1, mesh=mesh,
+        checkpoint_path=ck, checkpoint_every=2, **kw)
+    with pytest.raises(ValueError, match="layout"):
+        fit(net, cross_entropy(2), jb, X, Y, epochs=2, mesh=mesh,
+            pipeline_schedule="circular", pipeline_chunks=2,
+            checkpoint_path=ck, checkpoint_every=2, resume=True, **kw)
+
+
+@multi
+def test_hetero_3d_mesh_warns_idle_model_axis(jb):
+    """Heterogeneous partitions on a model-axis mesh warn (they never
+    tp-shard) — the warning must not be bypassed by the hetero path."""
+    import warnings
+
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    net = gen_net(jb, 12, 2, [(10, act_logistic()), (6, act_logistic())],
+                  act_softmax(), Rng(jb, seed=45))
+    r = np.random.default_rng(46)
+    X = r.uniform(0, 1, size=(32, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=32)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fit(net, cross_entropy(2), jb, X, Y, epochs=1, batch_size=16,
+            verbose=False, prefetch=0, mesh=make_3d_pipeline_mesh(2, 2, 2),
+            pipeline_microbatches=4)
+    assert any("model axis" in str(x.message) for x in w)
+
+
+@multi
+def test_pipeline_chunks_validated(jb):
+    from tensor_ops_tpu.ops.shapes import ShapeError
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    net = gen_net(jb, 12, 2, [(16, act_logistic())] * 9, act_softmax(),
+                  Rng(jb, seed=47))
+    X, Y = np.zeros((32, 12)), np.eye(2)[np.zeros(32, int)]
+    with pytest.raises(ShapeError, match="n_chunks"):
+        fit(net, cross_entropy(2), jb, X, Y, batch_size=16,
+            mesh=make_pipeline_mesh(4), pipeline_schedule="circular",
+            pipeline_chunks=0, verbose=False)

@@ -510,3 +510,48 @@ def test_fit_sequences_remat_matches_plain(nb):
         assert abs(ra["loss"] - rb["loss"]) < 1e-12
     for x, y in zip(a.net.params, b.net.params):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-12)
+
+
+def test_fit_sequences_warmup_schedule_stays_finite(jb):
+    """lr_schedule hitting 0 at step 0 (linear warmup) must not
+    NaN-poison the optimizer path: the dual-rate ratio is passed as a
+    constant, never computed as 0/0 in-step."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.optim import adam
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences(n_seqs=16, T=5, seed=12)
+    rnet = gen_rnet(jb, 1, 1, [(4, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(jb, seed=13))
+    res = fit_sequences(
+        rnet, squared_error(1), jb, XS, TS, epochs=3, batch_size=8,
+        optimizer=adam(), lr_schedule=lambda s: 0.05 * min(1.0, s / 4.0),
+        verbose=False, log_every=1)
+    assert all(np.isfinite(h["loss"]) for h in res.history), res.history
+    for p in res.net.params:
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_compiled_cache_thread_safe():
+    import threading
+
+    from tensor_ops_tpu.ops.ir import CompiledCache
+
+    c = CompiledCache(maxsize=8)
+    errors = []
+
+    def hammer(base):
+        try:
+            for i in range(3000):
+                k = (base + i) % 12
+                if c.get(k) is None:
+                    c[k] = k
+        except Exception as e:  # noqa: BLE001 — recorded for the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(j,)) for j in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and len(c) <= 8
