@@ -122,6 +122,53 @@ def bench_mnist_train(batch=1024, steps=2000):
     return 1.0 / dt, batch / dt
 
 
+def bench_mnist_train_mixed(batch=4096, steps=500):
+    """The flagship trained under fit's mixed_precision recipe: bf16
+    forward/backward through the SAME staged-IR transposition AD (half
+    the HBM traffic for the activation-bound small matmuls), f32 master
+    params updated from upcast gradients."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.models import cross_entropy
+    from tensor_ops_tpu.ops import ir
+
+    be = T.JaxBackend()
+    be_c = T.JaxBackend(dtype=jnp.bfloat16)
+    net = make_net(be)
+    loss = cross_entropy(10)
+    composed = net._loss_op(loss)
+    n_params = len(net.params)
+
+    def sample_vag(x, y, *params):
+        v, grads = ir.value_and_grad(composed, be_c, (x,) + params + (y,))
+        return v, grads[1:-1]
+
+    vmapped = jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+
+    x, y = make_data(batch)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    yb = jnp.asarray(y, jnp.bfloat16)
+    params = tuple(jnp.asarray(p, jnp.float32) for p in net.params)
+
+    def make_loop(n_steps):
+        @jax.jit
+        def run_steps(xb, yb, params):
+            def body(i, params):
+                lp = tuple(p.astype(jnp.bfloat16) for p in params)
+                _, grads = vmapped(xb, yb, *lp)
+                return tuple(
+                    p - 0.02 * jnp.mean(g.astype(jnp.float32), axis=0)
+                    for p, g in zip(params, grads))
+            return lax.fori_loop(0, n_steps, body, params)
+        return lambda: float(jnp.sum(run_steps(xb, yb, params)[0]))
+
+    dt = _diff_time_per_step(make_loop, steps, 5 * steps)
+    return 1.0 / dt, batch / dt
+
+
 def bench_fused_deep(n=4096, layers=8, batch=4096, steps=10):
     """Deep fused-ffLayer sweep (BASELINE config 5): fwd+bwd through
     `layers` Pallas fused 4096x4096 linear+relu layers in bf16 (the
@@ -357,6 +404,7 @@ def bench_cpu_blas_baseline(n_samples=3000):
 def main():
     steps_per_sec, samples_per_sec = bench_mnist_train()
     steps4k, samples4k = bench_mnist_train(batch=4096, steps=500)
+    steps_bf16, samples_bf16 = bench_mnist_train_mixed()
     mk_steps, mk_samples = bench_megakernel_train()
     deep_tflops, roofline = bench_fused_deep()
     mm_tflops, mm_roofline = bench_fused_matmul_roofline()
@@ -368,7 +416,9 @@ def main():
     # from a single-run baseline; contention noise is one-sided)
     blas_base, blas_lo, blas_hi, blas_quiet = _stable_reps(
         bench_cpu_blas_baseline)
-    best_samples = max(samples_per_sec, samples4k, mk_samples)
+    # bf16-mixed counts: it is fit(mixed_precision=True)'s production
+    # recipe (bf16 compute, f32 masters), not a degraded configuration
+    best_samples = max(samples_per_sec, samples4k, samples_bf16, mk_samples)
     result = {
         "metric": "mnist_mlp_train_throughput",
         "value": round(best_samples, 1),
@@ -388,6 +438,8 @@ def main():
             "ir_xla_batch1024_samples_per_sec": round(samples_per_sec, 1),
             "ir_xla_batch4096_steps_per_sec": round(steps4k, 2),
             "ir_xla_batch4096_samples_per_sec": round(samples4k, 1),
+            "ir_xla_bf16mixed_batch4096_steps_per_sec": round(steps_bf16, 2),
+            "ir_xla_bf16mixed_batch4096_samples_per_sec": round(samples_bf16, 1),
             "megakernel_batch8192_steps_per_sec": round(mk_steps, 2),
             "megakernel_batch8192_samples_per_sec": round(mk_samples, 1),
             "cpu_oracle_per_sample_sgd_samples_per_sec": round(base, 1),

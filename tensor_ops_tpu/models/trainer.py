@@ -81,6 +81,32 @@ def _place(host, sharding):
         host.shape, sharding, lambda idx: host[idx])
 
 
+def _check_process_data_alignment(mesh, n_proc: int) -> None:
+    """Multi-process batch assembly (``make_array_from_process_local_data``
+    with per-rank disjoint loader shards) requires every data-axis row of
+    the mesh to live on ONE process: a row spanning processes cannot be
+    fed from any single rank's local rows.  Raise a clear error (instead
+    of jax's opaque host-data shape complaint) with the fix."""
+    from ..parallel.mesh import DATA_AXIS
+
+    axis = mesh.axis_names.index(DATA_AXIS)
+    dev = np.moveaxis(np.asarray(mesh.devices), axis, 0)
+    bad = []
+    for i in range(dev.shape[0]):
+        procs = {d.process_index for d in dev[i].flat}
+        if len(procs) != 1:
+            bad.append((i, sorted(procs)))
+    if bad:
+        raise ValueError(
+            f"multi-process fit needs the mesh's data axis aligned to "
+            f"process boundaries, but data row(s) {bad} span multiple "
+            f"processes — each rank's loader shard can only fill rows "
+            f"its own devices hold.  Pick a mesh shape whose data-axis "
+            f"size is a multiple of the process count with "
+            f"process-contiguous rows, e.g. "
+            f"make_mesh(n, shape=({n_proc}*k, tp)).")
+
+
 _RESHARD_CACHE: dict = {}
 
 
@@ -371,6 +397,8 @@ def fit(
                 f"microbatch rows ({chunk // M}) must be divisible "
                 f"by the data-axis size ({dp})")
         n_proc, proc_idx = jax.process_count(), jax.process_index()
+        if n_proc > 1 and has_data:
+            _check_process_data_alignment(mesh, n_proc)
         if n_proc > 1 and not has_data:
             raise ValueError(
                 "multi-process pipeline training needs a data axis in "
@@ -477,6 +505,8 @@ def fit(
         )
         data_sh = NamedSharding(mesh, PSpec(DATA_AXIS, None))
         n_proc, proc_idx = jax.process_count(), jax.process_index()
+        if n_proc > 1:
+            _check_process_data_alignment(mesh, n_proc)
     if not pipeline_mode:
         step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
                                 clip_norm=clip_norm,

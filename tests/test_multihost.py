@@ -125,3 +125,30 @@ def test_two_process_distributed_fit_equals_single_process(tmp_path):
         assert abs(a - b) < 1e-9, (ranks[0]["losses"], ref_losses)
     for a, b in zip(ranks[0]["params"], ref_params):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
+
+
+def test_process_data_alignment_validation():
+    """A mesh whose data rows span processes must be rejected with the
+    actionable error (jax's own failure is an opaque host-data shape
+    complaint)."""
+    from types import SimpleNamespace
+
+    from tensor_ops_tpu.models.trainer import _check_process_data_alignment
+
+    def dev(pid):
+        return SimpleNamespace(process_index=pid)
+
+    # (data=2, model=4) over 4 procs x 2 devices: row 0 holds procs {0,1}
+    bad = SimpleNamespace(
+        axis_names=("data", "model"),
+        devices=np.array([[dev(0), dev(0), dev(1), dev(1)],
+                          [dev(2), dev(2), dev(3), dev(3)]]))
+    with pytest.raises(ValueError, match="aligned to process boundaries"):
+        _check_process_data_alignment(bad, 4)
+
+    # (data=4, model=2): every row on one process -> fine
+    good = SimpleNamespace(
+        axis_names=("data", "model"),
+        devices=np.array([[dev(0), dev(0)], [dev(1), dev(1)],
+                          [dev(2), dev(2)], [dev(3), dev(3)]]))
+    _check_process_data_alignment(good, 4)
