@@ -361,6 +361,15 @@ def fit(
             f"remainder {batch_size % accum_steps} samples of every batch"
         )
     pipeline_mode = False
+    if mesh is None and be.name == "jax":
+        import jax
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "fit without a mesh under a multi-process jax runtime "
+                "would train an independent (divergent) replica per "
+                "process on the full dataset; pass mesh=make_mesh("
+                "len(jax.devices())) so the batch shards globally")
     if mesh is not None:
         from ..parallel.pipeline import STAGE_AXIS
 
