@@ -124,29 +124,27 @@ def bench_mnist_train(batch=1024, steps=2000):
 
 def bench_mnist_train_mixed(batch=4096, steps=500):
     """The flagship trained under fit's mixed_precision recipe: bf16
-    forward/backward through the SAME staged-IR transposition AD (half
-    the HBM traffic for the activation-bound small matmuls), f32 master
-    params updated from upcast gradients."""
+    forward/backward through the staged-IR transposition AD via the
+    BATCHED-GRAPH lowering (models/batched.py — weight gradients are
+    GEMMs by construction; the vmapped per-sample path materializes B
+    stacked bf16 outer products that XLA-TPU only rewrites for f32,
+    measured 70x slower), f32 master params updated from upcast
+    gradients."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     import tensor_ops_tpu as T
     from tensor_ops_tpu.models import cross_entropy
+    from tensor_ops_tpu.models.batched import batched_loss_graph
     from tensor_ops_tpu.ops import ir
 
     be = T.JaxBackend()
     be_c = T.JaxBackend(dtype=jnp.bfloat16)
     net = make_net(be)
     loss = cross_entropy(10)
-    composed = net._loss_op(loss)
-    n_params = len(net.params)
-
-    def sample_vag(x, y, *params):
-        v, grads = ir.value_and_grad(composed, be_c, (x,) + params + (y,))
-        return v, grads[1:-1]
-
-    vmapped = jax.vmap(sample_vag, in_axes=(0, 0) + (None,) * n_params)
+    g = batched_loss_graph(net, loss, batch)
+    assert g is not None
 
     x, y = make_data(batch)
     xb = jnp.asarray(x, jnp.bfloat16)
@@ -158,10 +156,10 @@ def bench_mnist_train_mixed(batch=4096, steps=500):
         def run_steps(xb, yb, params):
             def body(i, params):
                 lp = tuple(p.astype(jnp.bfloat16) for p in params)
-                _, grads = vmapped(xb, yb, *lp)
+                _, grads = ir.value_and_grad(g, be_c, (xb,) + lp + (yb,))
                 return tuple(
-                    p - 0.02 * jnp.mean(g.astype(jnp.float32), axis=0)
-                    for p, g in zip(params, grads))
+                    p - 0.02 * gg.astype(jnp.float32)
+                    for p, gg in zip(params, grads[1:-1]))
             return lax.fori_loop(0, n_steps, body, params)
         return lambda: float(jnp.sum(run_steps(xb, yb, params)[0]))
 

@@ -189,28 +189,48 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
 
         if mixed_precision:
             from ..backend.jax_backend import JaxBackend
+            from .batched import batched_loss_graph
 
             be_c = JaxBackend(dtype=jnp.bfloat16,
                               precision=getattr(be, "_precision_name",
                                                 "default"))
             vmapped_lp = make_vmapped_grads(net, loss, be_c)
 
-            def vmapped(xb, yb, *params):
+            def batch_vag(xb, yb, params):
+                # BATCHED-GRAPH lowering when the net supports it: the
+                # weight gradients are GEMMs by construction.  The
+                # vmapped per-sample path materializes B stacked outer
+                # products in bf16 (XLA-TPU only rewrites the f32 case
+                # into a GEMM) — measured 70x slower on the flagship.
                 lp = tuple(p.astype(jnp.bfloat16) for p in params)
+                g = batched_loss_graph(net, loss, int(xb.shape[0]))
+                if g is not None:
+                    v, grads = ir.value_and_grad(
+                        g, be_c, (xb.astype(jnp.bfloat16),) + lp
+                        + (yb.astype(jnp.bfloat16),))
+                    return (v.astype(jnp.float32),
+                            tuple(gg.astype(jnp.float32)
+                                  for gg in grads[1:-1]))
                 vals, grads = vmapped_lp(xb.astype(jnp.bfloat16),
                                          yb.astype(jnp.bfloat16), *lp)
-                return (vals.astype(jnp.float32),
-                        tuple(g.astype(jnp.float32) for g in grads))
+                return (jnp.mean(vals).astype(jnp.float32),
+                        tuple(jnp.mean(gg, axis=0).astype(jnp.float32)
+                              for gg in grads))
         else:
             vmapped = make_vmapped_grads(net, loss, be)
+
+            def batch_vag(xb, yb, params):
+                vals, grads = vmapped(xb, yb, *params)
+                return jnp.mean(vals), tuple(jnp.mean(g, axis=0)
+                                             for g in grads)
 
         if accum_steps <= 1:
 
             def step(lr, xb, yb, opt_state, params):
-                vals, grads = vmapped(xb, yb, *params)
-                mean_grads = _clip(tuple(jnp.mean(g, axis=0) for g in grads))
+                v, mean_grads = batch_vag(xb, yb, params)
+                mean_grads = _clip(mean_grads)
                 opt_state, params = opt.update(opt_state, params, mean_grads, lr)
-                return jnp.mean(vals), opt_state, params
+                return v, opt_state, params
 
         else:
             from jax import lax
@@ -226,10 +246,9 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 def body(carry, chunk):
                     vsum, gsum = carry
                     xc, yc = chunk
-                    vals, grads = vmapped(xc, yc, *params)
-                    gsum = tuple(a + jnp.mean(g, axis=0)
-                                 for a, g in zip(gsum, grads))
-                    return (vsum + jnp.mean(vals), gsum), None
+                    v, grads = batch_vag(xc, yc, params)
+                    gsum = tuple(a + g for a, g in zip(gsum, grads))
+                    return (vsum + v, gsum), None
 
                 zero = tuple(jnp.zeros_like(p) for p in params)
                 (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))

@@ -492,6 +492,33 @@ class SumRows(TOp):
         return (be.broadcast_to(cts[0], self.shape),)
 
 
+class BroadcastRows(TOp):
+    """Broadcast a tensor to ``n`` stacked rows — the adjoint of
+    :class:`SumRows` (its gradient sums over the new axis; ``SumRows``'s
+    gradient is exactly this op).  The batched-lowering primitive: a
+    per-sample bias add becomes ``BroadcastRows`` + ``add`` on the
+    batched activation, whose transpose contracts the batch axis into
+    the bias gradient as one reduction instead of per-sample slices."""
+
+    __slots__ = ("shape", "n")
+
+    def __init__(self, shape: Sequence[int], n: int):
+        self.shape = as_shape(shape)
+        self.n = int(n)
+        if self.n < 1:
+            raise ShapeError("broadcastRows needs n >= 1")
+        super().__init__((self.shape,), ((self.n,) + self.shape,))
+
+    def _skey_parts(self):
+        return (self.shape, self.n)
+
+    def apply_tape(self, be, xs, with_tape=True):
+        return (be.broadcast_to(xs[0], (self.n,) + self.shape),), None
+
+    def transpose(self, be, tape, cts):
+        return (be.sum_rows(cts[0]),)
+
+
 class SumOp(TOp):
     """N-ary elementwise sum; gradient replicates the cotangent
     (``sumOp``, ``src/TensorOps/TOp.hs:161-169``; ``add``/``add3`` are the

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 from .ir import (
+    BroadcastRows,
     Diag,
     Fanout,
     First,
@@ -189,6 +190,12 @@ def duplicate(shape: Sequence[int]) -> TOp:
 def sum_rows(shape: Sequence[int]) -> TOp:
     """``TO.sumRows`` (``TOp.hs:151-159``)."""
     return SumRows(shape)
+
+
+def broadcast_rows(shape: Sequence[int], n: int) -> TOp:
+    """Adjoint of ``sum_rows``: one tensor broadcast to ``n`` stacked
+    rows (the batched-lowering bias primitive)."""
+    return BroadcastRows(shape, n)
 
 
 def transp_op(shape: Sequence[int]) -> TOp:
