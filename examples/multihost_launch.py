@@ -81,6 +81,7 @@ def main():
     local = args.devices_per_proc or max(1, 8 // args.procs)
     port = free_port()
     tmp = tempfile.mkdtemp(prefix="tops_mh_")
+    ckpt = os.path.join(tmp, "demo_ck.npz")
     procs = []
     for rank in range(args.procs):
         env = dict(os.environ)
@@ -91,7 +92,7 @@ def main():
             "TOPS_NUM_PROCESSES": str(args.procs),
             "TOPS_PROCESS_ID": str(rank),
             "DEMO_LOCAL_DEVICES": str(local),
-            "DEMO_CKPT": os.path.join(tmp, "demo_ck.npz"),
+            "DEMO_CKPT": ckpt,
             "PYTHONPATH": ROOT + os.pathsep + env.get("PYTHONPATH", ""),
         })
         procs.append(subprocess.Popen(
@@ -115,7 +116,7 @@ def main():
         assert res["losses"] == r0["losses"], (
             f"rank {rank} observed a different global run")
     print(f"all {args.procs} ranks observed the identical global loss "
-          f"curve; rank-0 checkpoint at {os.environ.get('DEMO_CKPT', tmp)}")
+          f"curve; rank-0 checkpoint at {ckpt}")
 
 
 if __name__ == "__main__":

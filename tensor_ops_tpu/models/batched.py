@@ -50,20 +50,6 @@ def _flatten(op: TOp) -> List[TOp]:
     return [op]
 
 
-def _unchain(op: TOp) -> List[TOp]:
-    """`ir_pipeline.unchain` without the parallel-package import (the
-    Network.then build pattern: Compose(First(prefix, rest), layer))."""
-    if (
-        isinstance(op, Compose)
-        and isinstance(op.f, First)
-        and len(op.f.op.out_stack) == 1
-        and len(op.g.out_stack) == 1
-        and op.f.rest == op.g.in_stack[1:]
-    ):
-        return _unchain(op.f.op) + [op.g]
-    return [op]
-
-
 def _batched_linear(B: int, i: int, o: int) -> TOp:
     """[(B,i) x, (o,i) w, (o,) b] -> [(B,o)]: one batched contraction +
     broadcast bias — whose transposes are the GEMM weight gradient
@@ -128,7 +114,9 @@ def batch_network_op(net_op: TOp, B: int) -> Optional[TOp]:
     with UNBATCHED parameter slots, or None when the graph falls outside
     the supported family."""
     cur = None
-    for seg in _unchain(net_op):
+    from .feedforward import unchain
+
+    for seg in unchain(net_op):
         bseg = _batch_segment(seg, B)
         if bseg is None:
             return None

@@ -186,6 +186,27 @@ class Network:
         return fn(rate, y, x, *self.params)
 
 
+def unchain(op: TOp) -> list:
+    """Split an op graph at its ``lead``-composition seams (the build
+    pattern of ``Network.then`` / ``gen_net``: ``Compose(First(prefix,
+    rest), layer)`` with ``rest`` = the layer's params) into the list of
+    per-layer sub-ops, each ``([x] + params_k) -> [y]``.  An op with no
+    such seam is returned whole.  Shared by the pipeline partitioners
+    (``parallel.ir_pipeline``) and the batched lowering
+    (``models.batched``)."""
+    from ..ops.ir import Compose, First
+
+    if (
+        isinstance(op, Compose)
+        and isinstance(op.f, First)
+        and len(op.f.op.out_stack) == 1
+        and len(op.g.out_stack) == 1
+        and op.f.rest == op.g.in_stack[1:]
+    ):
+        return unchain(op.f.op) + [op.g]
+    return [op]
+
+
 def lift_net(op: TOp) -> Network:
     """``liftNet`` — a parameterless network (``FeedForward.hs:110-113``)."""
     return Network(op, ())

@@ -213,8 +213,10 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                                   for gg in grads[1:-1]))
                 vals, grads = vmapped_lp(xb.astype(jnp.bfloat16),
                                          yb.astype(jnp.bfloat16), *lp)
-                return (jnp.mean(vals).astype(jnp.float32),
-                        tuple(jnp.mean(gg, axis=0).astype(jnp.float32)
+                # upcast BEFORE the mean: the batch-mean carries more
+                # precision than any single bf16 sample
+                return (jnp.mean(vals.astype(jnp.float32)),
+                        tuple(jnp.mean(gg.astype(jnp.float32), axis=0)
                               for gg in grads))
         else:
             vmapped = make_vmapped_grads(net, loss, be)
@@ -923,6 +925,14 @@ def fit_sequences(
     from .recurrent import RecurrentNetwork
 
     opt = optimizer
+    if be.name == "jax":
+        import jax
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "fit_sequences has no multi-process mesh support: under "
+                "a multi-process jax runtime every process would train "
+                "an independent (divergent) replica on the full dataset")
     N = XS.shape[0]
     if N < batch_size:
         raise ValueError(

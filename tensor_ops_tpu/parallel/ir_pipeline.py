@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 from ..backend.base import Backend
 from ..ops.ir import Compose, First, GMul, LiftOp, Shuffle, SumOp, TOp
 from ..ops.shapes import ShapeError
-from ..models.feedforward import Network
+from ..models.feedforward import Network, unchain  # noqa: F401 — unchain re-exported (public API since round 2)
 from .mesh import DATA_AXIS, MODEL_AXIS
 from .pipeline import STAGE_AXIS, shard_map
 
@@ -44,23 +44,6 @@ from .pipeline import STAGE_AXIS, shard_map
 # ---------------------------------------------------------------------------
 # unchaining a Network op at its composition points
 # ---------------------------------------------------------------------------
-
-
-def unchain(op: TOp) -> List[TOp]:
-    """Split an op graph at its ``lead``-composition seams (the build
-    pattern of ``Network.then`` / ``gen_net``: ``Compose(First(prefix,
-    rest), layer)`` with ``rest`` = the layer's params) into the list of
-    per-layer sub-ops, each ``([x] + params_k) -> [y]``.  An op with no
-    such seam is returned whole."""
-    if (
-        isinstance(op, Compose)
-        and isinstance(op.f, First)
-        and len(op.f.op.out_stack) == 1
-        and len(op.g.out_stack) == 1
-        and op.f.rest == op.g.in_stack[1:]
-    ):
-        return unchain(op.f.op) + [op.g]
-    return [op]
 
 
 def network_segments(net: Network) -> List[Tuple[TOp, Tuple[Any, ...]]]:
