@@ -442,7 +442,7 @@ def fit(
             part = split_network_circular(net, mesh.shape[STAGE_AXIS],
                                           pipeline_chunks)
         elif pipeline_schedule == "gpipe":
-            part = partition_network(net, mesh.shape[STAGE_AXIS])
+            part = partition_network(net, mesh.shape[STAGE_AXIS], mesh)
         else:
             raise ValueError(
                 f"pipeline_schedule must be 'gpipe' or 'circular', got "

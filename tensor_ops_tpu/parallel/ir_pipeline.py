@@ -401,6 +401,180 @@ def split_network(net: Network, n_stages: int) -> PipelinedNetwork:
     )
 
 
+@dataclass
+class HeteroTpPipelinedNetwork:
+    """A heterogeneous partition that ALSO tensor-parallels: every
+    segment matches the row-shardable ffLayer pattern (elementwise
+    tails only — e.g. an autoencoder's 784→512→256→128→… logistic
+    pyramid), so each stage's params pack as ``(S, tp, Lmax)`` rows of
+    per-shard row-slices, sharded over BOTH the stage and model axes.
+    Each device evaluates its stage's tp-local segment sequence
+    (``_tp_local_segment`` graphs through ``ir_call``'s transposition
+    AD) with an activation all-gather between segments."""
+
+    stage_ops: List[List[TOp]]        # full-width segment ops per stage
+    local_ops: List[List[TOp]]        # tp-local variants per stage
+    packed: Optional[Any]             # (S, tp, Lmax)
+    width: int                        # ring activation width H
+    lmax: int
+    tp: int
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.stage_ops)
+
+    @property
+    def in_width(self) -> int:
+        return self.stage_ops[0][0].in_stack[0][0]
+
+    @property
+    def out_width(self) -> int:
+        return self.stage_ops[-1][-1].out_stack[0][0]
+
+    def flat_params(self) -> Tuple[Any, ...]:
+        return (self.packed,)
+
+    def unflatten(self, flat) -> "HeteroTpPipelinedNetwork":
+        (packed,) = flat
+        return HeteroTpPipelinedNetwork(
+            self.stage_ops, self.local_ops, packed, self.width,
+            self.lmax, self.tp)
+
+    def skeleton(self) -> "HeteroTpPipelinedNetwork":
+        return HeteroTpPipelinedNetwork(
+            self.stage_ops, self.local_ops, None, self.width,
+            self.lmax, self.tp)
+
+    def to_network_params(self) -> Tuple[Any, ...]:
+        """Reassemble the Network stack: concatenate each param's tp
+        row-slices back to full width, in chain order."""
+        ps: List[Any] = []
+        for s, ops in enumerate(self.stage_ops):
+            ofs = 0
+            rows = self.packed[s]  # (tp, Lmax)
+            for op in ops:
+                for sh in op.in_stack[1:]:
+                    o_l = sh[0] // self.tp
+                    loc = (o_l,) + tuple(sh[1:])
+                    k = int(np.prod(loc, dtype=np.int64))
+                    parts = [rows[m, ofs : ofs + k].reshape(loc)
+                             for m in range(self.tp)]
+                    ps.append(jnp.concatenate(parts, axis=0))
+                    ofs += k
+        return tuple(ps)
+
+
+def split_network_hetero_tp(net: Network, n_stages: int, tp: int
+                            ) -> Optional[HeteroTpPipelinedNetwork]:
+    """The heterogeneous FLOP-balanced cut with every segment
+    row-sharded over ``tp`` model shards — possible only when EVERY
+    segment matches the ffLayer pattern with an elementwise tail and a
+    tp-divisible output width (softmax tails and odd widths return
+    None; the caller falls back to the model-replicated hetero cut)."""
+    segs = network_segments(net)
+    if len(segs) < n_stages:
+        return None
+    local = [_tp_local_segment(op, tp) for op, _ in segs]
+    if any(lo is None for lo in local):
+        return None
+    widths = set()
+    for op, _ in segs:
+        for sh in (op.in_stack[0], op.out_stack[0]):
+            if len(sh) != 1:
+                return None
+            widths.add(sh[0])
+    H = max(widths)
+    bounds = _balanced_partition([_op_flops(op) for op, _ in segs],
+                                 n_stages)
+    stage_ops, local_ops, rows = [], [], []
+    for a, b in bounds:
+        stage_ops.append([op for op, _ in segs[a:b]])
+        local_ops.append(local[a:b])
+        per_shard = []
+        for m in range(tp):
+            flat = []
+            for op, ps in segs[a:b]:
+                for sh, p in zip(op.in_stack[1:], ps):
+                    o_l = sh[0] // tp
+                    flat.append(jnp.ravel(p[m * o_l : (m + 1) * o_l]))
+            per_shard.append(jnp.concatenate(flat) if flat
+                             else jnp.zeros((0,), net.params[0].dtype))
+        rows.append(per_shard)
+    lmax = max(int(r.shape[0]) for sh in rows for r in sh)
+    packed = jnp.stack([
+        jnp.stack([jnp.pad(r, (0, lmax - r.shape[0])) for r in sh])
+        for sh in rows])
+    return HeteroTpPipelinedNetwork(stage_ops, local_ops, packed, H,
+                                    lmax, tp)
+
+
+def _make_tp_stage_branch(local_seg_ops: List[TOp], be: Backend, H: int,
+                          full_out_w: int):
+    """One tp-sharded stage: unpack the device's row-slice params, run
+    each tp-local segment through framework AD, all-gather the full
+    activation between segments, re-pad the final output."""
+    calls = [batched_ir_call(op, be) for op in local_seg_ops]
+    pshapes = [tuple(op.in_stack[1:]) for op in local_seg_ops]
+    in_w = local_seg_ops[0].in_stack[0][0]
+
+    def branch(pv, x):
+        h = x[:, :in_w]
+        ofs = 0
+        for call, shapes in zip(calls, pshapes):
+            ps = []
+            for sh in shapes:
+                k = int(np.prod(sh, dtype=np.int64)) if sh else 1
+                ps.append(pv[ofs : ofs + k].reshape(sh))
+                ofs += k
+            a_local = call(h, *ps)
+            h = lax.all_gather(a_local, MODEL_AXIS, axis=1, tiled=True)
+        if h.shape[1] < H:
+            h = jnp.pad(h, ((0, 0), (0, H - h.shape[1])))
+        return h
+
+    return branch
+
+
+def _make_hetero_tp_spmd_body(pnet: "HeteroTpPipelinedNetwork",
+                              be: Backend):
+    """The hetero GPipe loop with tp-sharded stages: identical schedule
+    to :func:`_make_hetero_spmd_body`, but each branch computes its
+    model shard's activation rows and all-gathers between segments."""
+
+    def spmd(packed_local, mb_inputs):
+        pv = packed_local[0, 0]          # this device's (Lmax,) row
+        s = lax.axis_index(STAGE_AXIS)
+        S = lax.axis_size(STAGE_AXIS)
+        H = mb_inputs.shape[-1]
+        branches = [
+            _make_tp_stage_branch(
+                pnet.local_ops[k], be, H,
+                pnet.stage_ops[k][-1].out_stack[0][0])
+            for k in range(pnet.n_stages)]
+        M = mb_inputs.shape[0]
+        T = M + S - 1
+        state = jnp.zeros_like(mb_inputs[0])
+        outputs = jnp.zeros_like(mb_inputs)
+
+        def step(carry, t):
+            state, outputs = carry
+            inject = mb_inputs[jnp.minimum(t, M - 1)]
+            x_in = jnp.where(s == 0, inject, state)
+            y = lax.switch(s, branches, pv, x_in)
+            oidx = t - (S - 1)
+            updated = lax.dynamic_update_index_in_dim(
+                outputs, y, jnp.maximum(oidx, 0), 0)
+            outputs = jnp.where((s == S - 1) & (oidx >= 0), updated, outputs)
+            state = lax.ppermute(
+                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            return (state, outputs), None
+
+        (state, outputs), _ = lax.scan(step, (state, outputs), jnp.arange(T))
+        return lax.psum(outputs, STAGE_AXIS)
+
+    return spmd
+
+
 # ---------------------------------------------------------------------------
 # circular (interleaved) schedule over the staged IR
 # ---------------------------------------------------------------------------
@@ -722,7 +896,15 @@ def make_ir_pipeline_loss(
     S = mesh.shape[STAGE_AXIS]
     if pnet is None:
         pnet = (split_network_circular(net, S, n_chunks)
-                if schedule == "circular" else partition_network(net, S))
+                if schedule == "circular"
+                else partition_network(net, S, mesh))
+    if isinstance(pnet, HeteroTpPipelinedNetwork):
+        if schedule == "circular":
+            raise ShapeError(
+                "the circular schedule needs a uniform body; this "
+                "network partitions heterogeneously")
+        return _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches,
+                                    pnet)
     if isinstance(pnet, HeteroPipelinedNetwork):
         if schedule == "circular":
             raise ShapeError(
@@ -802,14 +984,53 @@ def make_ir_pipeline_loss(
     return loss_fn, pnet
 
 
-def partition_network(net: Network, n_stages: int):
+def partition_network(net: Network, n_stages: int, mesh: Optional[Mesh] = None):
     """The stage partition ``fit``/``make_ir_pipeline_loss`` use: the
-    uniform stacked-body cut when the network has one, else the general
+    uniform stacked-body cut when the network has one; else — when the
+    mesh carries a model axis and every segment row-shards — the
+    tensor-parallel heterogeneous cut; else the model-replicated
     heterogeneous FLOP-balanced cut."""
     try:
         return split_network(net, n_stages)
     except ShapeError:
-        return split_network_hetero(net, n_stages)
+        pass
+    if (mesh is not None and MODEL_AXIS in mesh.axis_names
+            and mesh.shape[MODEL_AXIS] > 1):
+        tp = split_network_hetero_tp(net, n_stages,
+                                     mesh.shape[MODEL_AXIS])
+        if tp is not None:
+            return tp
+    return split_network_hetero(net, n_stages)
+
+
+def _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches, pnet):
+    """(loss_fn, pnet) for a tensor-parallel heterogeneous partition:
+    the packed rows shard over (stage, model); activations replicate
+    over model (each shard computes its rows, all-gather restores)."""
+    M = n_microbatches
+    has_data = DATA_AXIS in mesh.axis_names
+    mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
+    pipelined = shard_map(
+        _make_hetero_tp_spmd_body(pnet, be),
+        mesh=mesh,
+        in_specs=(PSpec(STAGE_AXIS, MODEL_AXIS), mb_spec),
+        out_specs=mb_spec,
+        check_vma=False,
+    )
+    H, out_w = pnet.width, pnet.out_width
+    loss_call = ir_call(loss, be)
+    loss_batched = jax.vmap(lambda o, y: loss_call(o, y)[0])
+
+    def loss_fn(flat_params, xb, yb):
+        (packed,) = flat_params
+        B = xb.shape[0]
+        h = xb if xb.shape[1] == H else jnp.pad(
+            xb, ((0, 0), (0, H - xb.shape[1])))
+        mb = h.reshape(M, B // M, H)
+        out = pipelined(packed, mb).reshape(B, H)[:, :out_w]
+        return jnp.mean(loss_batched(out, yb))
+
+    return loss_fn, pnet
 
 
 def _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet):
@@ -906,6 +1127,12 @@ def shard_pipelined_params(pnet, mesh: Mesh):
     (heterogeneous partition)."""
     repl = NamedSharding(mesh, PSpec())
     stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+    if isinstance(pnet, HeteroTpPipelinedNetwork):
+        return HeteroTpPipelinedNetwork(
+            pnet.stage_ops, pnet.local_ops,
+            jax.device_put(pnet.packed, NamedSharding(
+                mesh, PSpec(STAGE_AXIS, MODEL_AXIS))),
+            pnet.width, pnet.lmax, pnet.tp)
     if isinstance(pnet, HeteroPipelinedNetwork):
         return HeteroPipelinedNetwork(
             pnet.stage_ops, jax.device_put(pnet.packed, stage_sh),

@@ -443,3 +443,115 @@ def test_fit_circular_ir_pipeline(jb, tmp_path):
     for a, b in zip(resumed.net.params, r_circ.net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-9, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous pipeline x tensor parallelism
+# ---------------------------------------------------------------------------
+
+
+def _pyramid(jb, seed=0):
+    """Autoencoder-style all-elementwise chain: 16->8->4->8->16 logistic
+    — every segment row-shards (no softmax tail), widths all divide 2."""
+    rng = Rng(jb, seed=seed)
+    return gen_net(jb, 16, 16,
+                   [(8, act_logistic()), (4, act_logistic()),
+                    (8, act_logistic())],
+                   act_logistic(), rng)
+
+
+def test_split_hetero_tp_roundtrip(jb):
+    from tensor_ops_tpu.parallel.ir_pipeline import split_network_hetero_tp
+
+    net = _pyramid(jb)
+    p = split_network_hetero_tp(net, 2, 2)
+    assert p is not None and p.n_stages == 2 and p.tp == 2
+    assert p.packed.shape[0] == 2 and p.packed.shape[1] == 2
+    back = p.to_network_params()
+    assert len(back) == len(net.params)
+    for a, b in zip(back, net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # softmax-tailed flagship does NOT hetero-tp
+    rng = Rng(jb, seed=1)
+    smax = gen_net(jb, 16, 4, [(8, act_logistic())], act_softmax(), rng)
+    assert split_network_hetero_tp(smax, 2, 2) is None
+
+
+@multi
+def test_hetero_tp_grads_equal_sequential(jb):
+    """(stage=2, model=2) + dp on the all-elementwise pyramid: the
+    tp-sharded heterogeneous pipeline == sequential at 1e-9, with the
+    packed params genuinely sharded over BOTH axes."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        HeteroTpPipelinedNetwork, ir_pipeline_train_step, partition_network,
+        shard_pipelined_params)
+    from tensor_ops_tpu.parallel.pipeline import STAGE_AXIS, make_3d_pipeline_mesh
+    from tensor_ops_tpu.parallel.mesh import MODEL_AXIS
+
+    net = _pyramid(jb, seed=3)
+    loss = squared_error(16)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    part = partition_network(net, 2, mesh)
+    assert isinstance(part, HeteroTpPipelinedNetwork)
+    spnet = shard_pipelined_params(part, mesh)
+    spec = tuple(spnet.packed.sharding.spec)
+    assert spec[0] == STAGE_AXIS and spec[1] == MODEL_AXIS
+    assert not spnet.packed.sharding.is_fully_replicated
+
+    r = np.random.default_rng(4)
+    B = 8
+    xb = jb.asarray(r.uniform(0, 1, size=(B, 16)))
+    yb = jb.asarray(r.uniform(0, 1, size=(B, 16)))
+    step, pnet = ir_pipeline_train_step(net, loss, jb, mesh,
+                                        n_microbatches=2)
+    v, new_flat = step(0.1, xb, yb, *spnet.flat_params())
+    got = pnet.unflatten(tuple(new_flat)).to_network_params()
+    sv, g = _seq_grads(net, loss, jb, np.asarray(xb), np.asarray(yb))
+    assert abs(float(v) - sv) < 1e-9
+    for p, gg, nn in zip(net.params, g, got):
+        np.testing.assert_allclose(np.asarray(p) - 0.1 * gg,
+                                   np.asarray(nn), atol=1e-9, rtol=0)
+
+
+@multi
+def test_hetero_tp_fit(jb, tmp_path):
+    """fit on a (2,2,2) mesh with the pyramid: NO idle-model warning,
+    loss curve == single-device at 1e-9, checkpoint/resume intact."""
+    import warnings
+
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.models.trainer import fit
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    r = np.random.default_rng(5)
+    X = r.uniform(0, 1, size=(64, 16))
+    Y = r.uniform(0, 1, size=(64, 16))
+    loss = squared_error(16)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    kw = dict(epochs=2, batch_size=16, lr=0.05, optimizer=adam(),
+              verbose=False, prefetch=0, log_every=1,
+              pipeline_microbatches=4)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r_tp = fit(_pyramid(jb, seed=6), loss, jb, X, Y, mesh=mesh, **kw)
+    assert not any("model axis" in str(x.message) for x in w)
+    r_sd = fit(_pyramid(jb, seed=6), loss, jb, X, Y, **{
+        k: v for k, v in kw.items() if k != "pipeline_microbatches"})
+    for ra, rb in zip(r_tp.history, r_sd.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_tp.net.params, r_sd.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+    ck = str(tmp_path / "htp.npz")
+    fit(_pyramid(jb, seed=6), loss, jb, X, Y, epochs=1, mesh=mesh,
+        checkpoint_path=ck, checkpoint_every=2,
+        **{k: v for k, v in kw.items() if k != "epochs"})
+    resumed = fit(_pyramid(jb, seed=6), loss, jb, X, Y, mesh=mesh,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    for a, b in zip(resumed.net.params, r_tp.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
