@@ -404,16 +404,18 @@ def split_network(net: Network, n_stages: int) -> PipelinedNetwork:
 @dataclass
 class HeteroTpPipelinedNetwork:
     """A heterogeneous partition that ALSO tensor-parallels: every
-    segment matches the row-shardable ffLayer pattern (elementwise
-    tails only — e.g. an autoencoder's 784→512→256→128→… logistic
-    pyramid), so each stage's params pack as ``(S, tp, Lmax)`` rows of
-    per-shard row-slices, sharded over BOTH the stage and model axes.
-    Each device evaluates its stage's tp-local segment sequence
-    (``_tp_local_segment`` graphs through ``ir_call``'s transposition
-    AD) with an activation all-gather between segments."""
+    segment matches the row-shardable ffLayer pattern — elementwise
+    tails (an autoencoder's 784→512→256→128→… logistic pyramid) AND
+    softmax tails (the flagship's output head, whose normalization runs
+    replicated after the all-gather) — so each stage's params pack as
+    ``(S, tp, Lmax)`` rows of per-shard row-slices, sharded over BOTH
+    the stage and model axes.  Each device evaluates its stage's
+    tp-local segment sequence (``_tp_local_segment_split`` graphs
+    through ``ir_call``'s transposition AD) with an activation
+    all-gather between segments."""
 
     stage_ops: List[List[TOp]]        # full-width segment ops per stage
-    local_ops: List[List[TOp]]        # tp-local variants per stage
+    local_ops: List[List[Tuple[TOp, Optional[TOp]]]]  # (tp-local, replicated-suffix) per segment
     packed: Optional[Any]             # (S, tp, Lmax)
     width: int                        # ring activation width H
     lmax: int
@@ -468,13 +470,16 @@ def split_network_hetero_tp(net: Network, n_stages: int, tp: int
                             ) -> Optional[HeteroTpPipelinedNetwork]:
     """The heterogeneous FLOP-balanced cut with every segment
     row-sharded over ``tp`` model shards — possible only when EVERY
-    segment matches the ffLayer pattern with an elementwise tail and a
-    tp-divisible output width (softmax tails and odd widths return
-    None; the caller falls back to the model-replicated hetero cut)."""
+    segment matches the ffLayer pattern with a tp-divisible output
+    width (odd widths return None; the caller falls back to the
+    model-replicated hetero cut).  Softmax-tailed segments (the
+    flagship's output head) shard too: the affine rows + exp run
+    tp-local and the normalization runs replicated after the
+    all-gather (``_tp_local_segment_split``)."""
     segs = network_segments(net)
     if len(segs) < n_stages:
         return None
-    local = [_tp_local_segment(op, tp) for op, _ in segs]
+    local = [_tp_local_segment_split(op, tp) for op, _ in segs]
     if any(lo is None for lo in local):
         return None
     widths = set()
@@ -508,19 +513,21 @@ def split_network_hetero_tp(net: Network, n_stages: int, tp: int
                                     lmax, tp)
 
 
-def _make_tp_stage_branch(local_seg_ops: List[TOp], be: Backend, H: int,
-                          full_out_w: int):
+def _make_tp_stage_branch(local_segs: List[Tuple[TOp, Optional[TOp]]],
+                          be: Backend, H: int, full_out_w: int):
     """One tp-sharded stage: unpack the device's row-slice params, run
     each tp-local segment through framework AD, all-gather the full
-    activation between segments, re-pad the final output."""
-    calls = [batched_ir_call(op, be) for op in local_seg_ops]
-    pshapes = [tuple(op.in_stack[1:]) for op in local_seg_ops]
-    in_w = local_seg_ops[0].in_stack[0][0]
+    activation between segments (then any replicated non-rowwise tail —
+    the sharded-softmax normalization), re-pad the final output."""
+    calls = [(batched_ir_call(loc, be), tuple(loc.in_stack[1:]),
+              batched_ir_call(suf, be) if suf is not None else None)
+             for loc, suf in local_segs]
+    in_w = local_segs[0][0].in_stack[0][0]
 
     def branch(pv, x):
         h = x[:, :in_w]
         ofs = 0
-        for call, shapes in zip(calls, pshapes):
+        for call, shapes, suf_call in calls:
             ps = []
             for sh in shapes:
                 k = int(np.prod(sh, dtype=np.int64)) if sh else 1
@@ -528,6 +535,8 @@ def _make_tp_stage_branch(local_seg_ops: List[TOp], be: Backend, H: int,
                 ofs += k
             a_local = call(h, *ps)
             h = lax.all_gather(a_local, MODEL_AXIS, axis=1, tiled=True)
+            if suf_call is not None:
+                h = suf_call(h)
         if h.shape[1] < H:
             h = jnp.pad(h, ((0, 0), (0, H - h.shape[1])))
         return h
@@ -726,15 +735,20 @@ def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
 # ---------------------------------------------------------------------------
 
 
-def _tp_local_segment(op: TOp, tp: int) -> Optional[TOp]:
-    """Row-parallel (Megatron) variant of a uniform ffLayer body segment:
-    if ``op`` matches the gen_net layer pattern
-    ``First(swap >> matVec, rest=[(o,)]) >> add >> [elementwise...]``
-    and ``o`` divides ``tp``, return the same graph rebuilt at local
-    width ``o/tp`` — weights/bias row-sharded over the ``model`` axis,
-    each shard computing its slice of the pre-activation + elementwise
-    tail (elementwise ops decompose rowwise; softmax does not, which is
-    why only the body — never the output head — tp-shards).  Returns
+def _tp_local_segment_split(op: TOp, tp: int
+                            ) -> Optional[Tuple[TOp, Optional[TOp]]]:
+    """Row-parallel (Megatron) split of an ffLayer segment: if ``op``
+    matches the gen_net layer pattern
+    ``First(swap >> matVec, rest=[(o,)]) >> add >> [tail...]`` and
+    ``tp`` divides ``o``, return ``(local, suffix)`` — ``local`` is the
+    affine part plus the maximal rowwise (elementwise) prefix of the
+    tail rebuilt at width ``o/tp`` (weights/bias row-sharded over the
+    ``model`` axis), and ``suffix`` is the remaining non-rowwise tail
+    (e.g. the softmax normalization ``duplicate >> first(sumRows >>
+    recip) >> outer``, ``NeuralNet.hs:52-59``) recomposed at FULL width,
+    to run replicated after the activation all-gather — the standard
+    sharded-softmax decomposition (local exp rows, global sum after the
+    gather).  ``suffix`` is None for all-elementwise tails.  Returns
     None when the segment doesn't match (caller falls back, loudly)."""
     from ..ops import prim as P
 
@@ -759,16 +773,34 @@ def _tp_local_segment(op: TOp, tp: int) -> Optional[TOp]:
     if not (isinstance(nodes[1], SumOp) and nodes[1].n == 2
             and nodes[1].shape == (o,)):
         return None
-    for nd in nodes[2:]:
-        if not (isinstance(nd, LiftOp) and nd.shape == (o,)
-                and nd.vf.n_args == 1):
+    k = 2
+    while (k < len(nodes) and isinstance(nodes[k], LiftOp)
+           and nodes[k].shape == (o,) and nodes[k].vf.n_args == 1):
+        k += 1
+    suffix: Optional[TOp] = None
+    if k < len(nodes):
+        suffix = nodes[k]
+        for nd in nodes[k + 1:]:
+            suffix = suffix >> nd
+        if (suffix.in_stack != ((o,),) or len(suffix.out_stack) != 1
+                or len(suffix.out_stack[0]) != 1):
             return None
     o_l = o // tp
     local = P.first(P.swap((i,), (o_l, i)) >> P.mat_vec(o_l, i),
                     rest=[(o_l,)]) >> SumOp(2, (o_l,))
-    for nd in nodes[2:]:
+    for nd in nodes[2:k]:
         local = local >> LiftOp(nd.vf, (o_l,))
-    return local
+    return local, suffix
+
+
+def _tp_local_segment(op: TOp, tp: int) -> Optional[TOp]:
+    """The suffix-free case of :func:`_tp_local_segment_split` — the
+    uniform-body tp path, where every stage evaluates the same stacked
+    segment and no replicated tail is plumbed."""
+    r = _tp_local_segment_split(op, tp)
+    if r is None or r[1] is not None:
+        return None
+    return r[0]
 
 
 def pipeline_tp_segment(pnet, mesh: Mesh) -> Optional[TOp]:

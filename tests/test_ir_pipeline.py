@@ -472,10 +472,21 @@ def test_split_hetero_tp_roundtrip(jb):
     for a, b in zip(back, net.params):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # softmax-tailed flagship does NOT hetero-tp
+    # softmax-tailed flagship DOES hetero-tp (round 3): the affine rows
+    # + exp shard; the normalization runs replicated after the gather
     rng = Rng(jb, seed=1)
     smax = gen_net(jb, 16, 4, [(8, act_logistic())], act_softmax(), rng)
-    assert split_network_hetero_tp(smax, 2, 2) is None
+    ps = split_network_hetero_tp(smax, 2, 2)
+    assert ps is not None and ps.n_stages == 2
+    assert ps.local_ops[-1][-1][1] is not None  # replicated softmax suffix
+    assert ps.local_ops[0][0][1] is None        # logistic tail stays local
+    back = ps.to_network_params()
+    for a, b in zip(back, smax.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # odd (non-divisible) widths still fall back
+    odd = gen_net(jb, 16, 5, [(8, act_logistic())], act_softmax(), rng)
+    assert split_network_hetero_tp(odd, 2, 2) is None
 
 
 @multi
@@ -503,6 +514,41 @@ def test_hetero_tp_grads_equal_sequential(jb):
     B = 8
     xb = jb.asarray(r.uniform(0, 1, size=(B, 16)))
     yb = jb.asarray(r.uniform(0, 1, size=(B, 16)))
+    step, pnet = ir_pipeline_train_step(net, loss, jb, mesh,
+                                        n_microbatches=2)
+    v, new_flat = step(0.1, xb, yb, *spnet.flat_params())
+    got = pnet.unflatten(tuple(new_flat)).to_network_params()
+    sv, g = _seq_grads(net, loss, jb, np.asarray(xb), np.asarray(yb))
+    assert abs(float(v) - sv) < 1e-9
+    for p, gg, nn in zip(net.params, g, got):
+        np.testing.assert_allclose(np.asarray(p) - 0.1 * gg,
+                                   np.asarray(nn), atol=1e-9, rtol=0)
+
+
+@multi
+def test_hetero_tp_softmax_grads_equal_sequential(jb):
+    """(stage=2, model=2) + dp on a flagship-shaped softmax net
+    (16->8->4, logistic hidden, softmax head, cross-entropy): the
+    sharded-softmax decomposition (tp-local affine+exp, replicated
+    normalization after the gather) == sequential at 1e-9."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        HeteroTpPipelinedNetwork, partition_network,
+        shard_pipelined_params)
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    rng = Rng(jb, seed=11)
+    net = gen_net(jb, 16, 4, [(8, act_logistic())], act_softmax(), rng)
+    loss = cross_entropy(4)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    part = partition_network(net, 2, mesh)
+    assert isinstance(part, HeteroTpPipelinedNetwork)
+    spnet = shard_pipelined_params(part, mesh)
+
+    r = np.random.default_rng(12)
+    B = 8
+    xb = jb.asarray(r.uniform(0, 1, size=(B, 16)))
+    lbl = r.integers(0, 4, size=B)
+    yb = jb.asarray(np.eye(4)[lbl])
     step, pnet = ir_pipeline_train_step(net, loss, jb, mesh,
                                         n_microbatches=2)
     v, new_flat = step(0.1, xb, yb, *spnet.flat_params())
