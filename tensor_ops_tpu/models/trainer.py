@@ -66,19 +66,11 @@ class _CheckpointWrites:
 
 def _place(host, sharding):
     """Place a host array onto a device sharding — including shardings
-    spanning OTHER processes (multi-host resume): ``device_put`` only
-    accepts fully-addressable targets, so the cross-process case builds
-    the global array from this process's slices via
-    ``make_array_from_callback`` (every process holds the full host copy
-    after a checkpoint load, so the callback just slices it)."""
-    import jax
+    spanning OTHER processes (multi-host resume).  Shared logic in
+    :func:`tensor_ops_tpu.parallel.mesh.place_host`."""
+    from ..parallel.mesh import place_host
 
-    host = np.asarray(host)
-    if all(d.process_index == jax.process_index()
-           for d in sharding.device_set):
-        return jax.device_put(host, sharding)
-    return jax.make_array_from_callback(
-        host.shape, sharding, lambda idx: host[idx])
+    return place_host(host, sharding)
 
 
 def _check_process_data_alignment(mesh, n_proc: int) -> None:

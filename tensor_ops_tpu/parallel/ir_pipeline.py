@@ -1156,31 +1156,36 @@ def shard_pipelined_params(pnet, mesh: Mesh):
     body tensor-parallels (``pipeline_tp_segment``), their per-segment
     row dim over the model axis too — pre/post replicated (uniform
     partition); or the packed ``(S, Lmax)`` rows over the stage axis
-    (heterogeneous partition)."""
+    (heterogeneous partition).  Placement goes through
+    :func:`~tensor_ops_tpu.parallel.mesh.place_host`, so meshes spanning
+    multiple processes (multi-host pipeline training) place correctly —
+    ``device_put`` alone rejects non-addressable targets."""
+    from .mesh import place_host
+
     repl = NamedSharding(mesh, PSpec())
     stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
     if isinstance(pnet, HeteroTpPipelinedNetwork):
         return HeteroTpPipelinedNetwork(
             pnet.stage_ops, pnet.local_ops,
-            jax.device_put(pnet.packed, NamedSharding(
+            place_host(pnet.packed, NamedSharding(
                 mesh, PSpec(STAGE_AXIS, MODEL_AXIS))),
             pnet.width, pnet.lmax, pnet.tp)
     if isinstance(pnet, HeteroPipelinedNetwork):
         return HeteroPipelinedNetwork(
-            pnet.stage_ops, jax.device_put(pnet.packed, stage_sh),
+            pnet.stage_ops, place_host(pnet.packed, stage_sh),
             pnet.width, pnet.lmax)
-    pre = [(op, tuple(jax.device_put(x, repl) for x in p))
+    pre = [(op, tuple(place_host(x, repl) for x in p))
            for op, p in pnet.pre]
-    post = [(op, tuple(jax.device_put(x, repl) for x in p))
+    post = [(op, tuple(place_host(x, repl) for x in p))
             for op, p in pnet.post]
     if pipeline_tp_segment(pnet, mesh) is not None:
         body = tuple(
-            jax.device_put(x, NamedSharding(
+            place_host(x, NamedSharding(
                 mesh, PSpec(STAGE_AXIS, MODEL_AXIS,
                             *([None] * (x.ndim - 2)))))
             for x in pnet.body_params)
     else:
-        body = tuple(jax.device_put(x, stage_sh) for x in pnet.body_params)
+        body = tuple(place_host(x, stage_sh) for x in pnet.body_params)
     if isinstance(pnet, CircularPipelinedNetwork):
         return CircularPipelinedNetwork(
             pre, pnet.body_op, body, pnet.n_body, post,

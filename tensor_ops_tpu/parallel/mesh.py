@@ -62,6 +62,22 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def place_host(host, sharding):
+    """Place a host array onto a device sharding — including shardings
+    spanning OTHER processes (multi-host training/resume):
+    ``device_put`` only accepts fully-addressable targets, so the
+    cross-process case builds the global array from this process's
+    slices via ``make_array_from_callback`` (every process holds the
+    full host copy, so the callback just slices it).  All processes
+    must call this together with identical values."""
+    host = np.asarray(host)
+    if all(d.process_index == jax.process_index()
+           for d in sharding.device_set):
+        return jax.device_put(host, sharding)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx])
+
+
 def param_specs(param_stack: Sequence[Tuple[int, ...]], mesh: Mesh) -> Tuple[PSpec, ...]:
     """Megatron-style specs for an alternating ffLayer chain: layer-k
     weight ``(o, i)`` *prefers* row-parallel (``o`` over model) for even k

@@ -76,11 +76,43 @@ assert res1.steps == 4 and res2.steps == 8
 from tensor_ops_tpu.models.trainer import _global_host_tree  # noqa: E402
 
 host_params = _global_host_tree(tuple(res2.net.params), mesh)
+
+# scenario 2: dp x pp — the staged-IR pipeline over a (data=2, stage=4)
+# mesh SPANNING BOTH PROCESSES (data rows process-aligned, the stage
+# ring intra-process, the dp gradient psum crossing hosts), with a
+# rank-0 checkpoint mid-run and exact cross-process resume
+from tensor_ops_tpu.models import squared_error  # noqa: E402
+from tensor_ops_tpu.parallel.pipeline import make_dp_pipeline_mesh  # noqa: E402
+
+
+def build_pp_net(be):
+    return gen_net(be, 8, 8, [(8, act_logistic())] * 4, act_logistic(),
+                   Rng(be, seed=5))
+
+
+r2 = np.random.default_rng(7)
+X2 = r2.uniform(0, 1, size=(64, 8))
+Y2 = r2.uniform(0, 1, size=(64, 8))
+loss2 = squared_error(8)
+mesh2 = make_dp_pipeline_mesh(2, 4)
+ck2 = ck + ".pp"
+kw2 = dict(batch_size=16, lr=0.05, optimizer=adam(), log_every=1,
+           verbose=False, seed=0, checkpoint_path=ck2, checkpoint_every=2,
+           pipeline_microbatches=2)
+res3 = fit(build_pp_net(be), loss2, be, X2, Y2, epochs=1, mesh=mesh2, **kw2)
+res4 = fit(build_pp_net(be), loss2, be, X2, Y2, epochs=2, mesh=mesh2,
+           resume=True, **kw2)
+assert res3.steps == 4 and res4.steps == 8
+pp_params = _global_host_tree(tuple(res4.net.params), mesh2)
+
 out = {
     "rank": info["process_index"],
     "losses": [h["loss"] for h in res1.history]
               + [h["loss"] for h in res2.history],
     "params": [p.tolist() for p in host_params],
+    "pp_losses": [h["loss"] for h in res3.history]
+                 + [h["loss"] for h in res4.history],
+    "pp_params": [p.tolist() for p in pp_params],
 }
 with open(os.environ["TOPS_MP_OUT"], "w") as f:
     json.dump(out, f)

@@ -418,13 +418,16 @@ def test_pipeline_resume_layout_mismatch_rejected(jb, tmp_path):
 
 @multi
 def test_hetero_3d_mesh_warns_idle_model_axis(jb):
-    """Heterogeneous partitions on a model-axis mesh warn (they never
-    tp-shard) — the warning must not be bypassed by the hetero path."""
+    """Heterogeneous partitions whose widths do NOT divide the
+    model-axis size fall back model-replicated and warn — the warning
+    must not be bypassed by the hetero path.  (tp-divisible widths,
+    incl. softmax heads, now shard instead — no warning; covered by
+    test_ir_pipeline.py hetero_tp tests.)"""
     import warnings
 
     from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
 
-    net = gen_net(jb, 12, 2, [(10, act_logistic()), (6, act_logistic())],
+    net = gen_net(jb, 12, 2, [(9, act_logistic()), (6, act_logistic())],
                   act_softmax(), Rng(jb, seed=45))
     r = np.random.default_rng(46)
     X = r.uniform(0, 1, size=(32, 12))

@@ -97,6 +97,60 @@ def _single_process_reference():
     return losses, [np.asarray(p) for p in params]
 
 
+def _single_process_pipeline_reference():
+    """fit's dp x pp semantics, run in THIS process on the same 8-device
+    (data=2, stage=4) mesh: the staged-IR pipeline step (uniform body,
+    framework transposition AD) + adam, same per-rank shard loaders."""
+    import jax.numpy as jnp
+
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import (act_logistic, adam, gen_net,
+                                       squared_error)
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        make_ir_pipeline_loss, partition_network, shard_pipelined_params)
+    from tensor_ops_tpu.parallel.pipeline import make_dp_pipeline_mesh
+    from tensor_ops_tpu.utils.native import NativeLoader
+
+    be = T.JaxBackend(dtype=jnp.float64)
+    net = gen_net(be, 8, 8, [(8, act_logistic())] * 4, act_logistic(),
+                  Rng(be, seed=5))
+    r2 = np.random.default_rng(7)
+    X = r2.uniform(0, 1, size=(64, 8))
+    Y = r2.uniform(0, 1, size=(64, 8))
+    loss = squared_error(8)
+    mesh = make_dp_pipeline_mesh(2, 4)
+    part = partition_network(net, 4, mesh)
+    spnet = shard_pipelined_params(part, mesh)
+    params = spnet.flat_params()
+    loss_fn, _ = make_ir_pipeline_loss(net, loss, be, mesh, 2,
+                                       pnet=spnet.skeleton())
+    opt = adam()
+    opt_state = opt.init(params)
+    _vag = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def step_fn(lr, xb, yb, opt_state, params):
+        v, grads = _vag(tuple(params), xb, yb)
+        opt_state, params = opt.update(opt_state, tuple(params), grads, lr)
+        return v, opt_state, params
+
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    data_sh = NamedSharding(mesh, PSpec("data", None))
+    loaders = [NativeLoader(X, Y, batch=8, seed=0, shard=(k, 2),
+                            drop_last=True) for k in range(2)]
+    losses = []
+    for _ in range(8):
+        xs, ys = zip(*(ld.next() for ld in loaders))
+        xb = jax.device_put(be.asarray(np.concatenate(xs)), data_sh)
+        yb = jax.device_put(be.asarray(np.concatenate(ys)), data_sh)
+        v, opt_state, params = step_fn(0.05, xb, yb, opt_state, params)
+        losses.append(float(v))
+    final = spnet.unflatten(tuple(params)).to_network_params()
+    return losses, [np.asarray(p) for p in final]
+
+
 @multi
 def test_two_process_distributed_fit_equals_single_process(tmp_path):
     port = _free_port()
@@ -124,6 +178,18 @@ def test_two_process_distributed_fit_equals_single_process(tmp_path):
     for a, b in zip(ranks[0]["losses"], ref_losses):
         assert abs(a - b) < 1e-9, (ranks[0]["losses"], ref_losses)
     for a, b in zip(ranks[0]["params"], ref_params):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
+
+    # scenario 2: dp x pp over the process-spanning (2, 4) mesh — the
+    # staged-IR pipeline ran for real across both ranks (incl. the
+    # crash/resume seam after step 4) and equals the single-process
+    # pipeline semantics at 1e-9
+    assert ranks[0]["pp_losses"] == ranks[1]["pp_losses"]
+    assert len(ranks[0]["pp_losses"]) == 8
+    pp_ref_losses, pp_ref_params = _single_process_pipeline_reference()
+    for a, b in zip(ranks[0]["pp_losses"], pp_ref_losses):
+        assert abs(a - b) < 1e-9, (ranks[0]["pp_losses"], pp_ref_losses)
+    for a, b in zip(ranks[0]["pp_params"], pp_ref_params):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
 
 
