@@ -391,6 +391,8 @@ def fit(
     params = net.params
     data_sh = None
     n_proc, proc_idx = 1, 0
+    mp_replicated = False  # multi-process stage-only mesh: identical
+    #                        full batches on every rank (no data axis)
     if pipeline_mode:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
@@ -421,11 +423,11 @@ def fit(
         n_proc, proc_idx = jax.process_count(), jax.process_index()
         if n_proc > 1 and has_data:
             _check_process_data_alignment(mesh, n_proc)
-        if n_proc > 1 and not has_data:
-            raise ValueError(
-                "multi-process pipeline training needs a data axis in "
-                "the mesh (a stage-only mesh replicates the batch, which "
-                "per-process disjoint loader shards cannot assemble)")
+        # a stage-only mesh spanning processes is TRUE cross-host
+        # pipelining (the ppermute ring rides the inter-host link):
+        # the batch replicates, so every rank loads the identical full
+        # stream (same seed) and places it with _place
+        mp_replicated = n_proc > 1 and not has_data
         # a model axis in the mesh tensor-parallels the body segments
         # (row-sharded weights + activation all-gather) when they match
         # the ffLayer pattern; make_ir_pipeline_loss warns loudly on the
@@ -539,7 +541,12 @@ def fit(
             f"pipeline training drops ragged batches (the microbatch "
             f"grid needs full ones): dataset ({X.shape[0]} rows) must "
             f"hold at least one batch ({batch_size})")
-    if n_proc > 1:
+    if mp_replicated:
+        # stage-only multi-process mesh: every rank loads the identical
+        # full stream (same seed) — batches replicate over the mesh
+        loader = NativeLoader(X, Y, batch=batch_size, seed=seed,
+                              drop_last=True)
+    elif n_proc > 1:
         # each host loads only its disjoint shard; per-host batches are
         # local rows of the global batch
         loader = NativeLoader(X, Y, batch=batch_size // n_proc, seed=seed,
@@ -655,7 +662,10 @@ def fit(
                 import jax
 
                 xb, yb = loader.next()
-                if n_proc > 1:
+                if mp_replicated:
+                    xb = _place(np.asarray(be.asarray(xb)), data_sh)
+                    yb = _place(np.asarray(be.asarray(yb)), data_sh)
+                elif n_proc > 1:
                     gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
                     gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
                     xb = jax.make_array_from_process_local_data(

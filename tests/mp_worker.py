@@ -105,6 +105,30 @@ res4 = fit(build_pp_net(be), loss2, be, X2, Y2, epochs=2, mesh=mesh2,
 assert res3.steps == 4 and res4.steps == 8
 pp_params = _global_host_tree(tuple(res4.net.params), mesh2)
 
+# scenario 3: TRUE cross-host pipelining — a stage-only (stage=8) mesh
+# whose ppermute ring crosses the process boundary (devices 3->4 and
+# 7->0 hop hosts); every rank loads the identical full stream and the
+# replicated batch places via _place
+from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh  # noqa: E402
+
+
+def build_ring_net(be):
+    return gen_net(be, 8, 8, [(8, act_logistic())] * 8, act_logistic(),
+                   Rng(be, seed=9))
+
+
+mesh3 = make_pipeline_mesh(8)
+ck3 = ck + ".ring"
+kw3 = dict(batch_size=16, lr=0.05, optimizer=adam(), log_every=1,
+           verbose=False, seed=0, checkpoint_path=ck3, checkpoint_every=2,
+           pipeline_microbatches=2)
+res5 = fit(build_ring_net(be), loss2, be, X2, Y2, epochs=1, mesh=mesh3,
+           **kw3)
+res6 = fit(build_ring_net(be), loss2, be, X2, Y2, epochs=2, mesh=mesh3,
+           resume=True, **kw3)
+assert res5.steps == 4 and res6.steps == 8
+ring_params = _global_host_tree(tuple(res6.net.params), mesh3)
+
 out = {
     "rank": info["process_index"],
     "losses": [h["loss"] for h in res1.history]
@@ -113,6 +137,9 @@ out = {
     "pp_losses": [h["loss"] for h in res3.history]
                  + [h["loss"] for h in res4.history],
     "pp_params": [p.tolist() for p in pp_params],
+    "ring_losses": [h["loss"] for h in res5.history]
+                   + [h["loss"] for h in res6.history],
+    "ring_params": [p.tolist() for p in ring_params],
 }
 with open(os.environ["TOPS_MP_OUT"], "w") as f:
     json.dump(out, f)

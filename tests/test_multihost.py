@@ -151,6 +151,34 @@ def _single_process_pipeline_reference():
     return losses, [np.asarray(p) for p in final]
 
 
+def _single_process_ring_reference():
+    """The scenario-3 run, executed as the IDENTICAL single-process
+    ``fit`` call (stage=8 mesh on this process's 8 devices,
+    uninterrupted 2 epochs — resume is bit-exact, so the worker's
+    checkpointed run must match)."""
+    import jax.numpy as jnp
+
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import (act_logistic, adam, gen_net,
+                                       squared_error)
+    from tensor_ops_tpu.models.trainer import fit
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    be = T.JaxBackend(dtype=jnp.float64)
+    net = gen_net(be, 8, 8, [(8, act_logistic())] * 8, act_logistic(),
+                  Rng(be, seed=9))
+    r2 = np.random.default_rng(7)
+    X = r2.uniform(0, 1, size=(64, 8))
+    Y = r2.uniform(0, 1, size=(64, 8))
+    res = fit(net, squared_error(8), be, X, Y, epochs=2, batch_size=16,
+              lr=0.05, optimizer=adam(), log_every=1, verbose=False,
+              seed=0, mesh=make_pipeline_mesh(8),
+              pipeline_microbatches=2)
+    return ([h["loss"] for h in res.history],
+            [np.asarray(p) for p in res.net.params])
+
+
 @multi
 def test_two_process_distributed_fit_equals_single_process(tmp_path):
     port = _free_port()
@@ -190,6 +218,18 @@ def test_two_process_distributed_fit_equals_single_process(tmp_path):
     for a, b in zip(ranks[0]["pp_losses"], pp_ref_losses):
         assert abs(a - b) < 1e-9, (ranks[0]["pp_losses"], pp_ref_losses)
     for a, b in zip(ranks[0]["pp_params"], pp_ref_params):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
+
+    # scenario 3: the stage-only (stage=8) ring crossing the process
+    # boundary — true cross-host pipelining — equals the IDENTICAL
+    # single-process fit call (same loader stream, same staged-IR
+    # schedule) at 1e-9, incl. the crash/resume seam
+    assert ranks[0]["ring_losses"] == ranks[1]["ring_losses"]
+    assert len(ranks[0]["ring_losses"]) == 8
+    ring_ref = _single_process_ring_reference()
+    for a, b in zip(ranks[0]["ring_losses"], ring_ref[0]):
+        assert abs(a - b) < 1e-9, (ranks[0]["ring_losses"], ring_ref[0])
+    for a, b in zip(ranks[0]["ring_params"], ring_ref[1]):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
 
 
