@@ -489,6 +489,41 @@ def test_split_hetero_tp_roundtrip(jb):
     assert split_network_hetero_tp(odd, 2, 2) is None
 
 
+def test_split_hetero_tp_roundtrip_fuzz(jb):
+    """Random chains (random tp-divisible widths, mixed activations,
+    logistic or softmax head): split at every feasible (S, tp) and the
+    packed per-shard row-slices must reassemble the exact Network
+    stack; the tp-local segments must be width-consistent with their
+    suffixes.  Pure structure — no mesh required."""
+    from tensor_ops_tpu.models import act_relu, act_tanh
+    from tensor_ops_tpu.parallel.ir_pipeline import split_network_hetero_tp
+
+    r = np.random.default_rng(0)
+    acts = [act_logistic, act_relu, act_tanh]
+    for trial in range(12):
+        tp = int(r.choice([2, 4]))
+        n_layers = int(r.integers(2, 5))
+        widths = [int(tp * r.integers(1, 5)) for _ in range(n_layers + 1)]
+        hidden = [(w, acts[int(r.integers(0, 3))]())
+                  for w in widths[1:-1]]
+        head = act_softmax() if trial % 2 else act_logistic()
+        net = gen_net(jb, widths[0], widths[-1], hidden, head,
+                      Rng(jb, seed=100 + trial))
+        S = int(r.integers(2, n_layers + 1))
+        p = split_network_hetero_tp(net, S, tp)
+        assert p is not None, (widths, S, tp)
+        assert p.n_stages == S and p.tp == tp
+        if trial % 2:  # softmax head -> final segment has a suffix
+            loc, suf = p.local_ops[-1][-1]
+            assert suf is not None
+            assert suf.in_stack == ((widths[-1],),)
+            assert loc.out_stack[0][0] == widths[-1] // tp
+        back = p.to_network_params()
+        assert len(back) == len(net.params)
+        for a, b in zip(back, net.params):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @multi
 def test_hetero_tp_grads_equal_sequential(jb):
     """(stage=2, model=2) + dp on the all-elementwise pyramid: the
