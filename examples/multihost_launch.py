@@ -9,10 +9,16 @@ metadata instead of the TOPS_* env).
 
     python examples/multihost_launch.py            # 2 procs x 4 devices
     python examples/multihost_launch.py --procs 4  # 4 procs x 2 devices
+    python examples/multihost_launch.py --pipeline # cross-host stage ring
 
 The parent spawns the workers and streams rank 0's losses; every rank
 asserts the same global loss curve (the batch is global, so all ranks
 observe the identical run).
+
+``--pipeline`` runs TRUE cross-host pipeline parallelism instead: a
+stage-only mesh over all global devices, so the staged-IR ppermute ring
+crosses the process boundary (on a real pod: DCN) — each rank loads the
+identical stream and the replicated batch places globally.
 """
 
 import argparse
@@ -45,19 +51,35 @@ from tensor_ops_tpu.models.trainer import fit
 from tensor_ops_tpu.parallel.mesh import make_mesh
 
 be = T.JaxBackend()
-net = gen_net(be, 64, 8, [(32, act_logistic())], act_softmax(), Rng(be, seed=0))
 r = np.random.default_rng(0)
-X = r.uniform(0, 1, size=(512, 64))
-Y = np.eye(8)[r.integers(0, 8, size=512)]
-# dp = process count keeps every data row on one process (fit
-# validates this), tp = the per-process device count
 n_dev = len(jax.devices())
-mesh = make_mesh(n_dev, shape=(jax.process_count(),
-                               n_dev // jax.process_count()))
-res = fit(net, cross_entropy(8), be, X, Y, epochs=2, batch_size=64,
-          lr=0.05, optimizer=adam(), mesh=mesh, log_every=1,
-          verbose=False, seed=0,
-          checkpoint_path=os.environ["DEMO_CKPT"], checkpoint_every=4)
+if os.environ.get("DEMO_MODE") == "pipeline":
+    # stage-only mesh over ALL global devices: the staged-IR ppermute
+    # ring crosses the process boundary (DCN on a real pod); every rank
+    # loads the identical stream and the replicated batch places globally
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+    net = gen_net(be, 32, 32, [(32, act_logistic())] * n_dev,
+                  act_logistic(), Rng(be, seed=0))
+    from tensor_ops_tpu.models import squared_error
+    X = r.uniform(0, 1, size=(256, 32))
+    Y = r.uniform(0, 1, size=(256, 32))
+    mesh = make_pipeline_mesh(n_dev)
+    res = fit(net, squared_error(32), be, X, Y, epochs=2, batch_size=32,
+              lr=0.05, optimizer=adam(), mesh=mesh, log_every=1,
+              verbose=False, seed=0, pipeline_microbatches=4,
+              checkpoint_path=os.environ["DEMO_CKPT"], checkpoint_every=4)
+else:
+    net = gen_net(be, 64, 8, [(32, act_logistic())], act_softmax(), Rng(be, seed=0))
+    X = r.uniform(0, 1, size=(512, 64))
+    Y = np.eye(8)[r.integers(0, 8, size=512)]
+    # dp = process count keeps every data row on one process (fit
+    # validates this), tp = the per-process device count
+    mesh = make_mesh(n_dev, shape=(jax.process_count(),
+                                   n_dev // jax.process_count()))
+    res = fit(net, cross_entropy(8), be, X, Y, epochs=2, batch_size=64,
+              lr=0.05, optimizer=adam(), mesh=mesh, log_every=1,
+              verbose=False, seed=0,
+              checkpoint_path=os.environ["DEMO_CKPT"], checkpoint_every=4)
 out = {"rank": info["process_index"],
        "devices": info["global_devices"],
        "losses": [h["loss"] for h in res.history]}
@@ -77,6 +99,9 @@ def main():
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=None,
                     help="virtual CPU devices per process (default 8//procs)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="cross-host pipeline parallelism (stage-only "
+                         "mesh; the ppermute ring crosses processes)")
     args = ap.parse_args()
     local = args.devices_per_proc or max(1, 8 // args.procs)
     port = free_port()
@@ -93,6 +118,7 @@ def main():
             "TOPS_PROCESS_ID": str(rank),
             "DEMO_LOCAL_DEVICES": str(local),
             "DEMO_CKPT": ckpt,
+            "DEMO_MODE": "pipeline" if args.pipeline else "dp_tp",
             "PYTHONPATH": ROOT + os.pathsep + env.get("PYTHONPATH", ""),
         })
         procs.append(subprocess.Popen(
