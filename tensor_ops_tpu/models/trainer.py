@@ -363,7 +363,11 @@ def fit(
     through the GPipe schedule per step — same optimizer/clip/schedule/
     checkpoint/resume surface as every other mode (checkpoints store
     the ordinary Network param stack, so a pipeline-trained model
-    serves anywhere)."""
+    serves anywhere).  Under multi-process jax a pipeline mesh WITH a
+    data axis uses the per-process shard loaders above (data rows must
+    be process-aligned); a stage-only mesh is true cross-host
+    pipelining — the ppermute ring crosses hosts, every rank loads the
+    identical stream, and the replicated batch places globally."""
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")

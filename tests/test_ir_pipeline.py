@@ -561,6 +561,44 @@ def test_hetero_tp_grads_equal_sequential(jb):
 
 
 @multi
+def test_hetero_tp_mixed_precision_and_accum(jb, tmp_path):
+    """The unified fit surface holds on the hetero-tp partition too:
+    bf16 mixed precision trains to finite losses on the (2,2,2) mesh,
+    and crash/resume under (hetero-tp x accum) equals the straight
+    run."""
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.models.trainer import fit
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    r = np.random.default_rng(31)
+    X = r.uniform(0, 1, size=(64, 16))
+    Y = r.uniform(0, 1, size=(64, 16))
+    loss = squared_error(16)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+
+    res = fit(_pyramid(jb, seed=32), loss, jb, X, Y, epochs=1,
+              batch_size=16, lr=0.05, mixed_precision=True,
+              pipeline_microbatches=2, mesh=mesh, verbose=False,
+              prefetch=0, log_every=1)
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+
+    ck = str(tmp_path / "htpacc.npz")
+    kw = dict(batch_size=16, lr=0.01, optimizer=adam(), accum_steps=2,
+              pipeline_microbatches=2, mesh=mesh, verbose=False,
+              prefetch=0)
+    fit(_pyramid(jb, seed=33), loss, jb, X, Y, epochs=1,
+        checkpoint_path=ck, checkpoint_every=2, **kw)
+    resumed = fit(_pyramid(jb, seed=33), loss, jb, X, Y, epochs=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    straight = fit(_pyramid(jb, seed=33), loss, jb, X, Y, epochs=2, **kw)
+    assert resumed.steps == straight.steps == 8
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-7)
+
+
+@multi
 def test_hetero_tp_softmax_grads_equal_sequential(jb):
     """(stage=2, model=2) + dp on a flagship-shaped softmax net
     (16->8->4, logistic hidden, softmax head, cross-entropy): the
