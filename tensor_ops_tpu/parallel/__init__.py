@@ -2,6 +2,7 @@ from .mesh import (make_mesh, param_specs, shard_fused, shard_network,
                    sharded_forward, sharded_train_step)
 from .pipeline import PipelineMLP, make_pipeline_mesh, pipeline_forward, pipeline_train_step, shard_pipeline_model
 from .ir_pipeline import (
+    describe_partition,
     ir_pipeline_grads,
     ir_pipeline_train_step,
     shard_pipelined_params,

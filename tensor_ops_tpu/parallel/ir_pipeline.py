@@ -1191,3 +1191,95 @@ def shard_pipelined_params(pnet, mesh: Mesh):
             pre, pnet.body_op, body, pnet.n_body, post,
             n_stages=pnet.n_stages, n_chunks=pnet.n_chunks)
     return PipelinedNetwork(pre, pnet.body_op, body, pnet.n_body, post)
+
+
+# ---------------------------------------------------------------------------
+# partition introspection
+# ---------------------------------------------------------------------------
+
+
+def describe_partition(pnet) -> str:
+    """Human-readable stage map of a pipeline partition: per-stage
+    segment counts, boundary widths, parameter counts, FLOP estimates
+    and the load-balance ratio (max/mean stage FLOPs — 1.00 is
+    perfect).  The operator-facing answer to "how did my network cut,
+    and is the pipeline balanced?" before committing a mesh shape.
+
+    Works for every partition kind ``partition_network`` returns:
+    uniform (stacked body), circular (interleaved chunks),
+    heterogeneous, and heterogeneous x tensor-parallel."""
+    lines: List[str] = []
+
+    def seg_width(op: TOp) -> str:
+        i = op.in_stack[0]
+        o = op.out_stack[0]
+        return f"{i[0] if len(i) == 1 else i}->{o[0] if len(o) == 1 else o}"
+
+    def seg_nparams(op: TOp) -> int:
+        return int(sum(np.prod(s, dtype=np.int64) if s else 1
+                       for s in op.in_stack[1:]))
+
+    if isinstance(pnet, HeteroTpPipelinedNetwork):
+        lines.append(
+            f"heterogeneous x tp partition: {pnet.n_stages} stages, "
+            f"tp={pnet.tp}, ring width {pnet.width}, packed rows "
+            f"(S={pnet.n_stages}, tp={pnet.tp}, Lmax={pnet.lmax})")
+        flops = []
+        for s, (ops_s, locs) in enumerate(zip(pnet.stage_ops,
+                                              pnet.local_ops)):
+            f = sum(_op_flops(op) for op in ops_s)
+            flops.append(f)
+            tags = []
+            for op, (loc, suf) in zip(ops_s, locs):
+                t = seg_width(op)
+                if suf is not None:
+                    t += " (+replicated tail)"
+                tags.append(t)
+            lines.append(
+                f"  stage {s}: {len(ops_s)} segment(s) [{', '.join(tags)}]"
+                f", {sum(seg_nparams(op) for op in ops_s)} params"
+                f" (1/{pnet.tp} per shard), ~{f:.0f} FLOPs/sample")
+    elif isinstance(pnet, HeteroPipelinedNetwork):
+        lines.append(
+            f"heterogeneous partition: {pnet.n_stages} stages, ring "
+            f"width {pnet.width}, packed rows (S={pnet.n_stages}, "
+            f"Lmax={pnet.lmax})")
+        flops = []
+        for s, ops_s in enumerate(pnet.stage_ops):
+            f = sum(_op_flops(op) for op in ops_s)
+            flops.append(f)
+            lines.append(
+                f"  stage {s}: {len(ops_s)} segment(s) "
+                f"[{', '.join(seg_width(op) for op in ops_s)}], "
+                f"{sum(seg_nparams(op) for op in ops_s)} params, "
+                f"~{f:.0f} FLOPs/sample")
+    elif isinstance(pnet, PipelinedNetwork):
+        kind = ("circular (interleaved)"
+                if isinstance(pnet, CircularPipelinedNetwork)
+                else "uniform")
+        head = (f"{kind} partition: {pnet.n_body} identical body "
+                f"segment(s) [{seg_width(pnet.body_op)}], "
+                f"{len(pnet.pre)} pre / {len(pnet.post)} post "
+                f"replicated segment(s)")
+        if isinstance(pnet, CircularPipelinedNetwork):
+            head += (f", {pnet.n_chunks} chunks/device over "
+                     f"{pnet.n_stages} stages")
+        lines.append(head)
+        per = _op_flops(pnet.body_op)
+        lines.append(
+            f"  body segment: {seg_nparams(pnet.body_op)} params, "
+            f"~{per:.0f} FLOPs/sample; stage load is exactly balanced "
+            f"(identical segments)")
+        for name, part in (("pre", pnet.pre), ("post", pnet.post)):
+            for op, ps in part:
+                lines.append(
+                    f"  {name}: [{seg_width(op)}], "
+                    f"{seg_nparams(op)} params (replicated)")
+        flops = [per]
+    else:
+        raise TypeError(f"not a pipeline partition: {type(pnet).__name__}")
+    if len(flops) > 1:
+        mean = sum(flops) / len(flops)
+        lines.append(f"  balance: max/mean stage FLOPs = "
+                     f"{max(flops) / mean:.2f}")
+    return "\n".join(lines)

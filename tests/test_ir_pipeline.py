@@ -674,3 +674,37 @@ def test_hetero_tp_fit(jb, tmp_path):
     for a, b in zip(resumed.net.params, r_tp.net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-9, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# partition introspection
+# ---------------------------------------------------------------------------
+
+
+def test_describe_partition(jb):
+    """describe_partition renders every partition kind with stage
+    loads, widths, and the balance ratio."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        describe_partition, split_network, split_network_circular,
+        split_network_hetero, split_network_hetero_tp)
+
+    flag = gen_net(jb, 784, 10,
+                   [(300, act_logistic()), (100, act_logistic())],
+                   act_softmax(), Rng(jb, seed=0))
+    s = describe_partition(split_network_hetero(flag, 3))
+    assert "heterogeneous partition: 3 stages" in s
+    assert "784->300" in s and "balance:" in s
+
+    s = describe_partition(split_network_hetero_tp(flag, 2, 2))
+    assert "tp=2" in s and "(+replicated tail)" in s
+    assert "1/2 per shard" in s
+
+    uni = _uniform_chain(jb, h=6, n_layers=4)
+    s = describe_partition(split_network(uni, 2))
+    assert "uniform partition" in s and "exactly balanced" in s
+
+    s = describe_partition(split_network_circular(uni, 2, 2))
+    assert "circular (interleaved)" in s and "2 chunks/device" in s
+
+    with pytest.raises(TypeError, match="not a pipeline partition"):
+        describe_partition(uni)
