@@ -445,6 +445,10 @@ def fit(
             raise ValueError(
                 f"pipeline_schedule must be 'gpipe' or 'circular', got "
                 f"{pipeline_schedule!r}")
+        if verbose:
+            from ..parallel.ir_pipeline import describe_partition
+
+            print(describe_partition(part))
         spnet = shard_pipelined_params(part, mesh)
         params = spnet.flat_params()
         data_sh = NamedSharding(
