@@ -746,7 +746,7 @@ def fit(
 def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     opt: Optional[Optimizer] = None,
                     clip_norm: Optional[float] = None,
-                    remat_every=None):
+                    remat_every=None, mesh=None):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -762,12 +762,19 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
     rs/rp computed in-step): a warmup schedule hits rp == 0 at step 0
     and 0/0 would NaN-poison the whole run.  ``clip_norm`` clips the
     joint (state+param) gradient by global L2 norm before either
-    update.  ``remat_every`` checkpoints the scan's backward."""
+    update.  ``remat_every`` checkpoints the scan's backward.
+
+    ``mesh`` (jax only) jits the step with multi-chip shardings: the
+    sequence batch over ``data`` (each sequence's scan-BPTT gradient
+    computes shard-locally; XLA inserts ONE psum for the batch mean),
+    params Megatron-style over ``model`` via ``param_specs``.  States
+    are network-global (every sequence reads the same initial states),
+    so they replicate."""
     g = net._seq_graph(loss, n, remat_every=remat_every)
     k = len(net.states)
     key = ("seq_fit_step", loss.struct_key(), n,
            opt.struct_key() if opt is not None else None, clip_norm,
-           remat_every) + be.cache_key()
+           remat_every, mesh) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -807,8 +814,35 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                 return (jnp.mean(vals), opt_state,
                         tuple(leaves[:k]), tuple(leaves[k:]))
 
-        fn = jax.jit(step)
+        if mesh is None:
+            fn = jax.jit(step)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            from ..parallel.mesh import DATA_AXIS, param_specs
+
+            repl = NamedSharding(mesh, PSpec())
+            data_sh = NamedSharding(mesh, PSpec(DATA_AXIS))
+            state_sh = tuple(repl for _ in range(k))
+            param_sh = tuple(NamedSharding(mesh, s)
+                             for s in param_specs(net.param_stack, mesh))
+            if opt is None:
+                fn = jax.jit(
+                    step,
+                    in_shardings=(repl, repl, data_sh, data_sh,
+                                  state_sh, param_sh),
+                    out_shardings=(repl, state_sh, param_sh))
+            else:
+                # opt_state shardings inferred from its arrays (built by
+                # opt.init on the already-placed states + params)
+                fn = jax.jit(
+                    step,
+                    in_shardings=(repl, repl, data_sh, data_sh, None,
+                                  state_sh, param_sh),
+                    out_shardings=(repl, None, state_sh, param_sh))
     else:
+        if mesh is not None:
+            raise ValueError("mesh sharding requires the jax backend")
 
         def _mean_grads(xb, tb, states, params):
             accS = [np.zeros_like(s) for s in states]
@@ -854,9 +888,13 @@ class _SeqStream:
     draw the identical batch sequence."""
 
     def __init__(self, XS, TS, batch: int, seed: int, start_step: int,
-                 steps_per_epoch: int):
+                 steps_per_epoch: int, shard=None):
         self.XS, self.TS, self.batch = XS, TS, batch
         self.spe = steps_per_epoch
+        # multi-process: every rank draws the SAME global permutation
+        # (same seed) and slices its contiguous row-block of each batch
+        # — together the ranks assemble the single-process batch exactly
+        self.shard = shard
         self._rng = np.random.default_rng(seed)
         self._perm = self._rng.permutation(XS.shape[0])
         for _ in range(start_step // steps_per_epoch):
@@ -869,6 +907,10 @@ class _SeqStream:
         if self._b == self.spe:
             self._b = 0
             self._perm = self._rng.permutation(self.XS.shape[0])
+        if self.shard is not None:
+            rank, n = self.shard
+            local = self.batch // n
+            idx = idx[rank * local : (rank + 1) * local]
         return self.XS[idx], self.TS[idx]
 
 
@@ -894,6 +936,7 @@ def fit_sequences(
     clip_norm: Optional[float] = None,
     lr_schedule: Optional[Callable[[int], float]] = None,
     remat_every=None,
+    mesh=None,
     seed: int = 0,
     metrics_path: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
@@ -929,20 +972,59 @@ def fit_sequences(
     global L2 norm; ``lr_schedule`` maps the global step to the param
     rate (the state rate keeps its ratio); ``remat_every`` checkpoints
     the scan-BPTT backward for long sequences
-    (O(n/k + k) residual state, see ``ScanOp``)."""
+    (O(n/k + k) residual state, see ``ScanOp``).
+
+    ``mesh`` (jax only) trains multi-chip, exactly as in ``fit``: the
+    sequence batch shards over ``data`` (XLA inserts one gradient psum),
+    params Megatron-style over ``model`` (``param_specs``); states
+    replicate (they are network-global).  A ``stage`` axis is rejected —
+    the recurrent scan is sequential over time, so pipeline stages would
+    idle.  Under a multi-process runtime each host feeds its own
+    row-block of every global batch (same-seed global shuffle) and rank
+    0 writes checkpoints assembled with a replicate-and-fetch
+    collective; resume is exact across process counts."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
 
     opt = optimizer
-    if be.name == "jax":
+    n_proc, proc_idx = 1, 0
+    data_sh = None
+    pspecs = None
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        from ..parallel.mesh import DATA_AXIS, param_specs
+        from ..parallel.pipeline import STAGE_AXIS
+
+        if be.name != "jax":
+            raise ValueError("mesh sharding requires the jax backend")
+        if STAGE_AXIS in mesh.axis_names:
+            raise ValueError(
+                "fit_sequences has no pipeline mode (the recurrent scan "
+                "is sequential over time, so S-1 stages would idle); "
+                "pass a (data, model) mesh from make_mesh")
+        dp = mesh.shape[DATA_AXIS]
+        if batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the "
+                f"data-axis size ({dp})")
+        n_proc, proc_idx = jax.process_count(), jax.process_index()
+        if n_proc > 1:
+            _check_process_data_alignment(mesh, n_proc)
+        data_sh = NamedSharding(mesh, PSpec(DATA_AXIS))
+        pspecs = param_specs(rnet.param_stack, mesh)
+    elif be.name == "jax":
         import jax
 
         if jax.process_count() > 1:
             raise ValueError(
-                "fit_sequences has no multi-process mesh support: under "
-                "a multi-process jax runtime every process would train "
-                "an independent (divergent) replica on the full dataset")
+                "fit_sequences without a mesh under a multi-process jax "
+                "runtime would train an independent (divergent) replica "
+                "per process on the full dataset; pass "
+                "mesh=make_mesh(len(jax.devices())) so the batch shards "
+                "globally")
     N = XS.shape[0]
     if N < batch_size:
         raise ValueError(
@@ -952,6 +1034,20 @@ def fit_sequences(
     total_steps = epochs * steps_per_epoch
     k = len(rnet.states)
     net = rnet
+    if mesh is not None:
+        from ..parallel.mesh import place_host
+
+        # place BEFORE opt.init so moments inherit the param shardings;
+        # place_host handles shardings spanning other processes
+        repl = NamedSharding(mesh, PSpec())
+        net = RecurrentNetwork(
+            net.op,
+            tuple(place_host(np.asarray(be.asarray(s)), repl)
+                  for s in net.states),
+            tuple(place_host(np.asarray(be.asarray(p)),
+                             NamedSharding(mesh, sp))
+                  for p, sp in zip(net.params, pspecs)),
+            net.arch)
     step = 0
     state_path = (checkpoint_path + ".state") if checkpoint_path else None
     opt_state = (opt.init(tuple(net.states) + tuple(net.params))
@@ -967,10 +1063,19 @@ def fit_sequences(
             raise ValueError(
                 f"checkpoint has {len(flat)} leaves, the network needs "
                 f"{k} states + {len(net.params)} params")
-        net = RecurrentNetwork(
-            net.op,
-            tuple(be.asarray(s) for s in flat[:k]),
-            tuple(be.asarray(p) for p in flat[k:]), net.arch)
+        if mesh is None:
+            net = RecurrentNetwork(
+                net.op,
+                tuple(be.asarray(s) for s in flat[:k]),
+                tuple(be.asarray(p) for p in flat[k:]), net.arch)
+        else:
+            # restored leaves are host numpy; re-place each onto its
+            # training-time sharding (cross-process aware)
+            net = RecurrentNetwork(
+                net.op,
+                tuple(_place(np.asarray(s), repl) for s in flat[:k]),
+                tuple(_place(np.asarray(p), NamedSharding(mesh, sp))
+                      for p, sp in zip(flat[k:], pspecs)), net.arch)
         if opt is not None:
             opt_state = _restore_opt_state(opt_state, r_opt_state, be)
         if verbose:
@@ -978,19 +1083,30 @@ def fit_sequences(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
-    stream = _SeqStream(XS, TS, batch_size, seed, step, steps_per_epoch)
-    if prefetch > 1 and be.name == "jax" and step < total_steps:
+    stream = _SeqStream(XS, TS, batch_size, seed, step, steps_per_epoch,
+                        shard=(proc_idx, n_proc) if n_proc > 1 else None)
+    if prefetch > 1 and be.name == "jax" and n_proc == 1 \
+            and step < total_steps:
         from ..utils.native import DevicePrefetcher
 
-        source = DevicePrefetcher(
-            stream, lambda xb, tb: (be.asarray(xb), be.asarray(tb)),
-            depth=prefetch)
+        if data_sh is not None:
+            import jax
+
+            def _put(xb, tb, _sh=data_sh):
+                return (jax.device_put(be.asarray(xb), _sh),
+                        jax.device_put(be.asarray(tb), _sh))
+        else:
+            def _put(xb, tb):
+                return be.asarray(xb), be.asarray(tb)
+
+        source = DevicePrefetcher(stream, _put, depth=prefetch)
     else:
         source = None
 
     n_seq = XS.shape[1]
     step_fn = _seq_train_step(net, loss, be, n_seq, opt=opt,
-                              clip_norm=clip_norm, remat_every=remat_every)
+                              clip_norm=clip_norm, remat_every=remat_every,
+                              mesh=mesh)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
     history = []
@@ -1007,7 +1123,21 @@ def fit_sequences(
                 xb, tb = source.next()
             else:
                 xb, tb = stream.next()
-                xb, tb = be.asarray(xb), be.asarray(tb)
+                if data_sh is not None:
+                    import jax
+
+                    if n_proc > 1:
+                        gx = (xb.shape[0] * n_proc,) + xb.shape[1:]
+                        gt = (tb.shape[0] * n_proc,) + tb.shape[1:]
+                        xb = jax.make_array_from_process_local_data(
+                            data_sh, np.asarray(be.asarray(xb)), gx)
+                        tb = jax.make_array_from_process_local_data(
+                            data_sh, np.asarray(be.asarray(tb)), gt)
+                    else:
+                        xb = jax.device_put(be.asarray(xb), data_sh)
+                        tb = jax.device_put(be.asarray(tb), data_sh)
+                else:
+                    xb, tb = be.asarray(xb), be.asarray(tb)
             if opt is None:
                 v, new_s, new_p = step_fn(rs, rp, xb, tb,
                                           tuple(net.states),
@@ -1030,13 +1160,29 @@ def fit_sequences(
                           f"seq loss {v:.4f}")
             if checkpoint_path and checkpoint_every and \
                     step % checkpoint_every == 0:
-                saves.add(
-                    save_recurrent_async(checkpoint_path, net),
-                    save_train_state_async(
-                        state_path,
-                        tuple(net.states) + tuple(net.params),
-                        opt_state if opt is not None else (), step,
-                        opt_key=opt_key))
+                if n_proc > 1:
+                    # leaves sharded across processes: every rank joins
+                    # the replicate-and-fetch collective, rank 0 writes
+                    host_leaves, host_opt = _global_host_tree(
+                        (tuple(net.states) + tuple(net.params),
+                         opt_state if opt is not None else ()), mesh)
+                    if proc_idx == 0:
+                        host_net = RecurrentNetwork(
+                            net.op, tuple(host_leaves[:k]),
+                            tuple(host_leaves[k:]), net.arch)
+                        saves.add(
+                            save_recurrent_async(checkpoint_path, host_net),
+                            save_train_state_async(
+                                state_path, host_leaves, host_opt, step,
+                                opt_key=opt_key))
+                else:
+                    saves.add(
+                        save_recurrent_async(checkpoint_path, net),
+                        save_train_state_async(
+                            state_path,
+                            tuple(net.states) + tuple(net.params),
+                            opt_state if opt is not None else (), step,
+                            opt_key=opt_key))
     finally:
         save_err = saves.join()
         logger.close()

@@ -129,8 +129,41 @@ res6 = fit(build_ring_net(be), loss2, be, X2, Y2, epochs=2, mesh=mesh3,
 assert res5.steps == 4 and res6.steps == 8
 ring_params = _global_host_tree(tuple(res6.net.params), mesh3)
 
+# scenario 4: the recurrent family across processes — fit_sequences on
+# the shared (data=2, model=4) mesh from scenario 1: each rank feeds its
+# own row-block of every global sequence batch (same-seed global
+# shuffle), Elman weights tp-sharded, rank-0 checkpoint + exact resume
+from tensor_ops_tpu.models import fit_sequences  # noqa: E402
+from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet  # noqa: E402
+
+
+def build_rnet(be):
+    return gen_rnet(be, 1, 1, [(8, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(be, seed=11))
+
+
+t4 = np.linspace(0, 1, 7)
+r4 = np.random.default_rng(11)
+waves = np.sin(2 * np.pi * t4[None, :]
+               + r4.uniform(0, np.pi, size=(64, 1)))
+XS4, TS4 = waves[:, :-1, None], waves[:, 1:, None]
+ck4 = ck + ".seq"
+kw4 = dict(batch_size=16, rate_state=0.01, rate_param=0.1, log_every=1,
+           verbose=False, seed=0, checkpoint_path=ck4,
+           checkpoint_every=2, mesh=mesh)
+res7 = fit_sequences(build_rnet(be), squared_error(1), be, XS4, TS4,
+                     epochs=1, **kw4)
+res8 = fit_sequences(build_rnet(be), squared_error(1), be, XS4, TS4,
+                     epochs=2, resume=True, **kw4)
+assert res7.steps == 4 and res8.steps == 8
+seq_leaves = _global_host_tree(
+    tuple(res8.net.states) + tuple(res8.net.params), mesh)
+
 out = {
     "rank": info["process_index"],
+    "seq_losses": [h["loss"] for h in res7.history]
+                  + [h["loss"] for h in res8.history],
+    "seq_leaves": [p.tolist() for p in seq_leaves],
     "losses": [h["loss"] for h in res1.history]
               + [h["loss"] for h in res2.history],
     "params": [p.tolist() for p in host_params],

@@ -452,3 +452,93 @@ def test_pipeline_chunks_validated(jb):
         fit(net, cross_entropy(2), jb, X, Y, batch_size=16,
             mesh=make_pipeline_mesh(4), pipeline_schedule="circular",
             pipeline_chunks=0, verbose=False)
+
+
+# -- fit_sequences(mesh=...): the recurrent family trains multi-chip -----
+
+def _seq_data(n_seq=32, n=6, seed=3):
+    r = np.random.default_rng(seed)
+    t = np.linspace(0, 1, n + 1)
+    waves = np.sin(2 * np.pi * t[None, :] + r.uniform(0, np.pi,
+                                                      size=(n_seq, 1)))
+    return waves[:, :-1, None], waves[:, 1:, None]
+
+
+def _rnet(jb, seed=3):
+    from tensor_ops_tpu.models import act_logistic
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    return gen_rnet(jb, 1, 1, [(8, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(jb, seed=seed))
+
+
+@multi
+def test_fit_sequences_mesh_matches_single_device(jb):
+    """Recurrent scan-BPTT training on a (data=2, model=4) mesh: loss
+    curve and final states+params equal the single-device run at 1e-9,
+    and the Elman weights come back tp-sharded, not replicated."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+
+    XS, TS = _seq_data()
+    loss = squared_error(1)
+    kw = dict(batch_size=16, rate_state=0.01, rate_param=0.1, epochs=3,
+              log_every=1, verbose=False)
+    res_a = fit_sequences(_rnet(jb), loss, jb, XS, TS, **kw)
+    res_b = fit_sequences(_rnet(jb), loss, jb, XS, TS, mesh=make_mesh(8),
+                          **kw)
+    assert len(res_a.history) == len(res_b.history) > 3
+    for ra, rb in zip(res_a.history, res_b.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for pa, pb in zip(res_a.net.params, res_b.net.params):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-9)
+    for sa, sb in zip(res_a.net.states, res_b.net.states):
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   atol=1e-9)
+    # the (8,8) Elman state weight trains row-parallel under tp=4
+    assert res_b.net.params[0].sharding.spec == PSpec(MODEL_AXIS, None)
+
+
+@multi
+def test_fit_sequences_mesh_adam_resume(jb, tmp_path):
+    """Optimizer + crash/resume compose with the sequence mesh: Adam
+    moments inherit the param shardings and a resumed chain reproduces
+    the uninterrupted run bit-exactly."""
+    from tensor_ops_tpu.models import adam, fit_sequences, squared_error
+
+    XS, TS = _seq_data()
+    loss = squared_error(1)
+    mesh = make_mesh(8)
+    kw = dict(batch_size=16, rate_param=0.05, optimizer=adam(),
+              clip_norm=1.0, log_every=1, verbose=False, mesh=mesh,
+              checkpoint_every=2)
+    r_full = fit_sequences(_rnet(jb, seed=4), loss, jb, XS, TS, epochs=4,
+                           checkpoint_path=str(tmp_path / "a.npz"), **kw)
+    ck = str(tmp_path / "b.npz")
+    fit_sequences(_rnet(jb, seed=4), loss, jb, XS, TS, epochs=2,
+                  checkpoint_path=ck, **kw)
+    resumed = fit_sequences(_rnet(jb, seed=777), loss, jb, XS, TS,
+                            epochs=4, checkpoint_path=ck, resume=True,
+                            **kw)
+    assert r_full.steps == resumed.steps == 8
+    for a, b in zip(resumed.net.params, r_full.net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(resumed.net.states, r_full.net.states):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@multi
+def test_fit_sequences_mesh_validation(jb):
+    """Eager errors: non-divisible batch, stage-axis meshes (the scan is
+    sequential over time — no pipeline mode), non-jax backends."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.parallel.pipeline import make_pipeline_mesh
+
+    XS, TS = _seq_data()
+    loss = squared_error(1)
+    with pytest.raises(ValueError, match="data-axis"):
+        fit_sequences(_rnet(jb), loss, jb, XS, TS, batch_size=15,
+                      mesh=make_mesh(8), verbose=False)
+    with pytest.raises(ValueError, match="pipeline"):
+        fit_sequences(_rnet(jb), loss, jb, XS, TS, batch_size=16,
+                      mesh=make_pipeline_mesh(8), verbose=False)

@@ -179,6 +179,34 @@ def _single_process_ring_reference():
             [np.asarray(p) for p in res.net.params])
 
 
+def _single_process_seq_reference():
+    """The scenario-4 run as the IDENTICAL single-process, mesh-less
+    ``fit_sequences`` call (same seed -> same global shuffle stream,
+    uninterrupted 2 epochs): the 2-process dp x tp run must reproduce
+    it at 1e-9, crash/resume seam included."""
+    import jax.numpy as jnp
+
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.backend.rng import Rng
+    from tensor_ops_tpu.models import act_logistic, fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    be = T.JaxBackend(dtype=jnp.float64)
+    net = gen_rnet(be, 1, 1, [(8, act_logistic(), act_logistic())],
+                   act_logistic(), None, Rng(be, seed=11))
+    t4 = np.linspace(0, 1, 7)
+    r4 = np.random.default_rng(11)
+    waves = np.sin(2 * np.pi * t4[None, :]
+                   + r4.uniform(0, np.pi, size=(64, 1)))
+    res = fit_sequences(net, squared_error(1), be, waves[:, :-1, None],
+                        waves[:, 1:, None], epochs=2, batch_size=16,
+                        rate_state=0.01, rate_param=0.1, log_every=1,
+                        verbose=False, seed=0)
+    return ([h["loss"] for h in res.history],
+            [np.asarray(s) for s in res.net.states]
+            + [np.asarray(p) for p in res.net.params])
+
+
 @multi
 def test_two_process_distributed_fit_equals_single_process(tmp_path):
     port = _free_port()
@@ -230,6 +258,19 @@ def test_two_process_distributed_fit_equals_single_process(tmp_path):
     for a, b in zip(ranks[0]["ring_losses"], ring_ref[0]):
         assert abs(a - b) < 1e-9, (ranks[0]["ring_losses"], ring_ref[0])
     for a, b in zip(ranks[0]["ring_params"], ring_ref[1]):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
+
+    # scenario 4: fit_sequences across both ranks on the (2, 4) mesh —
+    # the recurrent family's multi-process path (per-rank row-blocks of
+    # the global sequence batch, tp-sharded Elman weights, crash/resume)
+    # equals the identical single-process mesh-less call at 1e-9
+    assert ranks[0]["seq_losses"] == ranks[1]["seq_losses"]
+    assert len(ranks[0]["seq_losses"]) == 8
+    seq_ref = _single_process_seq_reference()
+    for a, b in zip(ranks[0]["seq_losses"], seq_ref[0]):
+        assert abs(a - b) < 1e-9, (ranks[0]["seq_losses"], seq_ref[0])
+    assert len(ranks[0]["seq_leaves"]) == len(seq_ref[1])
+    for a, b in zip(ranks[0]["seq_leaves"], seq_ref[1]):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-9, rtol=0)
 
 
