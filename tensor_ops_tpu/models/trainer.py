@@ -746,7 +746,8 @@ def fit(
 def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     opt: Optional[Optimizer] = None,
                     clip_norm: Optional[float] = None,
-                    remat_every=None, mesh=None):
+                    remat_every=None, mesh=None, accum_steps: int = 1,
+                    mixed_precision: bool = False):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -769,12 +770,21 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
     computes shard-locally; XLA inserts ONE psum for the batch mean),
     params Megatron-style over ``model`` via ``param_specs``.  States
     are network-global (every sequence reads the same initial states),
-    so they replicate."""
+    so they replicate.
+
+    ``accum_steps > 1`` splits the sequence batch into that many chunks
+    whose gradients accumulate sequentially inside a ``lax.scan`` before
+    one update — big effective sequence batches without the vmapped
+    activation memory.  ``mixed_precision`` runs the scan-BPTT
+    forward/backward in bfloat16 with f32/f64 master states+params
+    (grads upcast before the batch mean), the same recipe as
+    ``make_opt_step``."""
     g = net._seq_graph(loss, n, remat_every=remat_every)
     k = len(net.states)
     key = ("seq_fit_step", loss.struct_key(), n,
            opt.struct_key() if opt is not None else None, clip_norm,
-           remat_every, mesh) + be.cache_key()
+           remat_every, mesh, int(accum_steps),
+           mixed_precision) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -786,32 +796,85 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
         import jax
         import jax.numpy as jnp
 
-        def one(xs, tgt, *sp):
-            v, grads = ir.value_and_grad(g, be, (xs,) + sp + (tgt,))
-            return v, grads[1:-1]
-
         nsp = k + len(net.params)
-        vm = jax.vmap(one, in_axes=(0, 0) + (None,) * nsp)
+        if mixed_precision:
+            from ..backend.jax_backend import JaxBackend
+
+            be_c = JaxBackend(dtype=jnp.bfloat16,
+                              precision=getattr(be, "_precision_name",
+                                                "default"))
+
+            def one(xs, tgt, *sp):
+                v, grads = ir.value_and_grad(g, be_c, (xs,) + sp + (tgt,))
+                return v, grads[1:-1]
+
+            vm = jax.vmap(one, in_axes=(0, 0) + (None,) * nsp)
+
+            def vag(xb, tb, sp):
+                lp = tuple(x.astype(jnp.bfloat16) for x in sp)
+                vals, grads = vm(xb.astype(jnp.bfloat16),
+                                 tb.astype(jnp.bfloat16), *lp)
+                # upcast BEFORE the mean: the batch-mean carries more
+                # precision than any single bf16 sample
+                return (jnp.mean(vals.astype(jnp.float32)),
+                        tuple(jnp.mean(gr.astype(jnp.float32), axis=0)
+                              for gr in grads))
+        else:
+
+            def one(xs, tgt, *sp):
+                v, grads = ir.value_and_grad(g, be, (xs,) + sp + (tgt,))
+                return v, grads[1:-1]
+
+            vm = jax.vmap(one, in_axes=(0, 0) + (None,) * nsp)
+
+            def vag(xb, tb, sp):
+                vals, grads = vm(xb, tb, *sp)
+                return (jnp.mean(vals),
+                        tuple(jnp.mean(gr, axis=0) for gr in grads))
+
+        if accum_steps > 1:
+            from jax import lax
+
+            inner_vag = vag
+
+            def vag(xb, tb, sp):  # noqa: F811 — accum wraps the plain vag
+                B = xb.shape[0]
+                micro = B // accum_steps
+                xm = xb[: micro * accum_steps].reshape(
+                    (accum_steps, micro) + xb.shape[1:])
+                tm = tb[: micro * accum_steps].reshape(
+                    (accum_steps, micro) + tb.shape[1:])
+
+                def body(carry, chunk):
+                    vsum, gsum = carry
+                    v, gs = inner_vag(chunk[0], chunk[1], sp)
+                    return (vsum + v,
+                            tuple(a + gg for a, gg in zip(gsum, gs))), None
+
+                zero = tuple(jnp.zeros_like(x) for x in sp)
+                (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, tm))
+                return (vsum / accum_steps,
+                        tuple(gg / accum_steps for gg in gsum))
 
         if opt is None:
 
             def step(rs, rp, xb, tb, states, params):
-                vals, grads = vm(xb, tb, *states, *params)
-                mean = _clip(tuple(jnp.mean(gr, axis=0) for gr in grads))
+                v, mean = vag(xb, tb, tuple(states) + tuple(params))
+                mean = _clip(mean)
                 gS, gP = mean[:k], mean[k:]
-                return (jnp.mean(vals),
+                return (v,
                         tuple(s - rs * gg for s, gg in zip(states, gS)),
                         tuple(p - rp * gg for p, gg in zip(params, gP)))
 
         else:
 
             def step(ratio, rp, xb, tb, opt_state, states, params):
-                vals, grads = vm(xb, tb, *states, *params)
-                mean = _clip(tuple(jnp.mean(gr, axis=0) for gr in grads))
+                v, mean = vag(xb, tb, tuple(states) + tuple(params))
+                mean = _clip(mean)
                 scaled = tuple(ratio * gg for gg in mean[:k]) + mean[k:]
                 leaves = tuple(states) + tuple(params)
                 opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
-                return (jnp.mean(vals), opt_state,
+                return (v, opt_state,
                         tuple(leaves[:k]), tuple(leaves[k:]))
 
         if mesh is None:
@@ -933,8 +996,10 @@ def fit_sequences(
     rate_state: float = 0.01,
     rate_param: float = 0.05,
     optimizer: Optional[Optimizer] = None,
+    accum_steps: int = 1,
     clip_norm: Optional[float] = None,
     lr_schedule: Optional[Callable[[int], float]] = None,
+    mixed_precision: bool = False,
     remat_every=None,
     mesh=None,
     seed: int = 0,
@@ -982,12 +1047,31 @@ def fit_sequences(
     idle.  Under a multi-process runtime each host feeds its own
     row-block of every global batch (same-seed global shuffle) and rank
     0 writes checkpoints assembled with a replicate-and-fetch
-    collective; resume is exact across process counts."""
+    collective; resume is exact across process counts.
+
+    ``accum_steps`` accumulates gradients over that many sequence-batch
+    chunks inside the jitted step before one update (jax only, batch
+    divisibility validated eagerly); ``mixed_precision`` (jax only) runs
+    the scan-BPTT forward/backward in bfloat16 with full-precision
+    master states+params — the same surface as ``fit``."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
 
     opt = optimizer
+    if mixed_precision and be.name != "jax":
+        raise ValueError("mixed_precision requires the jax backend")
+    if accum_steps > 1:
+        if be.name != "jax":
+            raise ValueError("accum_steps > 1 requires the jax backend "
+                             "(the numpy oracle's per-sequence loop has "
+                             "no batched activations to amortize)")
+        if batch_size % accum_steps != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by "
+                f"accum_steps ({accum_steps}): the jitted step would "
+                f"silently drop the remainder "
+                f"{batch_size % accum_steps} sequences of every batch")
     n_proc, proc_idx = 1, 0
     data_sh = None
     pspecs = None
@@ -1106,7 +1190,8 @@ def fit_sequences(
     n_seq = XS.shape[1]
     step_fn = _seq_train_step(net, loss, be, n_seq, opt=opt,
                               clip_norm=clip_norm, remat_every=remat_every,
-                              mesh=mesh)
+                              mesh=mesh, accum_steps=accum_steps,
+                              mixed_precision=mixed_precision)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
     history = []

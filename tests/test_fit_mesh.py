@@ -542,3 +542,34 @@ def test_fit_sequences_mesh_validation(jb):
     with pytest.raises(ValueError, match="pipeline"):
         fit_sequences(_rnet(jb), loss, jb, XS, TS, batch_size=16,
                       mesh=make_pipeline_mesh(8), verbose=False)
+
+
+@multi
+def test_fit_sequences_mesh_accum_and_mixed(jb):
+    """The full surface composes on the sequence mesh: accum_steps
+    equality at 1e-9, and mixed_precision trains with sharded bf16
+    compute + full-precision masters."""
+    from tensor_ops_tpu.models import adam, fit_sequences, squared_error
+
+    XS, TS = _seq_data()
+    loss = squared_error(1)
+    mesh = make_mesh(8)
+    kw = dict(epochs=2, batch_size=16, optimizer=adam(), rate_param=0.05,
+              log_every=1, verbose=False, mesh=mesh)
+    r_plain = fit_sequences(_rnet(jb), loss, jb, XS, TS, **kw)
+    r_accum = fit_sequences(_rnet(jb), loss, jb, XS, TS, accum_steps=2,
+                            **kw)
+    for ra, rb in zip(r_plain.history, r_accum.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_plain.net.params, r_accum.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+    net = _rnet(jb)
+    master = np.asarray(net.params[0]).dtype
+    r_mp = fit_sequences(net, loss, jb, XS, TS, epochs=2, batch_size=16,
+                         rate_state=0.01, rate_param=0.1,
+                         mixed_precision=True, log_every=1, verbose=False,
+                         mesh=mesh)
+    assert all(np.isfinite(h["loss"]) for h in r_mp.history)
+    assert np.asarray(r_mp.net.params[0]).dtype == master
+    assert r_mp.net.params[0].sharding.spec == PSpec(MODEL_AXIS, None)

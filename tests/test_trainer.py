@@ -555,3 +555,53 @@ def test_compiled_cache_thread_safe():
     for t in threads:
         t.join()
     assert not errors and len(c) <= 8
+
+
+def test_fit_sequences_accum_matches_plain(jb):
+    """accum_steps on fit_sequences: accumulating 4 quarter-batch chunks
+    inside the jitted step equals the plain full-batch step at 1e-9
+    (the mean of equal-sized chunk means IS the batch mean)."""
+    from tensor_ops_tpu.models import (act_logistic, adam, fit_sequences,
+                                       squared_error)
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences()
+    loss = squared_error(1)
+
+    def rnet(seed=3):
+        return gen_rnet(jb, 1, 1, [(8, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(jb, seed=seed))
+
+    kw = dict(epochs=2, batch_size=16, optimizer=adam(), rate_param=0.05,
+              log_every=1, verbose=False)
+    r_plain = fit_sequences(rnet(), loss, jb, XS, TS, **kw)
+    r_accum = fit_sequences(rnet(), loss, jb, XS, TS, accum_steps=4, **kw)
+    assert len(r_plain.history) == len(r_accum.history) > 3
+    for ra, rb in zip(r_plain.history, r_accum.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_plain.net.params, r_accum.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    for a, b in zip(r_plain.net.states, r_accum.net.states):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+    with pytest.raises(ValueError, match="divisible by"):
+        fit_sequences(rnet(), loss, jb, XS, TS, accum_steps=3,
+                      batch_size=16, verbose=False)
+
+
+def test_fit_sequences_mixed_precision_trains(jb):
+    """mixed_precision on fit_sequences: the bf16 scan-BPTT step trains
+    (loss falls) while states+params stay full-precision masters."""
+    from tensor_ops_tpu.models import act_logistic, fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences()
+    net = gen_rnet(jb, 1, 1, [(8, act_logistic(), act_logistic())],
+                   act_logistic(), None, Rng(jb, seed=3))
+    master_dtype = np.asarray(net.params[0]).dtype
+    res = fit_sequences(net, squared_error(1), jb, XS, TS, epochs=8,
+                        batch_size=16, rate_state=0.01, rate_param=0.1,
+                        mixed_precision=True, log_every=4, verbose=False)
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+    assert np.asarray(res.net.params[0]).dtype == master_dtype
+    assert np.asarray(res.net.states[0]).dtype == master_dtype
