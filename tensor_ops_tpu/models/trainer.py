@@ -129,6 +129,33 @@ def _global_host_tree(tree, mesh):
     return jax.tree.map(fetch, tree)
 
 
+def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int):
+    """Sequential gradient accumulation shared by ``make_opt_step``,
+    ``fit``'s pipeline step, and ``_seq_train_step``: reshape the batch
+    into ``accum_steps`` equal chunks, ``lax.scan`` the
+    ``(x_chunk, y_chunk) -> (loss, grads)`` closure over them summing
+    both, and return the chunk means (== the batch mean for equal
+    chunks; the fit loops validate divisibility eagerly).  ``leaves``
+    supplies the gradient-accumulator structure (``zeros_like`` each)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    micro = xb.shape[0] // accum_steps
+    xm = xb[: micro * accum_steps].reshape(
+        (accum_steps, micro) + xb.shape[1:])
+    ym = yb[: micro * accum_steps].reshape(
+        (accum_steps, micro) + yb.shape[1:])
+
+    def body(carry, chunk):
+        vsum, gsum = carry
+        v, gs = vag_xy(chunk[0], chunk[1])
+        return (vsum + v, tuple(a + g for a, g in zip(gsum, gs))), None
+
+    zero = tuple(jnp.zeros_like(x) for x in leaves)
+    (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
+    return vsum / accum_steps, tuple(g / accum_steps for g in gsum)
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
@@ -227,29 +254,15 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 return v, opt_state, params
 
         else:
-            from jax import lax
 
             def step(lr, xb, yb, opt_state, params):
-                B = xb.shape[0]
-                micro = B // accum_steps
-                xm = xb[: micro * accum_steps].reshape(accum_steps, micro,
-                                                       *xb.shape[1:])
-                ym = yb[: micro * accum_steps].reshape(accum_steps, micro,
-                                                       *yb.shape[1:])
-
-                def body(carry, chunk):
-                    vsum, gsum = carry
-                    xc, yc = chunk
-                    v, grads = batch_vag(xc, yc, params)
-                    gsum = tuple(a + g for a, g in zip(gsum, grads))
-                    return (vsum + v, gsum), None
-
-                zero = tuple(jnp.zeros_like(p) for p in params)
-                (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
-                mean_grads = _clip(tuple(g / accum_steps for g in gsum))
+                v, mean_grads = _accum_scan(
+                    lambda xc, yc: batch_vag(xc, yc, params),
+                    params, xb, yb, accum_steps)
+                mean_grads = _clip(mean_grads)
                 opt_state, new_params = opt.update(opt_state, params,
                                                    mean_grads, lr)
-                return vsum / accum_steps, opt_state, new_params
+                return v, opt_state, new_params
 
         if mesh is None:
             fn = jax.jit(step)
@@ -371,6 +384,8 @@ def fit(
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1 and batch_size % accum_steps != 0:
         raise ValueError(
             f"batch_size ({batch_size}) must be divisible by accum_steps "
@@ -493,23 +508,9 @@ def fit(
                 if accum_steps <= 1:
                     v, grads = _vag(tuple(params), xb, yb)
                 else:
-                    from jax import lax
-
-                    B = xb.shape[0]
-                    c = B // accum_steps
-                    xm = xb.reshape((accum_steps, c) + xb.shape[1:])
-                    ym = yb.reshape((accum_steps, c) + yb.shape[1:])
-
-                    def body(carry, ch):
-                        vsum, gsum = carry
-                        vc, gc = _vag(tuple(params), ch[0], ch[1])
-                        return (vsum + vc, tuple(a + g for a, g in
-                                                 zip(gsum, gc))), None
-
-                    zero = tuple(jnp.zeros_like(p) for p in params)
-                    (v, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
-                    v = v / accum_steps
-                    grads = tuple(g / accum_steps for g in gsum)
+                    v, grads = _accum_scan(
+                        lambda xc, yc: _vag(tuple(params), xc, yc),
+                        tuple(params), xb, yb, accum_steps)
                 if clip_norm:
                     grads = clip_by_global_norm(grads, clip_norm)
                 opt_state, params = opt.update(opt_state, tuple(params),
@@ -581,6 +582,12 @@ def fit(
         layout = f"pipeline:{pipeline_schedule}:S{mesh.shape[STAGE_AXIS]}"
         if pipeline_schedule == "circular":
             layout += f":V{pipeline_chunks}"
+        packed = getattr(part, "packed", None)
+        if packed is not None:
+            # hetero / hetero-tp partitions hold ONE packed leaf, so the
+            # leaf-count check can't catch a tp or Lmax change across a
+            # resume — the packed shape itself is part of the layout
+            layout += ":P" + "x".join(str(int(d)) for d in packed.shape)
     else:
         layout = "flat"
     state_path = (checkpoint_path + ".state") if checkpoint_path else None
@@ -833,28 +840,12 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                         tuple(jnp.mean(gr, axis=0) for gr in grads))
 
         if accum_steps > 1:
-            from jax import lax
-
             inner_vag = vag
 
             def vag(xb, tb, sp):  # noqa: F811 — accum wraps the plain vag
-                B = xb.shape[0]
-                micro = B // accum_steps
-                xm = xb[: micro * accum_steps].reshape(
-                    (accum_steps, micro) + xb.shape[1:])
-                tm = tb[: micro * accum_steps].reshape(
-                    (accum_steps, micro) + tb.shape[1:])
-
-                def body(carry, chunk):
-                    vsum, gsum = carry
-                    v, gs = inner_vag(chunk[0], chunk[1], sp)
-                    return (vsum + v,
-                            tuple(a + gg for a, gg in zip(gsum, gs))), None
-
-                zero = tuple(jnp.zeros_like(x) for x in sp)
-                (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, tm))
-                return (vsum / accum_steps,
-                        tuple(gg / accum_steps for gg in gsum))
+                return _accum_scan(
+                    lambda xc, tc: inner_vag(xc, tc, sp),
+                    sp, xb, tb, accum_steps)
 
         if opt is None:
 
@@ -1061,6 +1052,8 @@ def fit_sequences(
     opt = optimizer
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1:
         if be.name != "jax":
             raise ValueError("accum_steps > 1 requires the jax backend "

@@ -266,15 +266,15 @@ class HeteroPipelinedNetwork:
         return tuple(ps)
 
 
-def split_network_hetero(net: Network, n_stages: int
-                         ) -> HeteroPipelinedNetwork:
-    """Cut ANY ``then``-chain into ``n_stages`` contiguous stage groups
-    (FLOP-balanced via exact min-max DP) — the generalization of
-    :func:`split_network` beyond uniform bodies."""
+def _hetero_groups(net: Network, n_groups: int
+                   ) -> Tuple[List[List[TOp]], List[Any], int]:
+    """Cut the ``then``-chain into ``n_groups`` contiguous FLOP-balanced
+    groups: ``(group_ops, flat_param_rows, ring_width)`` — the shared
+    core of the heterogeneous GPipe and circular partitions."""
     segs = network_segments(net)
-    if len(segs) < n_stages:
+    if len(segs) < n_groups:
         raise ShapeError(
-            f"pipeline needs >= {n_stages} composition segments, the "
+            f"pipeline needs >= {n_groups} composition segments, the "
             f"network has {len(segs)}")
     widths = set()
     for op, _ in segs:
@@ -286,15 +286,24 @@ def split_network_hetero(net: Network, n_stages: int
             widths.add(sh[0])
     H = max(widths)
     bounds = _balanced_partition([_op_flops(op) for op, _ in segs],
-                                 n_stages)
-    stage_ops: List[List[TOp]] = []
+                                 n_groups)
+    group_ops: List[List[TOp]] = []
     rows = []
     for a, b in bounds:
-        stage_ops.append([op for op, _ in segs[a:b]])
+        group_ops.append([op for op, _ in segs[a:b]])
         flat = [jnp.ravel(p) for _, ps in segs[a:b] for p in ps]
         dtype = (net.params[0].dtype if net.params else jnp.float32)
         rows.append(jnp.concatenate(flat) if flat
                     else jnp.zeros((0,), dtype))
+    return group_ops, rows, H
+
+
+def split_network_hetero(net: Network, n_stages: int
+                         ) -> HeteroPipelinedNetwork:
+    """Cut ANY ``then``-chain into ``n_stages`` contiguous stage groups
+    (FLOP-balanced via exact min-max DP) — the generalization of
+    :func:`split_network` beyond uniform bodies."""
+    stage_ops, rows, H = _hetero_groups(net, n_stages)
     lmax = max(int(r.shape[0]) for r in rows)
     packed = jnp.stack([
         jnp.pad(r, (0, lmax - r.shape[0])) for r in rows])
@@ -514,7 +523,7 @@ def split_network_hetero_tp(net: Network, n_stages: int, tp: int
 
 
 def _make_tp_stage_branch(local_segs: List[Tuple[TOp, Optional[TOp]]],
-                          be: Backend, H: int, full_out_w: int):
+                          be: Backend, H: int):
     """One tp-sharded stage: unpack the device's row-slice params, run
     each tp-local segment through framework AD, all-gather the full
     activation between segments (then any replicated non-rowwise tail —
@@ -556,9 +565,7 @@ def _make_hetero_tp_spmd_body(pnet: "HeteroTpPipelinedNetwork",
         S = lax.axis_size(STAGE_AXIS)
         H = mb_inputs.shape[-1]
         branches = [
-            _make_tp_stage_branch(
-                pnet.local_ops[k], be, H,
-                pnet.stage_ops[k][-1].out_stack[0][0])
+            _make_tp_stage_branch(pnet.local_ops[k], be, H)
             for k in range(pnet.n_stages)]
         M = mb_inputs.shape[0]
         T = M + S - 1
@@ -650,6 +657,90 @@ def split_network_circular(net: Network, n_stages: int, n_chunks: int
     return CircularPipelinedNetwork(
         p.pre, p.body_op, tuple(b[perm] for b in p.body_params),
         p.n_body, p.post, n_stages=n_stages, n_chunks=n_chunks)
+
+
+@dataclass
+class HeteroCircularPipelinedNetwork:
+    """A heterogeneous partition in circular-schedule order: the whole
+    ``then``-chain cut into ``S*V`` contiguous FLOP-balanced chunk
+    groups; device ``d`` runs chunks ``d, S+d, ..., (V-1)S+d``
+    round-robin — the interleaved placement that shrinks the pipeline
+    bubble exactly as the uniform circular schedule does, for chains
+    the uniform split rejects (e.g. autoencoder pyramids, whose widths
+    vary layer to layer).
+
+    Packed rows ``(S, V, Lmax)``: ``[d, v]`` holds chunk ``v*S + d``'s
+    flattened-and-padded params, so a plain stage-axis shard hands each
+    device its V chunk rows.  ``to_network_params`` walks chunks in
+    chain order, so checkpoints stay ordinary Network stacks."""
+
+    chunk_ops: List[List[TOp]]      # S*V chunk groups, chain order
+    packed: Optional[Any]           # (S, V, Lmax)
+    width: int                      # ring activation width H
+    lmax: int
+    S: int
+    V: int
+
+    @property
+    def n_stages(self) -> int:
+        return self.S
+
+    @property
+    def n_chunks(self) -> int:
+        return self.V
+
+    @property
+    def in_width(self) -> int:
+        return self.chunk_ops[0][0].in_stack[0][0]
+
+    @property
+    def out_width(self) -> int:
+        return self.chunk_ops[-1][-1].out_stack[0][0]
+
+    def flat_params(self) -> Tuple[Any, ...]:
+        return (self.packed,)
+
+    def unflatten(self, flat: Tuple[Any, ...]
+                  ) -> "HeteroCircularPipelinedNetwork":
+        (packed,) = flat
+        return HeteroCircularPipelinedNetwork(
+            self.chunk_ops, packed, self.width, self.lmax, self.S, self.V)
+
+    def skeleton(self) -> "HeteroCircularPipelinedNetwork":
+        return HeteroCircularPipelinedNetwork(
+            self.chunk_ops, None, self.width, self.lmax, self.S, self.V)
+
+    def to_network_params(self) -> Tuple[Any, ...]:
+        ps: List[Any] = []
+        for c, ops in enumerate(self.chunk_ops):
+            row = self.packed[c % self.S, c // self.S]
+            ofs = 0
+            for op in ops:
+                for sh in op.in_stack[1:]:
+                    k = int(np.prod(sh, dtype=np.int64)) if sh else 1
+                    ps.append(row[ofs : ofs + k].reshape(sh))
+                    ofs += k
+        return tuple(ps)
+
+
+def split_network_hetero_circular(net: Network, n_stages: int,
+                                  n_chunks: int
+                                  ) -> HeteroCircularPipelinedNetwork:
+    """The heterogeneous FLOP-balanced cut stored in circular order:
+    ``S*V`` chunk groups packed as ``(S, V, Lmax)`` rows (``[d, v]`` =
+    chunk ``v*S + d``) — the interleaved schedule for chains
+    :func:`split_network_circular`'s uniform-run requirement rejects."""
+    if n_chunks < 1:
+        raise ShapeError(
+            f"circular schedule needs n_chunks >= 1, got {n_chunks}")
+    S, V = n_stages, n_chunks
+    group_ops, rows, H = _hetero_groups(net, S * V)
+    lmax = max(int(r.shape[0]) for r in rows)
+    padded = [jnp.pad(r, (0, lmax - r.shape[0])) for r in rows]
+    packed = jnp.stack([
+        jnp.stack([padded[v * S + d] for v in range(V)])
+        for d in range(S)])
+    return HeteroCircularPipelinedNetwork(group_ops, packed, H, lmax, S, V)
 
 
 def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,

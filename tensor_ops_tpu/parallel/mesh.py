@@ -70,10 +70,12 @@ def place_host(host, sharding):
     slices via ``make_array_from_callback`` (every process holds the
     full host copy, so the callback just slices it).  All processes
     must call this together with identical values."""
-    host = np.asarray(host)
     if all(d.process_index == jax.process_index()
            for d in sharding.device_set):
+        # fully-addressable: keep device arrays on device (no D2H
+        # round-trip — shard_pipelined_params passes jnp packed rows)
         return jax.device_put(host, sharding)
+    host = np.asarray(host)
     return jax.make_array_from_callback(
         host.shape, sharding, lambda idx: host[idx])
 

@@ -417,6 +417,32 @@ def test_pipeline_resume_layout_mismatch_rejected(jb, tmp_path):
 
 
 @multi
+def test_pipeline_resume_tp_change_rejected(jb, tmp_path):
+    """Hetero/hetero-tp partitions hold ONE packed leaf, so a tp (or
+    Lmax) change across a resume passes the leaf-count check — the
+    packed shape in the layout key must catch it with a named error
+    instead of an opaque reshape failure deep in tracing."""
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    r = np.random.default_rng(71)
+    X = r.uniform(0, 1, size=(64, 12))
+    Y = np.eye(2)[r.integers(0, 2, size=64)]
+    ck = str(tmp_path / "tpchange.npz")
+    kw = dict(batch_size=16, lr=0.05, verbose=False, prefetch=0,
+              pipeline_microbatches=2)
+    # heterogeneous widths (16 != 8) that all divide tp=2 -> hetero-tp
+    net = gen_net(jb, 12, 2, [(16, act_logistic()), (8, act_logistic())],
+                  act_softmax(), Rng(jb, seed=72))
+    fit(net, cross_entropy(2), jb, X, Y, epochs=1,
+        mesh=make_3d_pipeline_mesh(2, 2, 2), checkpoint_path=ck,
+        checkpoint_every=2, **kw)
+    with pytest.raises(ValueError, match="layout"):
+        fit(net, cross_entropy(2), jb, X, Y, epochs=2,
+            mesh=make_3d_pipeline_mesh(4, 2, 1), checkpoint_path=ck,
+            checkpoint_every=2, resume=True, **kw)
+
+
+@multi
 def test_hetero_3d_mesh_warns_idle_model_axis(jb):
     """Heterogeneous partitions whose widths do NOT divide the
     model-axis size fall back model-replicated and warn — the warning

@@ -589,6 +589,27 @@ def test_fit_sequences_accum_matches_plain(jb):
                       batch_size=16, verbose=False)
 
 
+def test_accum_steps_zero_rejected_eagerly(jb):
+    """accum_steps=0 (or negative) must raise a named error in BOTH fit
+    loops — not silently train unaccumulated (fit_sequences' old `> 1`
+    gate) or die in a ZeroDivisionError (fit's pipeline chunk math)."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.models.trainer import fit
+
+    X, Y, _ = toy_data(16, seed=9)
+    net = make_net(jb, seed=10)
+    with pytest.raises(ValueError, match="accum_steps must be >= 1"):
+        fit(net, cross_entropy(2), jb, X, Y, accum_steps=0, verbose=False)
+
+    XS, TS = _sine_sequences()
+    rnet = gen_rnet(jb, 1, 1, [(8, act_logistic(), act_logistic())],
+                    act_logistic(), None, Rng(jb, seed=3))
+    with pytest.raises(ValueError, match="accum_steps must be >= 1"):
+        fit_sequences(rnet, squared_error(1), jb, XS, TS, accum_steps=0,
+                      verbose=False)
+
+
 def test_fit_sequences_mixed_precision_trains(jb):
     """mixed_precision on fit_sequences: the bf16 scan-BPTT step trains
     (loss falls) while states+params stay full-precision masters."""
