@@ -418,8 +418,8 @@ def fit(
 
         from ..parallel.ir_pipeline import (make_ir_pipeline_loss,
                                             partition_network,
-                                            shard_pipelined_params,
-                                            split_network_circular)
+                                            partition_network_circular,
+                                            shard_pipelined_params)
         from ..parallel.mesh import DATA_AXIS
 
         if be.name != "jax":
@@ -452,8 +452,8 @@ def fit(
         # the ffLayer pattern; make_ir_pipeline_loss warns loudly on the
         # non-shardable fallback (replicated body)
         if pipeline_schedule == "circular":
-            part = split_network_circular(net, mesh.shape[STAGE_AXIS],
-                                          pipeline_chunks)
+            part = partition_network_circular(net, mesh.shape[STAGE_AXIS],
+                                              pipeline_chunks)
         elif pipeline_schedule == "gpipe":
             part = partition_network(net, mesh.shape[STAGE_AXIS], mesh)
         else:

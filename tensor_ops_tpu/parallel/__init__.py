@@ -5,8 +5,12 @@ from .ir_pipeline import (
     describe_partition,
     ir_pipeline_grads,
     ir_pipeline_train_step,
+    partition_network,
+    partition_network_circular,
     shard_pipelined_params,
     split_network,
+    split_network_hetero,
+    split_network_hetero_circular,
     unchain,
 )
 from .collective_kernels import dp_megakernel_train_step, ring_all_reduce

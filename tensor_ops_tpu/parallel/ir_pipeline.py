@@ -821,6 +821,73 @@ def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
     return spmd
 
 
+def _make_hetero_spmd_body_circular(pnet: "HeteroCircularPipelinedNetwork",
+                                    be: Backend):
+    """The circular-schedule shard_map body over HETEROGENEOUS chunk
+    groups: the same tick schedule/FIFO as
+    :func:`_make_spmd_body_circular` (device ``d`` runs local chunk
+    ``v``'s microbatch ``m`` at tick ``t = v*M + m + d``; the ring
+    wraps V times), but each global chunk ``c = v*S + d`` evaluates its
+    OWN segment sequence via ``lax.switch`` over all ``S*V`` chunk
+    programs — the hetero-GPipe branch trick lifted to the interleaved
+    schedule.  Ragged activations ride the ring padded to the max
+    boundary width."""
+    V = pnet.V
+
+    def spmd(packed_local, mb_inputs):
+        pv = packed_local[0]            # this device's (V, Lmax) rows
+        d = lax.axis_index(STAGE_AXIS)
+        S = lax.axis_size(STAGE_AXIS)
+        H = mb_inputs.shape[-1]
+        branches = [_make_stage_branch(ops_c, be, H)
+                    for ops_c in pnet.chunk_ops]
+        M = mb_inputs.shape[0]
+        T = V * M + S - 1
+        F = M - S  # FIFO depth (ticks a wrapped activation waits)
+        state = jnp.zeros_like(mb_inputs[0])
+        outputs = jnp.zeros_like(mb_inputs)
+
+        def step(carry, t):
+            if F > 0:
+                state, outputs, fifo = carry
+            else:
+                state, outputs = carry
+            k = t - d
+            kc = jnp.clip(k, 0, V * M - 1)
+            v = kc // M
+            m = kc % M
+            inject = mb_inputs[m]
+            if F > 0:
+                slot = t % F
+                x_wrap = lax.dynamic_index_in_dim(fifo, slot, 0,
+                                                  keepdims=False)
+                fifo = lax.dynamic_update_index_in_dim(fifo, state, slot, 0)
+            else:
+                x_wrap = state
+            x_in = jnp.where((d == 0) & (v == 0), inject,
+                             jnp.where(d == 0, x_wrap, state))
+            row = lax.dynamic_index_in_dim(pv, v, 0, keepdims=False)
+            y = lax.switch(v * S + d, branches, row, x_in)
+            collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
+            updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
+            outputs = jnp.where(collect, updated, outputs)
+            state = lax.ppermute(
+                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            if F > 0:
+                return (state, outputs, fifo), None
+            return (state, outputs), None
+
+        if F > 0:
+            fifo0 = jnp.zeros((F,) + mb_inputs.shape[1:], mb_inputs.dtype)
+            init = (state, outputs, fifo0)
+        else:
+            init = (state, outputs)
+        out = lax.scan(step, init, jnp.arange(T))[0]
+        return lax.psum(out[1], STAGE_AXIS)
+
+    return spmd
+
+
 # ---------------------------------------------------------------------------
 # the pipelined step
 # ---------------------------------------------------------------------------
@@ -1018,21 +1085,40 @@ def make_ir_pipeline_loss(
         raise ValueError("ir pipeline requires the jax backend")
     S = mesh.shape[STAGE_AXIS]
     if pnet is None:
-        pnet = (split_network_circular(net, S, n_chunks)
+        pnet = (partition_network_circular(net, S, n_chunks)
                 if schedule == "circular"
                 else partition_network(net, S, mesh))
+    if isinstance(pnet, HeteroCircularPipelinedNetwork):
+        if schedule != "circular":
+            raise ValueError(
+                "a hetero circular partition runs only under "
+                "schedule='circular'")
+        if n_microbatches < S:
+            raise ValueError(
+                f"circular schedule requires n_microbatches "
+                f"({n_microbatches}) >= stage-axis size ({S})")
+        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+            import warnings
+
+            warnings.warn(
+                "staged-IR pipeline: heterogeneous circular partitions "
+                "do not shard over the model axis — it will sit idle "
+                "(replicated chunks)", stacklevel=2)
+        return _make_hetero_circular_loss(net, loss, be, mesh,
+                                          n_microbatches, pnet)
     if isinstance(pnet, HeteroTpPipelinedNetwork):
         if schedule == "circular":
             raise ShapeError(
-                "the circular schedule needs a uniform body; this "
-                "network partitions heterogeneously")
+                "the circular schedule needs a hetero-circular partition "
+                "for this network: build pnet with "
+                "split_network_hetero_circular (or omit pnet)")
         return _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches,
                                     pnet)
     if isinstance(pnet, HeteroPipelinedNetwork):
         if schedule == "circular":
             raise ShapeError(
-                "the circular schedule needs a uniform body (stacked "
-                "chunk params); this network partitions heterogeneously")
+                "the circular schedule needs chunk-ordered params: build "
+                "pnet with split_network_hetero_circular (or omit pnet)")
         if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
             import warnings
 
@@ -1126,6 +1212,19 @@ def partition_network(net: Network, n_stages: int, mesh: Optional[Mesh] = None):
     return split_network_hetero(net, n_stages)
 
 
+def partition_network_circular(net: Network, n_stages: int, n_chunks: int):
+    """The circular-schedule partition: the uniform interleaved cut when
+    the network has a long-enough uniform run, else the heterogeneous
+    FLOP-balanced circular cut (S*V chunk groups) — so any chain with
+    >= S*V segments (autoencoder pyramids, varied-width MLPs) runs the
+    interleaved schedule, not just uniform bodies."""
+    try:
+        return split_network_circular(net, n_stages, n_chunks)
+    except ShapeError:
+        pass
+    return split_network_hetero_circular(net, n_stages, n_chunks)
+
+
 def _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches, pnet):
     """(loss_fn, pnet) for a tensor-parallel heterogeneous partition:
     the packed rows shard over (stage, model); activations replicate
@@ -1167,6 +1266,37 @@ def _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet):
         _make_hetero_spmd_body(pnet.stage_ops, be),
         mesh=mesh,
         in_specs=(PSpec(STAGE_AXIS), mb_spec),
+        out_specs=mb_spec,
+        check_vma=False,
+    )
+    H, out_w = pnet.width, pnet.out_width
+    loss_call = ir_call(loss, be)
+    loss_batched = jax.vmap(lambda o, y: loss_call(o, y)[0])
+
+    def loss_fn(flat_params, xb, yb):
+        (packed,) = flat_params
+        B = xb.shape[0]
+        h = xb if xb.shape[1] == H else jnp.pad(
+            xb, ((0, 0), (0, H - xb.shape[1])))
+        mb = h.reshape(M, B // M, H)
+        out = pipelined(packed, mb).reshape(B, H)[:, :out_w]
+        return jnp.mean(loss_batched(out, yb))
+
+    return loss_fn, pnet
+
+
+def _make_hetero_circular_loss(net, loss, be, mesh, n_microbatches, pnet):
+    """(loss_fn, pnet) for a heterogeneous circular partition: the
+    (S, V, Lmax) packed rows shard over the stage axis (each device
+    gets its V chunk rows); batch padded to the ring width on entry,
+    sliced to the output width before the loss."""
+    M = n_microbatches
+    has_data = DATA_AXIS in mesh.axis_names
+    mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
+    pipelined = shard_map(
+        _make_hetero_spmd_body_circular(pnet, be),
+        mesh=mesh,
+        in_specs=(PSpec(STAGE_AXIS, None, None), mb_spec),
         out_specs=mb_spec,
         check_vma=False,
     )
@@ -1255,6 +1385,12 @@ def shard_pipelined_params(pnet, mesh: Mesh):
 
     repl = NamedSharding(mesh, PSpec())
     stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+    if isinstance(pnet, HeteroCircularPipelinedNetwork):
+        return HeteroCircularPipelinedNetwork(
+            pnet.chunk_ops,
+            place_host(pnet.packed, NamedSharding(
+                mesh, PSpec(STAGE_AXIS, None, None))),
+            pnet.width, pnet.lmax, pnet.S, pnet.V)
     if isinstance(pnet, HeteroTpPipelinedNetwork):
         return HeteroTpPipelinedNetwork(
             pnet.stage_ops, pnet.local_ops,
@@ -1310,7 +1446,22 @@ def describe_partition(pnet) -> str:
         return int(sum(np.prod(s, dtype=np.int64) if s else 1
                        for s in op.in_stack[1:]))
 
-    if isinstance(pnet, HeteroTpPipelinedNetwork):
+    if isinstance(pnet, HeteroCircularPipelinedNetwork):
+        lines.append(
+            f"heterogeneous circular partition: {pnet.S} stages x "
+            f"{pnet.V} chunks/device, ring width {pnet.width}, packed "
+            f"rows (S={pnet.S}, V={pnet.V}, Lmax={pnet.lmax})")
+        flops = []
+        for c, ops_c in enumerate(pnet.chunk_ops):
+            f = sum(_op_flops(op) for op in ops_c)
+            flops.append(f)
+            lines.append(
+                f"  chunk {c} (device {c % pnet.S}, slot {c // pnet.S}): "
+                f"{len(ops_c)} segment(s) "
+                f"[{', '.join(seg_width(op) for op in ops_c)}], "
+                f"{sum(seg_nparams(op) for op in ops_c)} params, "
+                f"~{f:.0f} FLOPs/sample")
+    elif isinstance(pnet, HeteroTpPipelinedNetwork):
         lines.append(
             f"heterogeneous x tp partition: {pnet.n_stages} stages, "
             f"tp={pnet.tp}, ring width {pnet.width}, packed rows "

@@ -708,3 +708,147 @@ def test_describe_partition(jb):
 
     with pytest.raises(TypeError, match="not a pipeline partition"):
         describe_partition(uni)
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous circular (interleaved) schedule
+# ---------------------------------------------------------------------------
+
+
+def _deep_pyramid(jb, seed=0):
+    """Autoencoder-style pyramid with 8 varied-width segments
+    (24->20->16->12->8->12->16->20->24): the uniform circular split
+    rejects it (no uniform run), the hetero circular cut takes it."""
+    rng = Rng(jb, seed=seed)
+    return gen_net(jb, 24, 24,
+                   [(w, act_logistic()) for w in (20, 16, 12, 8, 12, 16, 20)],
+                   act_logistic(), rng)
+
+
+def test_split_hetero_circular_roundtrip(jb):
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        HeteroCircularPipelinedNetwork, partition_network_circular,
+        split_network_hetero_circular)
+
+    net = _deep_pyramid(jb)
+    p = split_network_hetero_circular(net, 4, 2)
+    assert p.S == 4 and p.V == 2 and p.packed.shape[:2] == (4, 2)
+    assert p.in_width == 24 and p.out_width == 24 and p.width == 24
+    back = p.to_network_params()
+    assert len(back) == len(net.params)
+    for a, b in zip(back, net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the dispatcher picks hetero circular for non-uniform chains
+    assert isinstance(partition_network_circular(net, 4, 2),
+                      HeteroCircularPipelinedNetwork)
+    # ... and keeps the uniform interleaved cut for uniform ones
+    from tensor_ops_tpu.parallel.ir_pipeline import CircularPipelinedNetwork
+
+    assert isinstance(
+        partition_network_circular(_uniform_chain(jb, h=4, n_layers=9), 4, 2),
+        CircularPipelinedNetwork)
+
+
+@multi
+@pytest.mark.parametrize("M", [4, 6])
+def test_hetero_circular_grads_equal_sequential(jb, M):
+    """Hetero circular schedule (S=4, V=2 chunks/device; M == S and the
+    M > S FIFO case): gradients == sequential transposition AD at
+    1e-9 on a varied-width pyramid the uniform split rejects."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        HeteroCircularPipelinedNetwork)
+
+    net = _deep_pyramid(jb, seed=23)
+    loss = squared_error(24)
+    r = np.random.default_rng(6)
+    xb = jb.asarray(r.uniform(0, 1, size=(12, 24)))
+    yb = jb.asarray(r.uniform(0, 1, size=(12, 24)))
+
+    v_seq, g_seq = _seq_grads(net, loss, jb, xb, yb)
+    mesh = make_pipeline_mesh(4)
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=M,
+                            schedule="circular", n_chunks=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, M,
+                                     schedule="circular", n_chunks=2)
+    assert isinstance(pnet, HeteroCircularPipelinedNetwork)
+    v_pp, flat_g = gfn(xb, yb, *pnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    for a, b in zip(pnet.unflatten(flat_g).to_network_params(), g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+@multi
+def test_fit_hetero_circular_pipeline(jb, tmp_path):
+    """fit(pipeline_schedule='circular') on a varied-width pyramid
+    (hetero circular partition) on a dp x pp mesh: same loss curve as
+    single-device, checkpoint/resume exact."""
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.models.trainer import fit
+    from tensor_ops_tpu.parallel.pipeline import make_dp_pipeline_mesh
+
+    r = np.random.default_rng(29)
+    X = r.uniform(0, 1, size=(64, 24))
+    Y = r.uniform(0, 1, size=(64, 24))
+    loss = squared_error(24)
+    mesh = make_dp_pipeline_mesh(2, 4)
+    kw = dict(epochs=2, batch_size=16, lr=0.01, optimizer=adam(),
+              verbose=False, prefetch=0, log_every=1,
+              pipeline_microbatches=4)
+
+    def net():
+        return _deep_pyramid(jb, seed=31)
+
+    r_circ = fit(net(), loss, jb, X, Y, mesh=mesh,
+                 pipeline_schedule="circular", pipeline_chunks=2, **kw)
+    r_sd = fit(net(), loss, jb, X, Y, **{
+        k: v for k, v in kw.items() if k != "pipeline_microbatches"})
+    for ra, rb in zip(r_circ.history, r_sd.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_circ.net.params, r_sd.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+    ck = str(tmp_path / "hcirc.npz")
+    fit(net(), loss, jb, X, Y, mesh=mesh, pipeline_schedule="circular",
+        pipeline_chunks=2, epochs=1, checkpoint_path=ck,
+        checkpoint_every=2, **{k: v for k, v in kw.items()
+                               if k != "epochs"})
+    resumed = fit(net(), loss, jb, X, Y, mesh=mesh,
+                  pipeline_schedule="circular", pipeline_chunks=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    for a, b in zip(resumed.net.params, r_circ.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+
+@multi
+def test_hetero_circular_warns_idle_model_axis(jb):
+    """A model axis in the mesh sits idle under the hetero circular
+    partition (no tp composition yet) — loudly, never silently."""
+    import warnings
+
+    from tensor_ops_tpu.models.trainer import fit
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    net = _deep_pyramid(jb, seed=37)
+    r = np.random.default_rng(38)
+    X = r.uniform(0, 1, size=(32, 24))
+    Y = r.uniform(0, 1, size=(32, 24))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fit(net, squared_error(24), jb, X, Y, epochs=1, batch_size=16,
+            verbose=False, prefetch=0, mesh=make_3d_pipeline_mesh(2, 2, 2),
+            pipeline_schedule="circular", pipeline_chunks=2,
+            pipeline_microbatches=2)
+    assert any("model axis" in str(x.message) for x in w)
+
+
+def test_describe_hetero_circular(jb):
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        describe_partition, split_network_hetero_circular)
+
+    s = describe_partition(
+        split_network_hetero_circular(_deep_pyramid(jb), 4, 2))
+    assert "heterogeneous circular partition: 4 stages x 2 chunks" in s
+    assert "chunk 7 (device 3, slot 1)" in s and "balance:" in s
