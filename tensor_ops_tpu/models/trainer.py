@@ -453,7 +453,7 @@ def fit(
         # non-shardable fallback (replicated body)
         if pipeline_schedule == "circular":
             part = partition_network_circular(net, mesh.shape[STAGE_AXIS],
-                                              pipeline_chunks)
+                                              pipeline_chunks, mesh)
         elif pipeline_schedule == "gpipe":
             part = partition_network(net, mesh.shape[STAGE_AXIS], mesh)
         else:

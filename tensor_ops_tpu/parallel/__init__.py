@@ -11,6 +11,8 @@ from .ir_pipeline import (
     split_network,
     split_network_hetero,
     split_network_hetero_circular,
+    split_network_hetero_tp,
+    split_network_hetero_tp_circular,
     unchain,
 )
 from .collective_kernels import dp_megakernel_train_step, ring_all_reduce

@@ -475,18 +475,15 @@ class HeteroTpPipelinedNetwork:
         return tuple(ps)
 
 
-def split_network_hetero_tp(net: Network, n_stages: int, tp: int
-                            ) -> Optional[HeteroTpPipelinedNetwork]:
-    """The heterogeneous FLOP-balanced cut with every segment
-    row-sharded over ``tp`` model shards — possible only when EVERY
-    segment matches the ffLayer pattern with a tp-divisible output
-    width (odd widths return None; the caller falls back to the
-    model-replicated hetero cut).  Softmax-tailed segments (the
-    flagship's output head) shard too: the affine rows + exp run
-    tp-local and the normalization runs replicated after the
-    all-gather (``_tp_local_segment_split``)."""
+def _hetero_tp_groups(net: Network, n_groups: int, tp: int):
+    """Shared core of the tensor-parallel heterogeneous cuts (GPipe
+    stages and circular chunk groups): cut the ``then``-chain into
+    ``n_groups`` contiguous FLOP-balanced groups with every segment
+    row-sharded over ``tp`` — ``(group_ops, local_ops, per_shard_rows,
+    ring_width)``, or None when any segment doesn't match the ffLayer
+    pattern / isn't tp-divisible (the caller falls back, loudly)."""
     segs = network_segments(net)
-    if len(segs) < n_stages:
+    if len(segs) < n_groups:
         return None
     local = [_tp_local_segment_split(op, tp) for op, _ in segs]
     if any(lo is None for lo in local):
@@ -499,10 +496,10 @@ def split_network_hetero_tp(net: Network, n_stages: int, tp: int
             widths.add(sh[0])
     H = max(widths)
     bounds = _balanced_partition([_op_flops(op) for op, _ in segs],
-                                 n_stages)
-    stage_ops, local_ops, rows = [], [], []
+                                 n_groups)
+    group_ops, local_ops, rows = [], [], []
     for a, b in bounds:
-        stage_ops.append([op for op, _ in segs[a:b]])
+        group_ops.append([op for op, _ in segs[a:b]])
         local_ops.append(local[a:b])
         per_shard = []
         for m in range(tp):
@@ -514,9 +511,26 @@ def split_network_hetero_tp(net: Network, n_stages: int, tp: int
             per_shard.append(jnp.concatenate(flat) if flat
                              else jnp.zeros((0,), net.params[0].dtype))
         rows.append(per_shard)
-    lmax = max(int(r.shape[0]) for sh in rows for r in sh)
+    return group_ops, local_ops, rows, H
+
+
+def split_network_hetero_tp(net: Network, n_stages: int, tp: int
+                            ) -> Optional[HeteroTpPipelinedNetwork]:
+    """The heterogeneous FLOP-balanced cut with every segment
+    row-sharded over ``tp`` model shards — possible only when EVERY
+    segment matches the ffLayer pattern with a tp-divisible output
+    width (odd widths return None; the caller falls back to the
+    model-replicated hetero cut).  Softmax-tailed segments (the
+    flagship's output head) shard too: the affine rows + exp run
+    tp-local and the normalization runs replicated after the
+    all-gather (``_tp_local_segment_split``)."""
+    r = _hetero_tp_groups(net, n_stages, tp)
+    if r is None:
+        return None
+    stage_ops, local_ops, rows, H = r
+    lmax = max(int(x.shape[0]) for sh in rows for x in sh)
     packed = jnp.stack([
-        jnp.stack([jnp.pad(r, (0, lmax - r.shape[0])) for r in sh])
+        jnp.stack([jnp.pad(x, (0, lmax - x.shape[0])) for x in sh])
         for sh in rows])
     return HeteroTpPipelinedNetwork(stage_ops, local_ops, packed, H,
                                     lmax, tp)
@@ -743,6 +757,105 @@ def split_network_hetero_circular(net: Network, n_stages: int,
     return HeteroCircularPipelinedNetwork(group_ops, packed, H, lmax, S, V)
 
 
+@dataclass
+class HeteroTpCircularPipelinedNetwork:
+    """A heterogeneous circular partition that ALSO tensor-parallels:
+    the ``S*V`` chunk groups of :class:`HeteroCircularPipelinedNetwork`
+    with every segment row-sharded over ``tp`` model shards (the
+    :class:`HeteroTpPipelinedNetwork` decomposition lifted to the
+    interleaved schedule).  Packed rows ``(S, V, tp, Lmax)``:
+    ``[d, v, m]`` holds chunk ``v*S + d``'s shard-``m`` row-slices, so
+    a plain ``(stage, None, model)`` shard hands each device its V
+    chunk rows for its model shard.  Softmax-tailed segments run the
+    sharded-softmax decomposition (tp-local affine + exp, replicated
+    normalization after the activation all-gather)."""
+
+    chunk_ops: List[List[TOp]]        # S*V chunk groups, chain order
+    local_ops: List[List[Tuple[TOp, Optional[TOp]]]]  # per chunk/segment
+    packed: Optional[Any]             # (S, V, tp, Lmax)
+    width: int                        # ring activation width H
+    lmax: int
+    tp: int
+    S: int
+    V: int
+
+    @property
+    def n_stages(self) -> int:
+        return self.S
+
+    @property
+    def n_chunks(self) -> int:
+        return self.V
+
+    @property
+    def in_width(self) -> int:
+        return self.chunk_ops[0][0].in_stack[0][0]
+
+    @property
+    def out_width(self) -> int:
+        return self.chunk_ops[-1][-1].out_stack[0][0]
+
+    def flat_params(self) -> Tuple[Any, ...]:
+        return (self.packed,)
+
+    def unflatten(self, flat: Tuple[Any, ...]
+                  ) -> "HeteroTpCircularPipelinedNetwork":
+        (packed,) = flat
+        return HeteroTpCircularPipelinedNetwork(
+            self.chunk_ops, self.local_ops, packed, self.width,
+            self.lmax, self.tp, self.S, self.V)
+
+    def skeleton(self) -> "HeteroTpCircularPipelinedNetwork":
+        return HeteroTpCircularPipelinedNetwork(
+            self.chunk_ops, self.local_ops, None, self.width,
+            self.lmax, self.tp, self.S, self.V)
+
+    def to_network_params(self) -> Tuple[Any, ...]:
+        """Reassemble the Network stack: walk chunks in chain order,
+        concatenating each param's tp row-slices back to full width."""
+        ps: List[Any] = []
+        for c, ops in enumerate(self.chunk_ops):
+            rows = self.packed[c % self.S, c // self.S]  # (tp, Lmax)
+            ofs = 0
+            for op in ops:
+                for sh in op.in_stack[1:]:
+                    o_l = sh[0] // self.tp
+                    loc = (o_l,) + tuple(sh[1:])
+                    k = int(np.prod(loc, dtype=np.int64))
+                    parts = [rows[m, ofs : ofs + k].reshape(loc)
+                             for m in range(self.tp)]
+                    ps.append(jnp.concatenate(parts, axis=0))
+                    ofs += k
+        return tuple(ps)
+
+
+def split_network_hetero_tp_circular(
+        net: Network, n_stages: int, n_chunks: int, tp: int
+        ) -> Optional[HeteroTpCircularPipelinedNetwork]:
+    """The heterogeneous circular cut with every segment row-sharded
+    over ``tp`` model shards: ``S*V`` FLOP-balanced chunk groups packed
+    as ``(S, V, tp, Lmax)`` per-shard rows (``[d, v, m]`` = chunk
+    ``v*S + d`` shard ``m``).  None when any segment doesn't match the
+    ffLayer pattern or isn't tp-divisible — the caller falls back to
+    the model-replicated hetero circular cut, loudly."""
+    if n_chunks < 1:
+        raise ShapeError(
+            f"circular schedule needs n_chunks >= 1, got {n_chunks}")
+    S, V = n_stages, n_chunks
+    r = _hetero_tp_groups(net, S * V, tp)
+    if r is None:
+        return None
+    group_ops, local_ops, rows, H = r
+    lmax = max(int(x.shape[0]) for sh in rows for x in sh)
+    padded = [jnp.stack([jnp.pad(x, (0, lmax - x.shape[0])) for x in sh])
+              for sh in rows]                      # S*V of (tp, Lmax)
+    packed = jnp.stack([
+        jnp.stack([padded[v * S + d] for v in range(V)])
+        for d in range(S)])                        # (S, V, tp, Lmax)
+    return HeteroTpCircularPipelinedNetwork(
+        group_ops, local_ops, packed, H, lmax, tp, S, V)
+
+
 def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
                              n_body_params: int,
                              tp_local_op: Optional[TOp] = None):
@@ -821,8 +934,7 @@ def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
     return spmd
 
 
-def _make_hetero_spmd_body_circular(pnet: "HeteroCircularPipelinedNetwork",
-                                    be: Backend):
+def _make_hetero_spmd_body_circular(pnet, be: Backend):
     """The circular-schedule shard_map body over HETEROGENEOUS chunk
     groups: the same tick schedule/FIFO as
     :func:`_make_spmd_body_circular` (device ``d`` runs local chunk
@@ -831,16 +943,28 @@ def _make_hetero_spmd_body_circular(pnet: "HeteroCircularPipelinedNetwork",
     OWN segment sequence via ``lax.switch`` over all ``S*V`` chunk
     programs — the hetero-GPipe branch trick lifted to the interleaved
     schedule.  Ragged activations ride the ring padded to the max
-    boundary width."""
+    boundary width.
+
+    With a :class:`HeteroTpCircularPipelinedNetwork` each chunk program
+    is additionally tensor-parallel over the ``model`` axis (the
+    ``_make_tp_stage_branch`` decomposition: row-slice params compute
+    local activation rows, an all-gather restores full width between
+    segments) — the schedule itself is unchanged."""
     V = pnet.V
+    tp = isinstance(pnet, HeteroTpCircularPipelinedNetwork)
 
     def spmd(packed_local, mb_inputs):
-        pv = packed_local[0]            # this device's (V, Lmax) rows
+        # this device's (V, Lmax) rows: under tp the packed leaf is
+        # (S, V, tp, Lmax) sharded (stage, None, model) -> local
+        # (1, V, 1, Lmax); without tp (S, V, Lmax) -> (1, V, Lmax)
+        pv = packed_local[0, :, 0] if tp else packed_local[0]
         d = lax.axis_index(STAGE_AXIS)
         S = lax.axis_size(STAGE_AXIS)
         H = mb_inputs.shape[-1]
-        branches = [_make_stage_branch(ops_c, be, H)
-                    for ops_c in pnet.chunk_ops]
+        branches = ([_make_tp_stage_branch(locs, be, H)
+                     for locs in pnet.local_ops] if tp else
+                    [_make_stage_branch(ops_c, be, H)
+                     for ops_c in pnet.chunk_ops])
         M = mb_inputs.shape[0]
         T = V * M + S - 1
         F = M - S  # FIFO depth (ticks a wrapped activation waits)
@@ -1075,20 +1199,26 @@ def make_ir_pipeline_loss(
     (:func:`split_network_hetero`) — so the real flagship
     784->300->100->10 pipelines too.
 
-    ``schedule="circular"`` (uniform bodies only) runs the interleaved
-    schedule instead of GPipe: each device holds ``n_chunks`` (V)
-    round-robin chunks of the body and the activation ring wraps V
-    times, shrinking the bubble from (S-1)/(M+S-1) ticks of an SV-long
-    GPipe chain to (S-1)/(VM+S-1); requires ``n_microbatches >= S``
-    (M > S buffers the wrap in a depth-(M-S) FIFO)."""
+    ``schedule="circular"`` runs the interleaved schedule instead of
+    GPipe: each device holds ``n_chunks`` (V) round-robin chunks of the
+    chain and the activation ring wraps V times, shrinking the bubble
+    from (S-1)/(M+S-1) ticks of an SV-long GPipe chain to
+    (S-1)/(VM+S-1); requires ``n_microbatches >= S`` (M > S buffers the
+    wrap in a depth-(M-S) FIFO).  Uniform bodies take the stacked cut
+    (:func:`split_network_circular`); any other chain takes the
+    heterogeneous circular cut — tensor-parallel over the mesh's
+    ``model`` axis when every segment row-shards
+    (:func:`split_network_hetero_tp_circular`), model-replicated (with
+    a loud warning) otherwise."""
     if be.name != "jax":
         raise ValueError("ir pipeline requires the jax backend")
     S = mesh.shape[STAGE_AXIS]
     if pnet is None:
-        pnet = (partition_network_circular(net, S, n_chunks)
+        pnet = (partition_network_circular(net, S, n_chunks, mesh)
                 if schedule == "circular"
                 else partition_network(net, S, mesh))
-    if isinstance(pnet, HeteroCircularPipelinedNetwork):
+    if isinstance(pnet, (HeteroCircularPipelinedNetwork,
+                         HeteroTpCircularPipelinedNetwork)):
         if schedule != "circular":
             raise ValueError(
                 "a hetero circular partition runs only under "
@@ -1097,13 +1227,18 @@ def make_ir_pipeline_loss(
             raise ValueError(
                 f"circular schedule requires n_microbatches "
                 f"({n_microbatches}) >= stage-axis size ({S})")
-        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        if (isinstance(pnet, HeteroCircularPipelinedNetwork)
+                and MODEL_AXIS in mesh.axis_names
+                and mesh.shape[MODEL_AXIS] > 1):
             import warnings
 
             warnings.warn(
-                "staged-IR pipeline: heterogeneous circular partitions "
-                "do not shard over the model axis — it will sit idle "
-                "(replicated chunks)", stacklevel=2)
+                "staged-IR pipeline: this heterogeneous circular "
+                "partition does not shard over the model axis (a "
+                "segment doesn't match the row-shardable ffLayer "
+                "pattern or its width doesn't divide the model-axis "
+                "size) — it will sit idle (replicated chunks)",
+                stacklevel=2)
         return _make_hetero_circular_loss(net, loss, be, mesh,
                                           n_microbatches, pnet)
     if isinstance(pnet, HeteroTpPipelinedNetwork):
@@ -1111,7 +1246,7 @@ def make_ir_pipeline_loss(
             raise ShapeError(
                 "the circular schedule needs a hetero-circular partition "
                 "for this network: build pnet with "
-                "split_network_hetero_circular (or omit pnet)")
+                "split_network_hetero_tp_circular (or omit pnet)")
         return _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches,
                                     pnet)
     if isinstance(pnet, HeteroPipelinedNetwork):
@@ -1212,16 +1347,26 @@ def partition_network(net: Network, n_stages: int, mesh: Optional[Mesh] = None):
     return split_network_hetero(net, n_stages)
 
 
-def partition_network_circular(net: Network, n_stages: int, n_chunks: int):
+def partition_network_circular(net: Network, n_stages: int, n_chunks: int,
+                               mesh: Optional[Mesh] = None):
     """The circular-schedule partition: the uniform interleaved cut when
-    the network has a long-enough uniform run, else the heterogeneous
-    FLOP-balanced circular cut (S*V chunk groups) — so any chain with
-    >= S*V segments (autoencoder pyramids, varied-width MLPs) runs the
-    interleaved schedule, not just uniform bodies."""
+    the network has a long-enough uniform run; else — when the mesh
+    carries a model axis and every segment row-shards — the
+    tensor-parallel heterogeneous circular cut; else the
+    model-replicated heterogeneous FLOP-balanced circular cut (S*V
+    chunk groups) — so any chain with >= S*V segments (autoencoder
+    pyramids, varied-width MLPs) runs the interleaved schedule, not
+    just uniform bodies."""
     try:
         return split_network_circular(net, n_stages, n_chunks)
     except ShapeError:
         pass
+    if (mesh is not None and MODEL_AXIS in mesh.axis_names
+            and mesh.shape[MODEL_AXIS] > 1):
+        tp = split_network_hetero_tp_circular(net, n_stages, n_chunks,
+                                              mesh.shape[MODEL_AXIS])
+        if tp is not None:
+            return tp
     return split_network_hetero_circular(net, n_stages, n_chunks)
 
 
@@ -1288,15 +1433,19 @@ def _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet):
 def _make_hetero_circular_loss(net, loss, be, mesh, n_microbatches, pnet):
     """(loss_fn, pnet) for a heterogeneous circular partition: the
     (S, V, Lmax) packed rows shard over the stage axis (each device
-    gets its V chunk rows); batch padded to the ring width on entry,
-    sliced to the output width before the loss."""
+    gets its V chunk rows) — or, for the tensor-parallel variant, the
+    (S, V, tp, Lmax) rows over (stage, model); batch padded to the
+    ring width on entry, sliced to the output width before the loss."""
     M = n_microbatches
     has_data = DATA_AXIS in mesh.axis_names
     mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
+    packed_spec = (PSpec(STAGE_AXIS, None, MODEL_AXIS, None)
+                   if isinstance(pnet, HeteroTpCircularPipelinedNetwork)
+                   else PSpec(STAGE_AXIS, None, None))
     pipelined = shard_map(
         _make_hetero_spmd_body_circular(pnet, be),
         mesh=mesh,
-        in_specs=(PSpec(STAGE_AXIS, None, None), mb_spec),
+        in_specs=(packed_spec, mb_spec),
         out_specs=mb_spec,
         check_vma=False,
     )
@@ -1385,6 +1534,12 @@ def shard_pipelined_params(pnet, mesh: Mesh):
 
     repl = NamedSharding(mesh, PSpec())
     stage_sh = NamedSharding(mesh, PSpec(STAGE_AXIS))
+    if isinstance(pnet, HeteroTpCircularPipelinedNetwork):
+        return HeteroTpCircularPipelinedNetwork(
+            pnet.chunk_ops, pnet.local_ops,
+            place_host(pnet.packed, NamedSharding(
+                mesh, PSpec(STAGE_AXIS, None, MODEL_AXIS, None))),
+            pnet.width, pnet.lmax, pnet.tp, pnet.S, pnet.V)
     if isinstance(pnet, HeteroCircularPipelinedNetwork):
         return HeteroCircularPipelinedNetwork(
             pnet.chunk_ops,
@@ -1446,7 +1601,29 @@ def describe_partition(pnet) -> str:
         return int(sum(np.prod(s, dtype=np.int64) if s else 1
                        for s in op.in_stack[1:]))
 
-    if isinstance(pnet, HeteroCircularPipelinedNetwork):
+    if isinstance(pnet, HeteroTpCircularPipelinedNetwork):
+        lines.append(
+            f"heterogeneous circular x tp partition: {pnet.S} stages x "
+            f"{pnet.V} chunks/device, tp={pnet.tp}, ring width "
+            f"{pnet.width}, packed rows (S={pnet.S}, V={pnet.V}, "
+            f"tp={pnet.tp}, Lmax={pnet.lmax})")
+        flops = []
+        for c, (ops_c, locs) in enumerate(zip(pnet.chunk_ops,
+                                              pnet.local_ops)):
+            f = sum(_op_flops(op) for op in ops_c)
+            flops.append(f)
+            tags = []
+            for op, (loc, suf) in zip(ops_c, locs):
+                t = seg_width(op)
+                if suf is not None:
+                    t += " (+replicated tail)"
+                tags.append(t)
+            lines.append(
+                f"  chunk {c} (device {c % pnet.S}, slot {c // pnet.S}): "
+                f"{len(ops_c)} segment(s) [{', '.join(tags)}], "
+                f"{sum(seg_nparams(op) for op in ops_c)} params "
+                f"(1/{pnet.tp} per shard), ~{f:.0f} FLOPs/sample")
+    elif isinstance(pnet, HeteroCircularPipelinedNetwork):
         lines.append(
             f"heterogeneous circular partition: {pnet.S} stages x "
             f"{pnet.V} chunks/device, ring width {pnet.width}, packed "

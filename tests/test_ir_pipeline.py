@@ -822,16 +822,27 @@ def test_fit_hetero_circular_pipeline(jb, tmp_path):
                                    atol=1e-9, rtol=0)
 
 
+def _odd_pyramid(jb, seed=0):
+    """Varied-width pyramid whose hidden widths are ODD
+    (24->21->15->9->7->9->15->21->24): no tp=2 row-split exists, so a
+    model axis must fall back to the replicated hetero circular cut."""
+    rng = Rng(jb, seed=seed)
+    return gen_net(jb, 24, 24,
+                   [(w, act_logistic()) for w in (21, 15, 9, 7, 9, 15, 21)],
+                   act_logistic(), rng)
+
+
 @multi
 def test_hetero_circular_warns_idle_model_axis(jb):
     """A model axis in the mesh sits idle under the hetero circular
-    partition (no tp composition yet) — loudly, never silently."""
+    partition when a segment width doesn't divide it (odd widths) —
+    loudly, never silently."""
     import warnings
 
     from tensor_ops_tpu.models.trainer import fit
     from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
 
-    net = _deep_pyramid(jb, seed=37)
+    net = _odd_pyramid(jb, seed=37)
     r = np.random.default_rng(38)
     X = r.uniform(0, 1, size=(32, 24))
     Y = r.uniform(0, 1, size=(32, 24))
@@ -852,3 +863,230 @@ def test_describe_hetero_circular(jb):
         split_network_hetero_circular(_deep_pyramid(jb), 4, 2))
     assert "heterogeneous circular partition: 4 stages x 2 chunks" in s
     assert "chunk 7 (device 3, slot 1)" in s and "balance:" in s
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous circular schedule x tensor parallelism
+# ---------------------------------------------------------------------------
+
+
+def test_split_hetero_tp_circular_roundtrip(jb):
+    """The (S, V, tp, Lmax) packed per-shard chunk rows reassemble the
+    exact Network stack; the dispatcher picks the tp cut only when a
+    model axis exists AND every width divides it."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        CircularPipelinedNetwork, HeteroCircularPipelinedNetwork,
+        HeteroTpCircularPipelinedNetwork, partition_network_circular,
+        split_network_hetero_tp_circular)
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    net = _deep_pyramid(jb)
+    p = split_network_hetero_tp_circular(net, 2, 2, 2)
+    assert p is not None and p.S == 2 and p.V == 2 and p.tp == 2
+    assert p.packed.shape[:3] == (2, 2, 2)
+    assert p.in_width == 24 and p.out_width == 24 and p.width == 24
+    back = p.to_network_params()
+    assert len(back) == len(net.params)
+    for a, b in zip(back, net.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # softmax-tailed chain: the head's normalization is a replicated
+    # suffix after the gather; everything else stays tp-local
+    rng = Rng(jb, seed=1)
+    smax = gen_net(jb, 16, 4, [(8, act_logistic())] * 3, act_softmax(),
+                   rng)
+    ps = split_network_hetero_tp_circular(smax, 2, 2, 2)
+    assert ps is not None
+    assert ps.local_ops[-1][-1][1] is not None  # replicated softmax tail
+    assert ps.local_ops[0][0][1] is None
+    for a, b in zip(ps.to_network_params(), smax.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # odd widths can't row-split
+    assert split_network_hetero_tp_circular(_odd_pyramid(jb), 2, 2, 2) \
+        is None
+
+    if len(jax.devices()) >= 8:
+        mesh = make_3d_pipeline_mesh(2, 2, 2)
+        assert isinstance(
+            partition_network_circular(net, 2, 2, mesh),
+            HeteroTpCircularPipelinedNetwork)
+        assert isinstance(
+            partition_network_circular(_odd_pyramid(jb), 2, 2, mesh),
+            HeteroCircularPipelinedNetwork)
+        assert isinstance(
+            partition_network_circular(
+                _uniform_chain(jb, h=4, n_layers=8), 2, 2, mesh),
+            CircularPipelinedNetwork)
+
+
+def test_split_hetero_tp_circular_roundtrip_fuzz(jb):
+    """Random chains (random tp-divisible widths, logistic or softmax
+    head) split at every feasible (S, V, tp): the packed (S, V, tp,
+    Lmax) per-shard chunk rows must reassemble the exact Network
+    stack.  Pure structure — no mesh required."""
+    from tensor_ops_tpu.models import act_relu, act_tanh
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        split_network_hetero_tp_circular)
+
+    r = np.random.default_rng(7)
+    acts = [act_logistic, act_relu, act_tanh]
+    for trial in range(10):
+        tp = int(r.choice([2, 4]))
+        n_layers = int(r.integers(4, 9))
+        widths = [int(tp * r.integers(1, 5)) for _ in range(n_layers + 1)]
+        hidden = [(w, acts[int(r.integers(0, 3))]())
+                  for w in widths[1:-1]]
+        head = act_softmax() if trial % 2 else act_logistic()
+        net = gen_net(jb, widths[0], widths[-1], hidden, head,
+                      Rng(jb, seed=200 + trial))
+        S = int(r.integers(2, 4))
+        V = int(r.integers(1, 3))
+        if S * V > n_layers:
+            V = 1
+        if S * V > n_layers:
+            continue
+        p = split_network_hetero_tp_circular(net, S, V, tp)
+        assert p is not None, (widths, S, V, tp)
+        assert p.S == S and p.V == V and p.tp == tp
+        assert p.packed.shape[:3] == (S, V, tp)
+        back = p.to_network_params()
+        assert len(back) == len(net.params)
+        for a, b in zip(back, net.params):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@multi
+@pytest.mark.parametrize("M", [2, 4])
+def test_hetero_tp_circular_grads_equal_sequential(jb, M):
+    """Hetero circular x tp on the (2,2,2) dp x pp x tp mesh (M == S
+    and the M > S FIFO case): gradients == sequential transposition AD
+    at 1e-9, packed params genuinely sharded over (stage, model)."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        HeteroTpCircularPipelinedNetwork, partition_network_circular,
+        shard_pipelined_params)
+    from tensor_ops_tpu.parallel.mesh import MODEL_AXIS
+    from tensor_ops_tpu.parallel.pipeline import (STAGE_AXIS,
+                                                  make_3d_pipeline_mesh)
+
+    net = _deep_pyramid(jb, seed=41)
+    loss = squared_error(24)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    part = partition_network_circular(net, 2, 2, mesh)
+    assert isinstance(part, HeteroTpCircularPipelinedNetwork)
+    spnet = shard_pipelined_params(part, mesh)
+    spec = tuple(spnet.packed.sharding.spec)
+    assert spec[0] == STAGE_AXIS and spec[2] == MODEL_AXIS
+    assert not spnet.packed.sharding.is_fully_replicated
+
+    r = np.random.default_rng(42)
+    xb = jb.asarray(r.uniform(0, 1, size=(8, 24)))
+    yb = jb.asarray(r.uniform(0, 1, size=(8, 24)))
+    v_seq, g_seq = _seq_grads(net, loss, jb, np.asarray(xb),
+                              np.asarray(yb))
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=M,
+                            schedule="circular", n_chunks=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, M,
+                                     schedule="circular", n_chunks=2)
+    assert isinstance(pnet, HeteroTpCircularPipelinedNetwork)
+    v_pp, flat_g = gfn(xb, yb, *spnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    for a, b in zip(pnet.unflatten(tuple(flat_g)).to_network_params(),
+                    g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+@multi
+def test_hetero_tp_circular_softmax_grads_equal_sequential(jb):
+    """Flagship-shaped softmax chain under the interleaved tp schedule:
+    the sharded-softmax decomposition (tp-local affine + exp,
+    replicated normalization after the gather) == sequential at 1e-9."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        HeteroTpCircularPipelinedNetwork, partition_network_circular,
+        shard_pipelined_params)
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    rng = Rng(jb, seed=43)
+    net = gen_net(jb, 16, 4, [(8, act_logistic())] * 3, act_softmax(),
+                  rng)
+    loss = cross_entropy(4)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    part = partition_network_circular(net, 2, 2, mesh)
+    assert isinstance(part, HeteroTpCircularPipelinedNetwork)
+    spnet = shard_pipelined_params(part, mesh)
+
+    r = np.random.default_rng(44)
+    B = 8
+    xb = jb.asarray(r.uniform(0, 1, size=(B, 16)))
+    yb = jb.asarray(np.eye(4)[r.integers(0, 4, size=B)])
+    v_seq, g_seq = _seq_grads(net, loss, jb, np.asarray(xb),
+                              np.asarray(yb))
+    gfn = ir_pipeline_grads(net, loss, jb, mesh, n_microbatches=4,
+                            schedule="circular", n_chunks=2)
+    _, pnet = ir_pipeline_train_step(net, loss, jb, mesh, 4,
+                                     schedule="circular", n_chunks=2)
+    v_pp, flat_g = gfn(xb, yb, *spnet.flat_params())
+    assert abs(float(v_pp) - v_seq) < 1e-9
+    for a, b in zip(pnet.unflatten(tuple(flat_g)).to_network_params(),
+                    g_seq):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+@multi
+def test_fit_hetero_tp_circular(jb, tmp_path):
+    """fit(pipeline_schedule='circular') on the (2,2,2) mesh with a
+    varied-width pyramid: NO idle-model warning (the tp cut engages),
+    loss curve == single-device at 1e-9, checkpoint/resume exact."""
+    import warnings
+
+    from tensor_ops_tpu.models import adam
+    from tensor_ops_tpu.models.trainer import fit
+    from tensor_ops_tpu.parallel.pipeline import make_3d_pipeline_mesh
+
+    r = np.random.default_rng(45)
+    X = r.uniform(0, 1, size=(64, 24))
+    Y = r.uniform(0, 1, size=(64, 24))
+    loss = squared_error(24)
+    mesh = make_3d_pipeline_mesh(2, 2, 2)
+    kw = dict(epochs=2, batch_size=16, lr=0.01, optimizer=adam(),
+              verbose=False, prefetch=0, log_every=1,
+              pipeline_microbatches=4)
+
+    def net():
+        return _deep_pyramid(jb, seed=46)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r_tp = fit(net(), loss, jb, X, Y, mesh=mesh,
+                   pipeline_schedule="circular", pipeline_chunks=2, **kw)
+    assert not any("model axis" in str(x.message) for x in w)
+    r_sd = fit(net(), loss, jb, X, Y, **{
+        k: v for k, v in kw.items() if k != "pipeline_microbatches"})
+    for ra, rb in zip(r_tp.history, r_sd.history):
+        assert abs(ra["loss"] - rb["loss"]) < 1e-9, (ra, rb)
+    for a, b in zip(r_tp.net.params, r_sd.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+    ck = str(tmp_path / "htpc.npz")
+    fit(net(), loss, jb, X, Y, mesh=mesh, pipeline_schedule="circular",
+        pipeline_chunks=2, epochs=1, checkpoint_path=ck,
+        checkpoint_every=2, **{k: v for k, v in kw.items()
+                               if k != "epochs"})
+    resumed = fit(net(), loss, jb, X, Y, mesh=mesh,
+                  pipeline_schedule="circular", pipeline_chunks=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    for a, b in zip(resumed.net.params, r_tp.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+
+def test_describe_hetero_tp_circular(jb):
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        describe_partition, split_network_hetero_tp_circular)
+
+    s = describe_partition(
+        split_network_hetero_tp_circular(_deep_pyramid(jb), 2, 2, 2))
+    assert "heterogeneous circular x tp partition: 2 stages x 2 chunks" in s
+    assert "tp=2" in s and "1/2 per shard" in s and "balance:" in s
