@@ -156,11 +156,33 @@ def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int):
     return vsum / accum_steps, tuple(g / accum_steps for g in gsum)
 
 
+def _zero1_init(opt, params, mesh):
+    """Placed initial optimizer state + in-step constraint for ZeRO-1
+    (``shard_opt_state=True``): the moments shard over the mesh's data
+    axis (``parallel.mesh.zero1_place``), dropping optimizer memory to
+    1/dp per device; XLA's sharding propagation inserts the update's
+    all-gather.  Warns loudly when nothing shards (no data axis,
+    dp == 1, a stateless optimizer, or no divisible dimension) — the
+    run continues with replicated moments, never silently."""
+    from ..parallel.mesh import zero1_place
+
+    opt_state0, zero_cons = zero1_place(opt.init(params), mesh)
+    if zero_cons is None:
+        import warnings
+
+        warnings.warn(
+            "shard_opt_state: no optimizer-state leaf can shard over "
+            "the data axis (no data axis in the mesh, dp == 1, a "
+            "stateless optimizer, or no dp-divisible dimension) — "
+            "continuing with replicated moments", stacklevel=3)
+    return opt_state0, zero_cons
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
                   mixed_precision: bool = False,
-                  mesh=None) -> Callable:
+                  mesh=None, zero_constrain=None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
@@ -182,7 +204,12 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     style over ``model`` (``parallel.mesh.param_specs``) — XLA inserts
     the gradient psums and activation collectives over ICI from the
     shardings alone.  Optimizer state inherits the param shardings from
-    its init arrays (pass params already device_put with the specs)."""
+    its init arrays (pass params already device_put with the specs).
+
+    ``zero_constrain`` (from ``parallel.mesh.zero1_place``) pins ZeRO-1
+    data-axis shardings on the updated optimizer state inside the step,
+    so the moments stay 1/dp per device across steps instead of XLA
+    re-replicating them."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -193,7 +220,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     # fit(net, cross_entropy(o), optimizer=adam())-in-a-loop pattern)
     # hits the same cache entry instead of recompiling per call
     key = ("optstep", loss.struct_key(), opt.struct_key(),
-           int(accum_steps), clip_norm, mixed_precision, mesh) + be.cache_key()
+           int(accum_steps), clip_norm, mixed_precision, mesh,
+           zero_constrain is not None) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -251,6 +279,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 v, mean_grads = batch_vag(xb, yb, params)
                 mean_grads = _clip(mean_grads)
                 opt_state, params = opt.update(opt_state, params, mean_grads, lr)
+                if zero_constrain is not None:
+                    opt_state = zero_constrain(opt_state)
                 return v, opt_state, params
 
         else:
@@ -262,6 +292,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 mean_grads = _clip(mean_grads)
                 opt_state, new_params = opt.update(opt_state, params,
                                                    mean_grads, lr)
+                if zero_constrain is not None:
+                    opt_state = zero_constrain(opt_state)
                 return v, opt_state, new_params
 
         if mesh is None:
@@ -316,6 +348,7 @@ def fit(
     clip_norm: Optional[float] = None,
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
+    shard_opt_state: bool = False,
     mesh=None,
     pipeline_microbatches: int = 4,
     pipeline_schedule: str = "gpipe",
@@ -363,7 +396,14 @@ def fit(
     Megatron-style ``model``-axis shardings, each batch is placed over the
     ``data`` axis, and the jitted step carries explicit in/out shardings —
     dp + tp on one ``(data, model)`` mesh with XLA-inserted collectives
-    (the reference has no distribution whatsoever, SURVEY.md §2.5).  Under
+    (the reference has no distribution whatsoever, SURVEY.md §2.5).
+    ``shard_opt_state=True`` (ZeRO-1) additionally shards the optimizer
+    moments over the ``data`` axis — 1/dp of the optimizer memory per
+    device, with the update's all-gather inserted by XLA from the
+    sharding alone; training remains bit-identical to the replicated
+    run, and checkpoints/resume keep working (moments gather at save,
+    re-place on their ZeRO shardings at load).  Works on every mesh
+    kind with a data axis (dp, dp x tp, dp x pipeline).  Under
     multi-process jax each host loads only its own disjoint shard via
     ``NativeLoader(shard=(process_index, process_count))`` and the global
     batch is assembled with ``make_array_from_process_local_data``.
@@ -384,6 +424,10 @@ def fit(
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    if shard_opt_state and mesh is None:
+        raise ValueError(
+            "shard_opt_state (ZeRO-1) shards the optimizer moments over "
+            "the mesh's data axis — pass mesh=make_mesh(...)")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1 and batch_size % accum_steps != 0:
@@ -409,6 +453,8 @@ def fit(
     spnet = None
     params = net.params
     data_sh = None
+    zero_cons = None   # ZeRO-1: pins moment shardings inside the step
+    opt_state0 = None  # ... and the matching placed initial state
     n_proc, proc_idx = 1, 0
     mp_replicated = False  # multi-process stage-only mesh: identical
     #                        full batches on every rank (no data axis)
@@ -468,10 +514,13 @@ def fit(
         params = spnet.flat_params()
         data_sh = NamedSharding(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
+        if shard_opt_state:
+            opt_state0, zero_cons = _zero1_init(opt, params, mesh)
 
         key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
                mesh, M, int(accum_steps), mixed_precision,
-               pipeline_schedule, pipeline_chunks) + be.cache_key()
+               pipeline_schedule, pipeline_chunks,
+               zero_cons is not None) + be.cache_key()
         step_fn = net.op._compiled.get(key)
         if step_fn is None:
             import jax.numpy as jnp
@@ -515,6 +564,8 @@ def fit(
                     grads = clip_by_global_norm(grads, clip_norm)
                 opt_state, params = opt.update(opt_state, tuple(params),
                                                grads, lr)
+                if zero_cons is not None:
+                    opt_state = zero_cons(opt_state)
                 return v, opt_state, params
 
             step_fn = jax.jit(_pl_step)
@@ -540,10 +591,13 @@ def fit(
         n_proc, proc_idx = jax.process_count(), jax.process_index()
         if n_proc > 1:
             _check_process_data_alignment(mesh, n_proc)
+        if shard_opt_state:
+            opt_state0, zero_cons = _zero1_init(opt, params, mesh)
     if not pipeline_mode:
         step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
                                 clip_norm=clip_norm,
-                                mixed_precision=mixed_precision, mesh=mesh)
+                                mixed_precision=mixed_precision, mesh=mesh,
+                                zero_constrain=zero_cons)
 
     if pipeline_mode and X.shape[0] < batch_size:
         raise ValueError(
@@ -572,7 +626,7 @@ def fit(
     else:
         steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     total_steps = epochs * steps_per_epoch
-    opt_state = opt.init(params)
+    opt_state = opt_state0 if shard_opt_state else opt.init(params)
     history = []
     step = 0
     # layout identity of the flat .state leaves: pipeline schedules
@@ -754,7 +808,7 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     opt: Optional[Optimizer] = None,
                     clip_norm: Optional[float] = None,
                     remat_every=None, mesh=None, accum_steps: int = 1,
-                    mixed_precision: bool = False):
+                    mixed_precision: bool = False, zero_constrain=None):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -791,7 +845,7 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
     key = ("seq_fit_step", loss.struct_key(), n,
            opt.struct_key() if opt is not None else None, clip_norm,
            remat_every, mesh, int(accum_steps),
-           mixed_precision) + be.cache_key()
+           mixed_precision, zero_constrain is not None) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -865,6 +919,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                 scaled = tuple(ratio * gg for gg in mean[:k]) + mean[k:]
                 leaves = tuple(states) + tuple(params)
                 opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
+                if zero_constrain is not None:
+                    opt_state = zero_constrain(opt_state)
                 return (v, opt_state,
                         tuple(leaves[:k]), tuple(leaves[k:]))
 
@@ -991,6 +1047,7 @@ def fit_sequences(
     clip_norm: Optional[float] = None,
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
+    shard_opt_state: bool = False,
     remat_every=None,
     mesh=None,
     seed: int = 0,
@@ -1044,7 +1101,9 @@ def fit_sequences(
     chunks inside the jitted step before one update (jax only, batch
     divisibility validated eagerly); ``mixed_precision`` (jax only) runs
     the scan-BPTT forward/backward in bfloat16 with full-precision
-    master states+params — the same surface as ``fit``."""
+    master states+params; ``shard_opt_state=True`` (ZeRO-1) shards the
+    optimizer moments over the ``data`` axis (requires ``optimizer=``
+    and a mesh) — the same surface as ``fit``."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
@@ -1052,6 +1111,14 @@ def fit_sequences(
     opt = optimizer
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    if shard_opt_state and mesh is None:
+        raise ValueError(
+            "shard_opt_state (ZeRO-1) shards the optimizer moments over "
+            "the mesh's data axis — pass mesh=make_mesh(...)")
+    if shard_opt_state and opt is None:
+        raise ValueError(
+            "shard_opt_state needs optimizer state to shard — dual-rate "
+            "SGD is stateless; pass optimizer=adam() (or momentum())")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1:
@@ -1129,6 +1196,19 @@ def fit_sequences(
     state_path = (checkpoint_path + ".state") if checkpoint_path else None
     opt_state = (opt.init(tuple(net.states) + tuple(net.params))
                  if opt is not None else ())
+    zero_cons = None
+    if shard_opt_state:
+        from ..parallel.mesh import zero1_place
+
+        opt_state, zero_cons = zero1_place(opt_state, mesh)
+        if zero_cons is None:
+            import warnings
+
+            warnings.warn(
+                "shard_opt_state: no optimizer-state leaf can shard "
+                "over the data axis (dp == 1 or no dp-divisible "
+                "dimension) — continuing with replicated moments",
+                stacklevel=2)
     opt_key = (opt.struct_key()
                if opt is not None and opt.hyper is not None else None)
     if resume and state_path and os.path.exists(state_path):
@@ -1184,7 +1264,8 @@ def fit_sequences(
     step_fn = _seq_train_step(net, loss, be, n_seq, opt=opt,
                               clip_norm=clip_norm, remat_every=remat_every,
                               mesh=mesh, accum_steps=accum_steps,
-                              mixed_precision=mixed_precision)
+                              mixed_precision=mixed_precision,
+                              zero_constrain=zero_cons)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
     history = []

@@ -1,5 +1,6 @@
 from .mesh import (make_mesh, param_specs, shard_fused, shard_network,
-                   sharded_forward, sharded_train_step)
+                   sharded_forward, sharded_train_step, zero1_place,
+                   zero1_shardings)
 from .pipeline import PipelineMLP, make_pipeline_mesh, pipeline_forward, pipeline_train_step, shard_pipeline_model
 from .ir_pipeline import (
     describe_partition,

@@ -133,6 +133,92 @@ def batch_spec() -> PSpec:
     return PSpec(DATA_AXIS, None)
 
 
+def zero1_shardings(opt_state, mesh: Mesh):
+    """ZeRO-1 shardings for an optimizer-state pytree: each array leaf's
+    INHERITED sharding (moments are built by ``opt.init`` as ``p * 0``,
+    so they carry their param's spec) extended by the ``data`` axis on
+    the first spec-free dimension the dp size divides — optimizer
+    memory drops to 1/dp per device, and the param update's all-gather
+    comes from XLA's sharding propagation alone (the megatron-paper
+    observation that dp replicas waste optimizer memory, solved the
+    TPU-native way: an annotation, not a hand-rolled partition).
+
+    Returns ``(flat_shardings, treedef)``: one ``NamedSharding`` or
+    ``None`` (leave untouched — scalars, non-divisible leaves, leaves
+    already sharded over ``data``) per flattened leaf."""
+    flat, treedef = jax.tree.flatten(opt_state)
+    dp = dict(mesh.shape).get(DATA_AXIS, 1)
+    shs = []
+    for x in flat:
+        if (dp <= 1 or not isinstance(x, jax.Array) or x.ndim == 0
+                or x.size == 0):
+            shs.append(None)
+            continue
+        if isinstance(x.sharding, NamedSharding):
+            spec = list(x.sharding.spec)
+        else:
+            spec = []
+        spec += [None] * (x.ndim - len(spec))
+        used = set()
+        for s in spec:
+            if isinstance(s, str):
+                used.add(s)
+            elif isinstance(s, (tuple, list)):
+                used.update(s)
+        if DATA_AXIS in used:
+            shs.append(None)
+            continue
+        placed = None
+        for ax in range(x.ndim):
+            if spec[ax] is None and x.shape[ax] % dp == 0:
+                spec[ax] = DATA_AXIS
+                placed = NamedSharding(mesh, PSpec(*spec))
+                break
+        shs.append(placed)
+    return shs, treedef
+
+
+def zero1_place(opt_state, mesh: Mesh):
+    """Place an optimizer-state pytree with ZeRO-1 shardings
+    (:func:`zero1_shardings`) and return ``(placed_state,
+    constrain_fn)``.  ``constrain_fn`` pins the same shardings on the
+    UPDATED state inside a jitted step (``with_sharding_constraint``),
+    so XLA never silently re-replicates the moments between steps;
+    it is ``None`` when nothing sharded (no data axis, dp == 1, or no
+    divisible leaf) — the caller treats that as a loud no-op."""
+    shs, treedef = zero1_shardings(opt_state, mesh)
+    if not any(sh is not None for sh in shs):
+        return opt_state, None
+    flat = jax.tree.leaves(opt_state)
+    placed = [x if sh is None else _reshard_leaf(x, sh)
+              for x, sh in zip(flat, shs)]
+    state = jax.tree.unflatten(treedef, placed)
+
+    def constrain(new_state):
+        leaves, td = jax.tree.flatten(new_state)
+        if len(leaves) != len(shs):
+            raise ValueError(
+                f"optimizer state changed structure across the update "
+                f"({len(shs)} leaves at init, {len(leaves)} after) — "
+                f"shard_opt_state requires a structure-stable optimizer")
+        leaves = [x if sh is None
+                  else jax.lax.with_sharding_constraint(x, sh)
+                  for x, sh in zip(leaves, shs)]
+        return jax.tree.unflatten(td, leaves)
+
+    return state, constrain
+
+
+def _reshard_leaf(x, sh: NamedSharding):
+    """Reshard one array onto ``sh`` — ``device_put`` when the target is
+    fully addressable, a compiled identity otherwise (multi-host: all
+    processes call together, exactly like :func:`place_host`, but the
+    source here is a committed device array rather than host numpy)."""
+    if all(d.process_index == jax.process_index() for d in sh.device_set):
+        return jax.device_put(x, sh)
+    return jax.jit(lambda a: a, out_shardings=sh)(x)
+
+
 def shard_network(net: Network, mesh: Mesh) -> Network:
     """Device-put the parameters with their mesh shardings."""
     specs = param_specs(net.param_stack, mesh)
