@@ -156,8 +156,8 @@ def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int):
     return vsum / accum_steps, tuple(g / accum_steps for g in gsum)
 
 
-def _zero1_init(opt, params, mesh):
-    """Placed initial optimizer state + in-step constraint for ZeRO-1
+def _zero1_wrap(opt_state, mesh):
+    """Placed optimizer state + in-step constraint for ZeRO-1
     (``shard_opt_state=True``): the moments shard over the mesh's data
     axis (``parallel.mesh.zero1_place``), dropping optimizer memory to
     1/dp per device; XLA's sharding propagation inserts the update's
@@ -166,7 +166,7 @@ def _zero1_init(opt, params, mesh):
     run continues with replicated moments, never silently."""
     from ..parallel.mesh import zero1_place
 
-    opt_state0, zero_cons = zero1_place(opt.init(params), mesh)
+    opt_state, zero_cons = zero1_place(opt_state, mesh)
     if zero_cons is None:
         import warnings
 
@@ -174,8 +174,13 @@ def _zero1_init(opt, params, mesh):
             "shard_opt_state: no optimizer-state leaf can shard over "
             "the data axis (no data axis in the mesh, dp == 1, a "
             "stateless optimizer, or no dp-divisible dimension) — "
-            "continuing with replicated moments", stacklevel=3)
-    return opt_state0, zero_cons
+            "continuing with replicated moments", stacklevel=4)
+    return opt_state, zero_cons
+
+
+def _zero1_init(opt, params, mesh):
+    """:func:`_zero1_wrap` over a fresh ``opt.init(params)``."""
+    return _zero1_wrap(opt.init(params), mesh)
 
 
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
@@ -1198,17 +1203,7 @@ def fit_sequences(
                  if opt is not None else ())
     zero_cons = None
     if shard_opt_state:
-        from ..parallel.mesh import zero1_place
-
-        opt_state, zero_cons = zero1_place(opt_state, mesh)
-        if zero_cons is None:
-            import warnings
-
-            warnings.warn(
-                "shard_opt_state: no optimizer-state leaf can shard "
-                "over the data axis (dp == 1 or no dp-divisible "
-                "dimension) — continuing with replicated moments",
-                stacklevel=2)
+        opt_state, zero_cons = _zero1_wrap(opt_state, mesh)
     opt_key = (opt.struct_key()
                if opt is not None and opt.hyper is not None else None)
     if resume and state_path and os.path.exists(state_path):

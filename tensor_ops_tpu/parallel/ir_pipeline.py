@@ -856,14 +856,67 @@ def split_network_hetero_tp_circular(
         group_ops, local_ops, packed, H, lmax, tp, S, V)
 
 
+def _circular_ticks(chunk_eval, mb_inputs, V: int):
+    """THE circular-schedule tick loop, shared by every chunk-program
+    variant (uniform stacked, uniform x tp, heterogeneous, hetero x
+    tp): device d evaluates its local chunk v's microbatch m at tick
+    ``t = v*M + m + d``; the activation ring wraps V times; with M > S
+    the wrapped activation waits in a depth-(M-S) FIFO (one slot
+    written + read per tick).  ``chunk_eval(v, x) -> y`` is the
+    per-device chunk program — the only thing the variants change, so
+    the scheduler itself exists exactly once."""
+    d = lax.axis_index(STAGE_AXIS)
+    S = lax.axis_size(STAGE_AXIS)
+    M = mb_inputs.shape[0]
+    T = V * M + S - 1
+    F = M - S  # FIFO depth (ticks a wrapped activation waits)
+    state = jnp.zeros_like(mb_inputs[0])
+    outputs = jnp.zeros_like(mb_inputs)
+
+    def step(carry, t):
+        if F > 0:
+            state, outputs, fifo = carry
+        else:
+            state, outputs = carry
+        k = t - d
+        kc = jnp.clip(k, 0, V * M - 1)
+        v = kc // M
+        m = kc % M
+        inject = mb_inputs[m]
+        if F > 0:
+            slot = t % F
+            x_wrap = lax.dynamic_index_in_dim(fifo, slot, 0,
+                                              keepdims=False)
+            fifo = lax.dynamic_update_index_in_dim(fifo, state, slot, 0)
+        else:
+            x_wrap = state
+        x_in = jnp.where((d == 0) & (v == 0), inject,
+                         jnp.where(d == 0, x_wrap, state))
+        y = chunk_eval(v, x_in)
+        collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
+        updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
+        outputs = jnp.where(collect, updated, outputs)
+        state = lax.ppermute(
+            y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        if F > 0:
+            return (state, outputs, fifo), None
+        return (state, outputs), None
+
+    if F > 0:
+        fifo0 = jnp.zeros((F,) + mb_inputs.shape[1:], mb_inputs.dtype)
+        init = (state, outputs, fifo0)
+    else:
+        init = (state, outputs)
+    out = lax.scan(step, init, jnp.arange(T))[0]
+    return lax.psum(out[1], STAGE_AXIS)
+
+
 def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
                              n_body_params: int,
                              tp_local_op: Optional[TOp] = None):
-    """The circular-schedule shard_map body over the staged IR: device d
-    processes local chunk v's microbatch m at tick t = v*M + m + d; the
-    activation ring wraps V times; with M > S the wrapped activation
-    waits in a depth-(M-S) FIFO (one slot written + read per tick).
-    Each chunk evaluates its Lc segments' staged sub-graphs through the
+    """The circular-schedule shard_map body over the staged IR
+    (uniform stacked chunks through :func:`_circular_ticks`): each
+    chunk evaluates its Lc segments' staged sub-graphs through the
     framework's transposition AD (``ir_call``); with ``tp_local_op``
     each segment is additionally row-sharded over ``model`` with an
     activation all-gather (same as the GPipe body)."""
@@ -886,64 +939,19 @@ def _make_spmd_body_circular(body_op: TOp, be: Backend, V: int, Lc: int,
         params_local = tuple(
             p.reshape((V, Lc) + p.shape[1:]) for p in args[:n_body_params])
         mb_inputs = args[n_body_params]
-        d = lax.axis_index(STAGE_AXIS)
-        S = lax.axis_size(STAGE_AXIS)
-        M = mb_inputs.shape[0]
-        T = V * M + S - 1
-        F = M - S  # FIFO depth (ticks a wrapped activation waits)
-        state = jnp.zeros_like(mb_inputs[0])
-        outputs = jnp.zeros_like(mb_inputs)
-
-        def step(carry, t):
-            if F > 0:
-                state, outputs, fifo = carry
-            else:
-                state, outputs = carry
-            k = t - d
-            kc = jnp.clip(k, 0, V * M - 1)
-            v = kc // M
-            m = kc % M
-            inject = mb_inputs[m]
-            if F > 0:
-                slot = t % F
-                x_wrap = lax.dynamic_index_in_dim(fifo, slot, 0,
-                                                  keepdims=False)
-                fifo = lax.dynamic_update_index_in_dim(fifo, state, slot, 0)
-            else:
-                x_wrap = state
-            x_in = jnp.where((d == 0) & (v == 0), inject,
-                             jnp.where(d == 0, x_wrap, state))
-            y = chunk_forward(params_local, v, x_in)
-            collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
-            updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
-            outputs = jnp.where(collect, updated, outputs)
-            state = lax.ppermute(
-                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
-            if F > 0:
-                return (state, outputs, fifo), None
-            return (state, outputs), None
-
-        if F > 0:
-            fifo0 = jnp.zeros((F,) + mb_inputs.shape[1:], mb_inputs.dtype)
-            init = (state, outputs, fifo0)
-        else:
-            init = (state, outputs)
-        out = lax.scan(step, init, jnp.arange(T))[0]
-        return lax.psum(out[1], STAGE_AXIS)
+        return _circular_ticks(
+            lambda v, x: chunk_forward(params_local, v, x), mb_inputs, V)
 
     return spmd
 
 
 def _make_hetero_spmd_body_circular(pnet, be: Backend):
     """The circular-schedule shard_map body over HETEROGENEOUS chunk
-    groups: the same tick schedule/FIFO as
-    :func:`_make_spmd_body_circular` (device ``d`` runs local chunk
-    ``v``'s microbatch ``m`` at tick ``t = v*M + m + d``; the ring
-    wraps V times), but each global chunk ``c = v*S + d`` evaluates its
-    OWN segment sequence via ``lax.switch`` over all ``S*V`` chunk
-    programs — the hetero-GPipe branch trick lifted to the interleaved
-    schedule.  Ragged activations ride the ring padded to the max
-    boundary width.
+    groups (:func:`_circular_ticks` drives the schedule): each global
+    chunk ``c = v*S + d`` evaluates its OWN segment sequence via
+    ``lax.switch`` over all ``S*V`` chunk programs — the hetero-GPipe
+    branch trick lifted to the interleaved schedule.  Ragged
+    activations ride the ring padded to the max boundary width.
 
     With a :class:`HeteroTpCircularPipelinedNetwork` each chunk program
     is additionally tensor-parallel over the ``model`` axis (the
@@ -965,49 +973,12 @@ def _make_hetero_spmd_body_circular(pnet, be: Backend):
                      for locs in pnet.local_ops] if tp else
                     [_make_stage_branch(ops_c, be, H)
                      for ops_c in pnet.chunk_ops])
-        M = mb_inputs.shape[0]
-        T = V * M + S - 1
-        F = M - S  # FIFO depth (ticks a wrapped activation waits)
-        state = jnp.zeros_like(mb_inputs[0])
-        outputs = jnp.zeros_like(mb_inputs)
 
-        def step(carry, t):
-            if F > 0:
-                state, outputs, fifo = carry
-            else:
-                state, outputs = carry
-            k = t - d
-            kc = jnp.clip(k, 0, V * M - 1)
-            v = kc // M
-            m = kc % M
-            inject = mb_inputs[m]
-            if F > 0:
-                slot = t % F
-                x_wrap = lax.dynamic_index_in_dim(fifo, slot, 0,
-                                                  keepdims=False)
-                fifo = lax.dynamic_update_index_in_dim(fifo, state, slot, 0)
-            else:
-                x_wrap = state
-            x_in = jnp.where((d == 0) & (v == 0), inject,
-                             jnp.where(d == 0, x_wrap, state))
+        def chunk_eval(v, x):
             row = lax.dynamic_index_in_dim(pv, v, 0, keepdims=False)
-            y = lax.switch(v * S + d, branches, row, x_in)
-            collect = (d == S - 1) & (v == V - 1) & (k >= 0) & (k < V * M)
-            updated = lax.dynamic_update_index_in_dim(outputs, y, m, 0)
-            outputs = jnp.where(collect, updated, outputs)
-            state = lax.ppermute(
-                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
-            if F > 0:
-                return (state, outputs, fifo), None
-            return (state, outputs), None
+            return lax.switch(v * S + d, branches, row, x)
 
-        if F > 0:
-            fifo0 = jnp.zeros((F,) + mb_inputs.shape[1:], mb_inputs.dtype)
-            init = (state, outputs, fifo0)
-        else:
-            init = (state, outputs)
-        out = lax.scan(step, init, jnp.arange(T))[0]
-        return lax.psum(out[1], STAGE_AXIS)
+        return _circular_ticks(chunk_eval, mb_inputs, V)
 
     return spmd
 
@@ -1223,6 +1194,15 @@ def make_ir_pipeline_loss(
             raise ValueError(
                 "a hetero circular partition runs only under "
                 "schedule='circular'")
+        if pnet.S != S:
+            # a prebuilt partition for the wrong stage count would
+            # otherwise SILENTLY train a different network: shard_map
+            # splits the packed rows across whatever stages exist and
+            # lax.switch only ever selects the first S*V chunk programs
+            raise ValueError(
+                f"partition was built for {pnet.S} stages but the "
+                f"mesh's stage axis is {S} — rebuild pnet for this "
+                f"mesh (or omit it)")
         if n_microbatches < S:
             raise ValueError(
                 f"circular schedule requires n_microbatches "
@@ -1239,21 +1219,37 @@ def make_ir_pipeline_loss(
                 "pattern or its width doesn't divide the model-axis "
                 "size) — it will sit idle (replicated chunks)",
                 stacklevel=2)
-        return _make_hetero_circular_loss(net, loss, be, mesh,
-                                          n_microbatches, pnet)
+        tp_c = isinstance(pnet, HeteroTpCircularPipelinedNetwork)
+        return _make_packed_loss(
+            loss, be, mesh, n_microbatches, pnet,
+            _make_hetero_spmd_body_circular(pnet, be),
+            PSpec(STAGE_AXIS, None, MODEL_AXIS, None) if tp_c
+            else PSpec(STAGE_AXIS, None, None))
     if isinstance(pnet, HeteroTpPipelinedNetwork):
         if schedule == "circular":
             raise ShapeError(
                 "the circular schedule needs a hetero-circular partition "
                 "for this network: build pnet with "
                 "split_network_hetero_tp_circular (or omit pnet)")
-        return _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches,
-                                    pnet)
+        if pnet.n_stages != S:
+            raise ValueError(
+                f"partition was built for {pnet.n_stages} stages but "
+                f"the mesh's stage axis is {S} — rebuild pnet for this "
+                f"mesh (or omit it)")
+        return _make_packed_loss(
+            loss, be, mesh, n_microbatches, pnet,
+            _make_hetero_tp_spmd_body(pnet, be),
+            PSpec(STAGE_AXIS, MODEL_AXIS))
     if isinstance(pnet, HeteroPipelinedNetwork):
         if schedule == "circular":
             raise ShapeError(
                 "the circular schedule needs chunk-ordered params: build "
                 "pnet with split_network_hetero_circular (or omit pnet)")
+        if pnet.n_stages != S:
+            raise ValueError(
+                f"partition was built for {pnet.n_stages} stages but "
+                f"the mesh's stage axis is {S} — rebuild pnet for this "
+                f"mesh (or omit it)")
         if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
             import warnings
 
@@ -1261,7 +1257,10 @@ def make_ir_pipeline_loss(
                 "staged-IR pipeline: heterogeneous partitions do not "
                 "shard over the model axis — it will sit idle "
                 "(replicated stages)", stacklevel=2)
-        return _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet)
+        return _make_packed_loss(
+            loss, be, mesh, n_microbatches, pnet,
+            _make_hetero_spmd_body(pnet.stage_ops, be),
+            PSpec(STAGE_AXIS))
     circ = isinstance(pnet, CircularPipelinedNetwork)
     if schedule == "circular" and not circ:
         raise ValueError(
@@ -1271,6 +1270,14 @@ def make_ir_pipeline_loss(
         raise ValueError(
             f"circular schedule requires n_microbatches "
             f"({n_microbatches}) >= stage-axis size ({S})")
+    if circ and pnet.n_stages != S:
+        # the interleave permutation baked into the packed stacks is
+        # S-specific: running it on a different stage count would
+        # silently evaluate chunks in the wrong order
+        raise ValueError(
+            f"circular partition was built for {pnet.n_stages} stages "
+            f"but the mesh's stage axis is {S} — rebuild pnet for this "
+            f"mesh (or omit it)")
     L = pnet.n_body // S
     n_bp = len(pnet.body_params)
     M = n_microbatches
@@ -1370,80 +1377,22 @@ def partition_network_circular(net: Network, n_stages: int, n_chunks: int,
     return split_network_hetero_circular(net, n_stages, n_chunks)
 
 
-def _make_hetero_tp_loss(net, loss, be, mesh, n_microbatches, pnet):
-    """(loss_fn, pnet) for a tensor-parallel heterogeneous partition:
-    the packed rows shard over (stage, model); activations replicate
-    over model (each shard computes its rows, all-gather restores)."""
+def _make_packed_loss(loss, be, mesh, n_microbatches, pnet, body_fn,
+                      packed_spec):
+    """(loss_fn, pnet) for every packed-row partition — heterogeneous
+    GPipe (``(S, Lmax)`` over stage), hetero x tp (``(S, tp, Lmax)``
+    over (stage, model)), hetero circular (``(S, V, Lmax)``), and
+    hetero circular x tp (``(S, V, tp, Lmax)``): the whole chain is
+    pipelined (no replicated pre/post); the batch is padded to the
+    ring width on entry and sliced to the output width before the
+    loss.  ``body_fn`` is the variant's shard_map body, ``packed_spec``
+    its packed-leaf PSpec — the only two things the variants differ
+    in, so the loss plumbing exists exactly once."""
     M = n_microbatches
     has_data = DATA_AXIS in mesh.axis_names
     mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
     pipelined = shard_map(
-        _make_hetero_tp_spmd_body(pnet, be),
-        mesh=mesh,
-        in_specs=(PSpec(STAGE_AXIS, MODEL_AXIS), mb_spec),
-        out_specs=mb_spec,
-        check_vma=False,
-    )
-    H, out_w = pnet.width, pnet.out_width
-    loss_call = ir_call(loss, be)
-    loss_batched = jax.vmap(lambda o, y: loss_call(o, y)[0])
-
-    def loss_fn(flat_params, xb, yb):
-        (packed,) = flat_params
-        B = xb.shape[0]
-        h = xb if xb.shape[1] == H else jnp.pad(
-            xb, ((0, 0), (0, H - xb.shape[1])))
-        mb = h.reshape(M, B // M, H)
-        out = pipelined(packed, mb).reshape(B, H)[:, :out_w]
-        return jnp.mean(loss_batched(out, yb))
-
-    return loss_fn, pnet
-
-
-def _make_hetero_loss(net, loss, be, mesh, n_microbatches, pnet):
-    """(loss_fn, pnet) for a heterogeneous partition: the whole chain is
-    pipelined (no replicated pre/post); the batch is padded to the ring
-    width on entry and sliced to the output width before the loss."""
-    M = n_microbatches
-    has_data = DATA_AXIS in mesh.axis_names
-    mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
-    pipelined = shard_map(
-        _make_hetero_spmd_body(pnet.stage_ops, be),
-        mesh=mesh,
-        in_specs=(PSpec(STAGE_AXIS), mb_spec),
-        out_specs=mb_spec,
-        check_vma=False,
-    )
-    H, out_w = pnet.width, pnet.out_width
-    loss_call = ir_call(loss, be)
-    loss_batched = jax.vmap(lambda o, y: loss_call(o, y)[0])
-
-    def loss_fn(flat_params, xb, yb):
-        (packed,) = flat_params
-        B = xb.shape[0]
-        h = xb if xb.shape[1] == H else jnp.pad(
-            xb, ((0, 0), (0, H - xb.shape[1])))
-        mb = h.reshape(M, B // M, H)
-        out = pipelined(packed, mb).reshape(B, H)[:, :out_w]
-        return jnp.mean(loss_batched(out, yb))
-
-    return loss_fn, pnet
-
-
-def _make_hetero_circular_loss(net, loss, be, mesh, n_microbatches, pnet):
-    """(loss_fn, pnet) for a heterogeneous circular partition: the
-    (S, V, Lmax) packed rows shard over the stage axis (each device
-    gets its V chunk rows) — or, for the tensor-parallel variant, the
-    (S, V, tp, Lmax) rows over (stage, model); batch padded to the
-    ring width on entry, sliced to the output width before the loss."""
-    M = n_microbatches
-    has_data = DATA_AXIS in mesh.axis_names
-    mb_spec = PSpec(None, DATA_AXIS, None) if has_data else PSpec()
-    packed_spec = (PSpec(STAGE_AXIS, None, MODEL_AXIS, None)
-                   if isinstance(pnet, HeteroTpCircularPipelinedNetwork)
-                   else PSpec(STAGE_AXIS, None, None))
-    pipelined = shard_map(
-        _make_hetero_spmd_body_circular(pnet, be),
+        body_fn,
         mesh=mesh,
         in_specs=(packed_spec, mb_spec),
         out_specs=mb_spec,
@@ -1623,6 +1572,10 @@ def describe_partition(pnet) -> str:
                 f"{len(ops_c)} segment(s) [{', '.join(tags)}], "
                 f"{sum(seg_nparams(op) for op in ops_c)} params "
                 f"(1/{pnet.tp} per shard), ~{f:.0f} FLOPs/sample")
+        # a device runs ALL its V chunks: balance is over per-device
+        # sums, not per-chunk values
+        flops = [sum(flops[c] for c in range(len(flops))
+                     if c % pnet.S == d) for d in range(pnet.S)]
     elif isinstance(pnet, HeteroCircularPipelinedNetwork):
         lines.append(
             f"heterogeneous circular partition: {pnet.S} stages x "
@@ -1638,6 +1591,10 @@ def describe_partition(pnet) -> str:
                 f"[{', '.join(seg_width(op) for op in ops_c)}], "
                 f"{sum(seg_nparams(op) for op in ops_c)} params, "
                 f"~{f:.0f} FLOPs/sample")
+        # a device runs ALL its V chunks: balance is over per-device
+        # sums, not per-chunk values
+        flops = [sum(flops[c] for c in range(len(flops))
+                     if c % pnet.S == d) for d in range(pnet.S)]
     elif isinstance(pnet, HeteroTpPipelinedNetwork):
         lines.append(
             f"heterogeneous x tp partition: {pnet.n_stages} stages, "

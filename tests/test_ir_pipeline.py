@@ -1090,3 +1090,47 @@ def test_describe_hetero_tp_circular(jb):
         split_network_hetero_tp_circular(_deep_pyramid(jb), 2, 2, 2))
     assert "heterogeneous circular x tp partition: 2 stages x 2 chunks" in s
     assert "tp=2" in s and "1/2 per shard" in s and "balance:" in s
+
+
+def test_describe_circular_balance_is_per_device(jb):
+    """The balance line aggregates a device's V chunks, not raw chunk
+    values: a pyramid whose chunk FLOPs are skewed across slots but
+    even across devices must report the PER-DEVICE ratio."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        _op_flops, describe_partition, split_network_hetero_circular)
+
+    p = split_network_hetero_circular(_deep_pyramid(jb), 2, 2)
+    per_chunk = [sum(_op_flops(op) for op in ops) for ops in p.chunk_ops]
+    dev = [per_chunk[0] + per_chunk[2], per_chunk[1] + per_chunk[3]]
+    want = max(dev) / (sum(dev) / 2)
+    s = describe_partition(p)
+    assert f"max/mean stage FLOPs = {want:.2f}" in s
+
+
+@multi
+def test_circular_pnet_stage_mismatch_rejected(jb):
+    """A prebuilt partition for the wrong stage count must error, not
+    silently train a different network (shard_map would split the
+    packed rows across whatever stages exist)."""
+    from tensor_ops_tpu.parallel.ir_pipeline import (
+        make_ir_pipeline_loss, split_network_hetero,
+        split_network_hetero_circular)
+
+    net = _deep_pyramid(jb)
+    mesh2 = make_pipeline_mesh(2)
+    p4 = split_network_hetero_circular(net, 4, 2)
+    with pytest.raises(ValueError, match="built for 4 stages"):
+        make_ir_pipeline_loss(net, squared_error(24), jb, mesh2, 4,
+                              pnet=p4, schedule="circular", n_chunks=2)
+    h4 = split_network_hetero(net, 4)
+    with pytest.raises(ValueError, match="built for 4 stages"):
+        make_ir_pipeline_loss(net, squared_error(24), jb, mesh2, 2,
+                              pnet=h4)
+    uc = gen_net(jb, 8, 8, [(8, act_logistic())] * 7, act_logistic(),
+                 Rng(jb, seed=1))
+    from tensor_ops_tpu.parallel.ir_pipeline import split_network_circular
+
+    c4 = split_network_circular(uc, 4, 2)
+    with pytest.raises(ValueError, match="built for 4 stages"):
+        make_ir_pipeline_loss(uc, squared_error(8), jb, mesh2, 4,
+                              pnet=c4, schedule="circular", n_chunks=2)
