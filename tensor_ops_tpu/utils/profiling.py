@@ -157,3 +157,108 @@ def profile_step(step, init, steps=(50, 250), reps: int = 6,
     if byts:
         out["gbytes_per_s"] = byts / out["per_step_s"] / 1e9
     return out
+
+
+def memory_analysis(fn, *args) -> dict:
+    """XLA's compiled memory breakdown for ``jit(fn)(*args)``: argument,
+    output, temp (live activations/workspace), and generated-code bytes
+    — PER DEVICE when the arguments carry shardings, so this is the
+    direct answer to "does this step fit in HBM?".  Pairs with
+    :func:`training_memory_report`'s analytic numbers."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    ma = compiled.memory_analysis()
+    out = {}
+    for k in ("argument_size_in_bytes", "output_size_in_bytes",
+              "temp_size_in_bytes", "generated_code_size_in_bytes",
+              "alias_size_in_bytes"):
+        v = getattr(ma, k, None)
+        if v is not None:
+            out[k] = int(v)
+    out["total_in_bytes"] = (
+        out.get("argument_size_in_bytes", 0)
+        + out.get("output_size_in_bytes", 0)
+        + out.get("temp_size_in_bytes", 0)
+        - out.get("alias_size_in_bytes", 0))
+    return out
+
+
+def training_memory_report(net, optimizer=None, batch_size: int = 128,
+                           mesh=None, shard_opt_state: bool = False,
+                           mixed_precision: bool = False) -> dict:
+    """Analytic PER-DEVICE training-state bytes for ``fit``'s
+    configuration knobs — the operator-facing answer to "what does this
+    mesh/optimizer/ZeRO choice buy me?" before committing hardware.
+
+    Counts params, gradients (transient, same sharding as params),
+    optimizer moments (0 for sgd, 1 for momentum, 2 for adam — ZeRO-1
+    divides each dp-divisible moment by dp when ``shard_opt_state``),
+    and the bf16 compute copies under ``mixed_precision``.  Activation
+    memory is workload-shaped; measure it with
+    :func:`memory_analysis` on the real step instead.  Sizes follow the
+    same placement rules ``fit`` uses (``param_specs`` +
+    ``zero1_shardings``), so the report matches what actually ships."""
+    import numpy as np
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    dtype_bytes = np.dtype(net.params[0].dtype).itemsize
+    tp = dp = 1
+    if mesh is not None:
+        shape = dict(mesh.shape)
+        tp = shape.get(MODEL_AXIS, 1)
+        dp = shape.get(DATA_AXIS, 1)
+
+    def _sharded(sz_shape, over):
+        n = int(np.prod(sz_shape, dtype=np.int64))
+        for ax, f in over:
+            if sz_shape[ax] % f == 0:
+                n //= f
+        return n
+
+    n_moments = 0
+    if optimizer is not None and optimizer.name != "sgd":
+        n_moments = 1 if optimizer.name == "momentum" else 2
+
+    params_b = grads_b = moments_b = 0
+    if mesh is not None and tp > 1:
+        from ..parallel.mesh import param_specs
+
+        specs = param_specs(net.param_stack, mesh)
+    else:
+        specs = [None] * len(net.param_stack)
+    for shp, spec in zip(net.param_stack, specs):
+        spec_l = (list(spec) + [None] * (len(shp) - len(spec))
+                  if spec is not None else [None] * len(shp))
+        tp_div = [(ax, tp) for ax, s in enumerate(spec_l)
+                  if s == MODEL_AXIS]
+        n_local = _sharded(shp, tp_div)
+        params_b += n_local * dtype_bytes
+        grads_b += n_local * dtype_bytes
+        m_local = n_local
+        if shard_opt_state and dp > 1:
+            # zero1_shardings: first spec-free dp-divisible dim
+            for ax, s in enumerate(spec_l):
+                if s is None and shp[ax] % dp == 0:
+                    m_local //= dp
+                    break
+        moments_b += n_moments * m_local * dtype_bytes
+    # bf16 compute copies: params cast to 2-byte bf16 inside the step
+    compute_b = (params_b // dtype_bytes) * 2 if mixed_precision else 0
+    in_elems = int(np.prod(net.op.in_stack[0], dtype=np.int64))
+    batch_b = (batch_size // max(dp, 1)) * in_elems * dtype_bytes
+    total = params_b + grads_b + moments_b + compute_b + batch_b
+    return {
+        "per_device": {
+            "params_bytes": params_b,
+            "grads_bytes": grads_b,
+            "optimizer_bytes": moments_b,
+            "bf16_compute_copy_bytes": compute_b,
+            "batch_bytes": batch_b,
+            "training_state_total_bytes": total,
+        },
+        "mesh": {"dp": dp, "tp": tp},
+        "zero1": bool(shard_opt_state and dp > 1),
+        "n_moment_buffers": n_moments,
+    }

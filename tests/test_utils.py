@@ -354,3 +354,69 @@ def test_train_state_roundtrip_namedtuple_and_dict_state(tmp_path):
     assert isinstance(restored.nu, dict) and restored.nu["a"] == 7
     np.testing.assert_array_equal(restored.mu[0], state.mu[0])
     np.testing.assert_array_equal(restored.nu["b"], state.nu["b"])
+
+
+def test_memory_analysis_reports_bytes():
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.utils.profiling import memory_analysis
+
+    w = jnp.ones((64, 64), jnp.float32)
+
+    def step(x):
+        return jnp.tanh(x @ w)
+
+    x = jnp.ones((8, 64), jnp.float32)
+    ma = memory_analysis(step, x)
+    # the (8, 64) argument and output are at least their array bytes
+    assert ma["argument_size_in_bytes"] >= 8 * 64 * 4
+    assert ma["output_size_in_bytes"] >= 8 * 64 * 4
+    assert ma["total_in_bytes"] > 0
+
+
+def test_training_memory_report_accounts_zero1(jb):
+    """The analytic report: adam doubles the param bytes in moments;
+    ZeRO-1 divides the moments by dp; tp divides the sharded params;
+    mixed precision adds the 2-byte compute copies."""
+    import jax
+
+    from tensor_ops_tpu.models import act_logistic, adam, gen_net, sgd
+    from tensor_ops_tpu.utils.profiling import training_memory_report
+    from tensor_ops_tpu.backend.rng import Rng
+
+    net = gen_net(jb, 16, 16, [(16, act_logistic())] * 2,
+                  act_logistic(), Rng(jb, seed=0))
+    nparams = sum(int(np.prod(p.shape)) for p in net.params)
+    bytes_per = np.dtype(net.params[0].dtype).itemsize
+
+    r = training_memory_report(net, optimizer=adam(), batch_size=32)
+    per = r["per_device"]
+    assert per["params_bytes"] == nparams * bytes_per
+    assert per["optimizer_bytes"] == 2 * nparams * bytes_per
+    assert r["n_moment_buffers"] == 2
+
+    r0 = training_memory_report(net, optimizer=sgd(), batch_size=32)
+    assert r0["per_device"]["optimizer_bytes"] == 0
+
+    if len(jax.devices()) >= 8:
+        from tensor_ops_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, shape=(4, 2))
+        rz = training_memory_report(net, optimizer=adam(), batch_size=32,
+                                    mesh=mesh, shard_opt_state=True)
+        assert rz["zero1"] is True
+        # every 16-dim splits by tp=2; the free dim then splits by dp=4
+        assert rz["per_device"]["params_bytes"] < per["params_bytes"]
+        assert (rz["per_device"]["optimizer_bytes"]
+                < 2 * rz["per_device"]["params_bytes"])
+        rnz = training_memory_report(net, optimizer=adam(), batch_size=32,
+                                     mesh=mesh, shard_opt_state=False)
+        assert (rz["per_device"]["optimizer_bytes"]
+                < rnz["per_device"]["optimizer_bytes"])
+        # batch rows split over dp
+        assert (rz["per_device"]["batch_bytes"]
+                == 32 // 4 * 16 * bytes_per)
+
+    rmp = training_memory_report(net, optimizer=adam(), batch_size=32,
+                                 mixed_precision=True)
+    assert rmp["per_device"]["bf16_compute_copy_bytes"] == 2 * nparams
