@@ -18,3 +18,4 @@ from .ir_pipeline import (
 )
 from .collective_kernels import dp_megakernel_train_step, ring_all_reduce
 from .distributed import init_distributed, shutdown_distributed
+from .plan import describe_plans, plan_meshes

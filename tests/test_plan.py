@@ -1,0 +1,98 @@
+"""Mesh planning: plan_meshes must rank factorizations by the same
+analytic quantities the framework's partitioners actually use, exclude
+configs fit would reject, and flag (never hide) idle axes."""
+
+import numpy as np
+import pytest
+
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import (
+    act_logistic,
+    act_softmax,
+    adam,
+    gen_net,
+)
+from tensor_ops_tpu.parallel.plan import describe_plans, plan_meshes
+
+
+def _flagship(jb):
+    return gen_net(jb, 784, 10,
+                   [(300, act_logistic()), (100, act_logistic())],
+                   act_softmax(), Rng(jb, seed=0))
+
+
+def test_plan_enumerates_and_ranks(jb):
+    net = _flagship(jb)
+    plans = plan_meshes(net, 8, batch_size=4096, optimizer=adam())
+    shapes = {tuple(p["mesh_shape"].values()) for p in plans}
+    # all dp*pp*tp == 8 factorizations with <= 3 segments of pipeline
+    assert (8, 1, 1) in shapes and (4, 2, 1) in shapes
+    assert (2, 2, 2) in shapes
+    assert all(np.prod(list(s)) == 8 for s in shapes)
+    # pp > n_segments excluded: the flagship has 3 segments
+    assert not any(p["mesh_shape"]["stage"] > 3 for p in plans)
+    # costs are sorted ascending
+    costs = [p["analytic_cost"] for p in plans]
+    assert costs == sorted(costs)
+    # pure dp has no bubble and perfect balance
+    dp_only = next(p for p in plans
+                   if tuple(p["mesh_shape"].values()) == (8, 1, 1))
+    assert dp_only["bubble_fraction"] == 0.0
+    assert dp_only["stage_balance"] == 1.0
+    # for this tiny net, pure dp is the analytic winner (pipeline adds
+    # bubble + imbalance; tp only divides the engaged FLOPs)
+    assert plans[0]["mesh_shape"]["data"] == 8
+
+    s = describe_plans(plans)
+    assert "(8,1,1)" in s and "bubble" in s
+
+
+def test_plan_flags_idle_tp_and_batch_misfit(jb):
+    # odd widths: tp=2 cannot row-shard every segment -> flagged idle
+    odd = gen_net(jb, 16, 5, [(9, act_logistic())], act_softmax(),
+                  Rng(jb, seed=1))
+    plans = plan_meshes(odd, 4, batch_size=64)
+    tp2 = [p for p in plans if p["mesh_shape"]["model"] == 2]
+    assert tp2 and all(not p["tp_engaged"] for p in tp2)
+    assert all(any("tp_idle" in n for n in p["notes"]) for p in tp2)
+    # engaged tp divides the per-device FLOPs; idle tp must NOT
+    even = gen_net(jb, 16, 4, [(8, act_logistic())], act_softmax(),
+                   Rng(jb, seed=2))
+    pe = plan_meshes(even, 4, batch_size=64)
+    dp4 = next(p for p in pe
+               if tuple(p["mesh_shape"].values()) == (4, 1, 1))
+    tp2e = next(p for p in pe
+                if tuple(p["mesh_shape"].values()) == (2, 1, 2))
+    # (2,1,2): half the batch per device at half the engaged FLOPs ==
+    # pure-dp per-device FLOPs; idle tp would be 2x
+    assert tp2e["flops_per_device"] == pytest.approx(
+        dp4["flops_per_device"], rel=1e-9)
+    tp2o = next(p for p in plans
+                if tuple(p["mesh_shape"].values()) == (2, 1, 2))
+    dp4o = next(p for p in plans
+                if tuple(p["mesh_shape"].values()) == (4, 1, 1))
+    assert tp2o["flops_per_device"] == pytest.approx(
+        2 * dp4o["flops_per_device"], rel=1e-9)
+
+    # batch that can't grid over dp x microbatches is excluded
+    small = plan_meshes(even, 8, batch_size=4)
+    assert not any(p["mesh_shape"]["data"] == 8 for p in small)
+
+
+def test_plan_memory_accounting(jb):
+    net = _flagship(jb)
+    n_param = sum(int(np.prod(p.shape)) for p in net.params)
+    bytes_per = np.dtype(net.params[0].dtype).itemsize
+    plans = plan_meshes(net, 8, batch_size=4096, optimizer=adam(),
+                        shard_opt_state=True)
+    dp_only = next(p for p in plans
+                   if tuple(p["mesh_shape"].values()) == (8, 1, 1))
+    # params + grads full, 2 moments / dp=8
+    want = 2 * n_param * bytes_per + 2 * n_param * bytes_per / 8
+    assert dp_only["training_state_bytes_per_device"] == int(want)
+    assert any("zero1" in n for n in dp_only["notes"])
+    # a pipeline config divides params over stages
+    pp2 = next(p for p in plans
+               if tuple(p["mesh_shape"].values()) == (4, 2, 1))
+    assert (pp2["training_state_bytes_per_device"]
+            < dp_only["training_state_bytes_per_device"])
