@@ -396,6 +396,11 @@ def fit(
     data stream is fast-forwarded to the restored step so no batch is
     replayed — production checkpoint/resume the reference lacks
     entirely (``trainEpoch`` recurses to Ctrl-C, ``MNIST.hs:297-313``).
+    Ctrl-C itself (KeyboardInterrupt) saves an exact-resume checkpoint
+    at the interrupted step before propagating — even with
+    ``checkpoint_every=0`` — so the reference's train-until-Ctrl-C UX
+    loses nothing (single-process runs only: the multi-host checkpoint
+    gather is a collective no lone rank may enter).
 
     ``mesh`` (jax only) trains multi-chip: params are placed with
     Megatron-style ``model``-axis shardings, each batch is placed over the
@@ -800,6 +805,27 @@ def fit(
                             state_path, params, opt_state, step,
                             opt_key=opt_key,
                             extra_meta={"layout": layout}))
+    except KeyboardInterrupt:
+        # the reference's training UX is "recurse until Ctrl-C"
+        # (/root/reference/app/MNIST.hs:297-313, trainEpoch); the
+        # production analog: Ctrl-C leaves an exact-resume artifact at
+        # the interrupted step, then propagates.  Single-process only —
+        # an interrupt hits ranks asynchronously and the multi-host
+        # checkpoint gather is a collective, so entering it from one
+        # rank's handler would deadlock the mesh.
+        if checkpoint_path and step > 0 and n_proc == 1:
+            from ..utils.checkpoint import save_network, save_train_state
+
+            saves.join()  # in-flight async writes first (ordering)
+            save_network(checkpoint_path, _as_network(params))
+            save_train_state(state_path, params, opt_state, step,
+                             opt_key=opt_key,
+                             extra_meta={"layout": layout})
+            if verbose:
+                print(f"interrupted at step {step}: checkpoint saved to "
+                      f"{checkpoint_path} — fit(resume=True) continues "
+                      f"exactly here")
+        raise
     finally:
         save_err = saves.join()
         loader.close()
@@ -1337,6 +1363,24 @@ def fit_sequences(
                             tuple(net.states) + tuple(net.params),
                             opt_state if opt is not None else (), step,
                             opt_key=opt_key))
+    except KeyboardInterrupt:
+        # Ctrl-C leaves an exact-resume artifact (same semantics as
+        # fit's handler; single-process only — the multi-host gather is
+        # a collective no lone rank may enter)
+        if checkpoint_path and step > 0 and n_proc == 1:
+            from ..utils.checkpoint import save_recurrent, save_train_state
+
+            saves.join()
+            save_recurrent(checkpoint_path, net)
+            save_train_state(
+                state_path, tuple(net.states) + tuple(net.params),
+                opt_state if opt is not None else (), step,
+                opt_key=opt_key)
+            if verbose:
+                print(f"interrupted at step {step}: checkpoint saved to "
+                      f"{checkpoint_path} — fit_sequences(resume=True) "
+                      f"continues exactly here")
+        raise
     finally:
         save_err = saves.join()
         logger.close()

@@ -626,3 +626,82 @@ def test_fit_sequences_mixed_precision_trains(jb):
     assert res.history[-1]["loss"] < res.history[0]["loss"]
     assert np.asarray(res.net.params[0]).dtype == master_dtype
     assert np.asarray(res.net.states[0]).dtype == master_dtype
+
+
+def test_interrupt_saves_exact_resume_checkpoint(jb, tmp_path):
+    """Ctrl-C (KeyboardInterrupt) mid-run leaves an exact-resume
+    artifact even with NO periodic checkpointing configured — the
+    reference's train-until-Ctrl-C UX (MNIST.hs:297-313) upgraded to
+    production semantics: resume + straight run are bit-identical."""
+    r = np.random.default_rng(61)
+    X = r.uniform(0, 1, size=(64, 8))
+    Y = np.eye(4)[r.integers(0, 4, size=64)]
+    loss = cross_entropy(4)
+    ck = str(tmp_path / "intr.npz")
+
+    def net():
+        return gen_net(jb, 8, 4, [(8, act_logistic())], act_softmax(),
+                       Rng(jb, seed=62))
+
+    kw = dict(batch_size=16, optimizer=adam(), verbose=False,
+              prefetch=0, log_every=1)
+
+    def boom(step):
+        if step == 5:
+            raise KeyboardInterrupt
+        return 0.05
+
+    with pytest.raises(KeyboardInterrupt):
+        fit(net(), loss, jb, X, Y, epochs=2, lr_schedule=boom,
+            checkpoint_path=ck, checkpoint_every=0, **kw)
+    assert os.path.exists(ck) and os.path.exists(ck + ".state")
+
+    flat = lambda s: 0.05  # noqa: E731 — same lr as the interrupted run
+    resumed = fit(net(), loss, jb, X, Y, epochs=2, lr_schedule=flat,
+                  checkpoint_path=ck, checkpoint_every=0, resume=True,
+                  **kw)
+    straight = fit(net(), loss, jb, X, Y, epochs=2, lr_schedule=flat,
+                   **kw)
+    assert resumed.steps == straight.steps == 8
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0, rtol=0)
+
+
+def test_interrupt_saves_exact_resume_sequences(jb, tmp_path):
+    """The same Ctrl-C semantics on the recurrent loop."""
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    XS, TS = _sine_sequences()
+    ck = str(tmp_path / "intrs.npz")
+
+    def net():
+        return gen_rnet(jb, 1, 1, [(6, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(jb, seed=63))
+
+    kw = dict(batch_size=16, optimizer=adam(), rate_param=0.05,
+              rate_state=0.01, verbose=False, prefetch=0, log_every=1)
+
+    def boom(step):
+        if step == 3:
+            raise KeyboardInterrupt
+        return 0.05
+
+    with pytest.raises(KeyboardInterrupt):
+        fit_sequences(net(), squared_error(1), jb, XS, TS, epochs=2,
+                      lr_schedule=boom, checkpoint_path=ck,
+                      checkpoint_every=0, **kw)
+    assert os.path.exists(ck) and os.path.exists(ck + ".state")
+
+    flat = lambda s: 0.05  # noqa: E731
+    resumed = fit_sequences(net(), squared_error(1), jb, XS, TS,
+                            epochs=2, lr_schedule=flat,
+                            checkpoint_path=ck, checkpoint_every=0,
+                            resume=True, **kw)
+    straight = fit_sequences(net(), squared_error(1), jb, XS, TS,
+                             epochs=2, lr_schedule=flat, **kw)
+    assert resumed.steps == straight.steps == 8
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0, rtol=0)
