@@ -718,6 +718,19 @@ def fit(
         source = DevicePrefetcher(loader, _put, depth=prefetch)
 
     first_step_of_run = step + 1  # resumed runs log their first step too
+    if verbose and mesh is not None and not pipeline_mode:
+        from ..utils.profiling import training_memory_report
+
+        rep = training_memory_report(
+            net, optimizer=opt, batch_size=batch_size, mesh=mesh,
+            shard_opt_state=shard_opt_state,
+            mixed_precision=mixed_precision)["per_device"]
+        print(f"training state/device: "
+              f"params {rep['params_bytes'] / 1e6:.2f} MB + "
+              f"grads {rep['grads_bytes'] / 1e6:.2f} MB + "
+              f"moments {rep['optimizer_bytes'] / 1e6:.2f} MB"
+              + (" (zero1)" if shard_opt_state else "")
+              + f" + batch {rep['batch_bytes'] / 1e6:.2f} MB")
 
     def _as_network(cur_params) -> Network:
         # pipeline mode trains the flat stage-partitioned layout; every

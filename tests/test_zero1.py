@@ -271,3 +271,16 @@ def test_zero1_validation_and_noop_warning(jb):
                   log_every=1)
     assert any("shard_opt_state" in str(x.message) for x in w)
     assert all(np.isfinite(h["loss"]) for h in res.history)
+
+
+@multi
+def test_fit_verbose_prints_memory_line(jb, capsys):
+    """fit(verbose=True, mesh=...) prints the per-device training-state
+    line (the training_memory_report one-liner) before the loop."""
+    mesh = make_mesh(8, shape=(4, 2))
+    X, Y = _data(n=32)
+    fit(_net(jb, seed=11), cross_entropy(4), jb, X, Y, epochs=1,
+        batch_size=16, optimizer=adam(), mesh=mesh, shard_opt_state=True,
+        verbose=True, prefetch=0, log_every=100)
+    out = capsys.readouterr().out
+    assert "training state/device:" in out and "(zero1)" in out
