@@ -85,9 +85,9 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
         dtype_bytes = np.dtype(net.params[0].dtype).itemsize
     n_param = sum(int(np.prod(p.shape, dtype=np.int64))
                   for p in net.params)
-    n_moments = 0
-    if optimizer is not None and optimizer.name != "sgd":
-        n_moments = 1 if optimizer.name == "momentum" else 2
+    from ..models.optim import moment_footprint
+
+    moment_b_per_elem = moment_footprint(optimizer, dtype_bytes)
 
     from .ir_pipeline import _balanced_partition
 
@@ -126,8 +126,8 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
         # under ZeRO-1
         shard = pp * (tp if tp_engaged else 1)
         p_dev = n_param * dtype_bytes / shard
-        m_dev = n_moments * p_dev / (dp if (shard_opt_state and dp > 1)
-                                     else 1)
+        m_dev = (moment_b_per_elem * n_param / shard
+                 / (dp if (shard_opt_state and dp > 1) else 1))
         if shard_opt_state and dp > 1:
             notes.append("zero1: moments /dp (first free divisible dim; "
                          "exact accounting in training_memory_report)")

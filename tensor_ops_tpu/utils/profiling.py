@@ -217,9 +217,12 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
                 n //= f
         return n
 
+    from ..models.optim import moment_footprint
+
     n_moments = 0
     if optimizer is not None and optimizer.name != "sgd":
         n_moments = 1 if optimizer.name == "momentum" else 2
+    moment_b_per_elem = moment_footprint(optimizer, dtype_bytes)
 
     params_b = grads_b = moments_b = 0
     if mesh is not None and tp > 1:
@@ -243,7 +246,7 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
                 if s is None and shp[ax] % dp == 0:
                     m_local //= dp
                     break
-        moments_b += n_moments * m_local * dtype_bytes
+        moments_b += int(moment_b_per_elem * m_local)
     # bf16 compute copies: params cast to 2-byte bf16 inside the step
     compute_b = (params_b // dtype_bytes) * 2 if mixed_precision else 0
     in_elems = int(np.prod(net.op.in_stack[0], dtype=np.int64))

@@ -1,0 +1,166 @@
+"""8-bit Adam (block-wise absmax moments): the contract is convergence
+with 4x less optimizer memory — NOT bitwise equality with f32 adam —
+plus the framework invariants every optimizer must keep: deterministic
+crash/resume, checkpoint round-trips of int8 state, mesh + ZeRO-1
+composition."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import (
+    act_logistic,
+    act_softmax,
+    adam,
+    adam8bit,
+    cross_entropy,
+    gen_net,
+)
+from tensor_ops_tpu.models.trainer import fit
+
+multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (see conftest note)"
+)
+
+
+def _task(n=256, seed=0):
+    r = np.random.default_rng(seed)
+    X = r.uniform(-1, 1, size=(n, 2))
+    labels = (X[:, 0] * X[:, 1] > 0).astype(int)  # the dots quadrants
+    return X, np.eye(2)[labels]
+
+
+def _net(jb, seed=0):
+    return gen_net(jb, 2, 2, [(16, act_logistic())], act_softmax(),
+                   Rng(jb, seed=seed))
+
+
+def test_adam8bit_converges_like_adam(jb):
+    X, Y = _task()
+    loss = cross_entropy(2)
+    kw = dict(epochs=30, batch_size=64, lr=0.02, verbose=False,
+              prefetch=0, log_every=10)
+    r8 = fit(_net(jb, seed=1), loss, jb, X, Y, optimizer=adam8bit(), **kw)
+    rf = fit(_net(jb, seed=1), loss, jb, X, Y, optimizer=adam(), **kw)
+    l8, lf = r8.history[-1]["loss"], rf.history[-1]["loss"]
+    l0 = r8.history[0]["loss"]
+    assert l8 < 0.5 * l0, (l0, l8)          # it actually learns
+    assert l8 < max(2.0 * lf, 0.05), (l8, lf)  # and tracks f32 adam
+
+
+def test_adam8bit_state_is_int8_and_small(jb):
+    net = _net(jb)
+    opt = adam8bit(block=64)
+    params = tuple(net.params)
+    t, qs = opt.init(params)
+    assert t == 0
+    total_code_bytes = 0
+    for (mq, ms, vq, vs), p in zip(qs, params):
+        assert np.asarray(mq).dtype == np.int8
+        assert np.asarray(vq).dtype == np.int8
+        assert mq.shape[1] == 64 and ms.shape == (mq.shape[0], 1)
+        total_code_bytes += mq.size + vq.size
+    n_param = sum(int(np.prod(p.shape)) for p in params)
+    # codes are 1 byte/element (padded to blocks); scales are 1/block
+    assert total_code_bytes <= 2 * (n_param + 64 * len(params))
+
+    # one update step moves params and requantizes finite moments
+    grads = tuple(p * 0 + 0.01 for p in params)
+    (t1, qs1), new_p = opt.update((t, qs), params, grads, 0.1)
+    assert t1 == 1
+    for a, b in zip(new_p, params):
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+    for mq, ms, vq, vs in qs1:
+        assert np.all(np.isfinite(np.asarray(ms)))
+        assert np.asarray(mq).dtype == np.int8
+
+
+def test_adam8bit_numpy_backend(nb):
+    """The xp-dispatch keeps the numpy oracle path working."""
+    X, Y = _task(n=64)
+    res = fit(_net(nb, seed=2), cross_entropy(2), nb, X, Y, epochs=2,
+              batch_size=32, lr=0.02, optimizer=adam8bit(block=32),
+              verbose=False, prefetch=0, log_every=1)
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+    assert res.history[-1]["loss"] < res.history[0]["loss"] * 1.5
+
+
+def test_adam8bit_resume_bit_exact(jb, tmp_path):
+    """Quantized moments are still deterministic state: crash/resume ==
+    the uninterrupted run bit-exactly (int8 codes round-trip the
+    checkpoint)."""
+    X, Y = _task(n=128)
+    loss = cross_entropy(2)
+    ck = str(tmp_path / "a8.npz")
+    kw = dict(batch_size=32, lr=0.02, optimizer=adam8bit(),
+              verbose=False, prefetch=0, log_every=1)
+    fit(_net(jb, seed=3), loss, jb, X, Y, epochs=1, checkpoint_path=ck,
+        checkpoint_every=2, **kw)
+    resumed = fit(_net(jb, seed=3), loss, jb, X, Y, epochs=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    straight = fit(_net(jb, seed=3), loss, jb, X, Y, epochs=2, **kw)
+    assert resumed.steps == straight.steps == 8
+    for a, b in zip(resumed.net.params, straight.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0, rtol=0)
+
+
+@multi
+def test_adam8bit_mesh_and_zero1(jb):
+    """adam8bit on a dp x tp mesh with shard_opt_state=True: the int8
+    code blocks shard over data (zero1 extends their inherited spec on
+    the block axis) and training stays finite and learning."""
+    from tensor_ops_tpu.models import squared_error
+    from tensor_ops_tpu.parallel.mesh import (DATA_AXIS, make_mesh,
+                                              zero1_place)
+
+    mesh = make_mesh(8, shape=(4, 2))
+    h = 16
+    net = gen_net(jb, h, h, [(h, act_logistic())] * 2, act_logistic(),
+                  Rng(jb, seed=4))
+    opt = adam8bit(block=4)  # (64, 4) blocks: 64 % dp == 0 -> shards
+    state, cons = zero1_place(opt.init(tuple(net.params)), mesh)
+    assert cons is not None
+    _, qs = state
+    assert any(DATA_AXIS in str(x.sharding.spec)
+               for leaf in qs for x in leaf)
+
+    r = np.random.default_rng(5)
+    X = r.uniform(0, 1, size=(64, h))
+    Y = r.uniform(0, 1, size=(64, h))
+    res = fit(net, squared_error(h), jb, X, Y, epochs=2, batch_size=16,
+              lr=0.02, optimizer=adam8bit(block=4), mesh=mesh,
+              shard_opt_state=True, verbose=False, prefetch=0,
+              log_every=1)
+    assert all(np.isfinite(hh["loss"]) for hh in res.history)
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+
+
+def test_adam8bit_memory_accounting(jb):
+    """training_memory_report and plan_meshes charge adam8bit ~1 byte
+    per code element + per-block scales instead of full-dtype moments."""
+    from tensor_ops_tpu.models.optim import moment_footprint
+    from tensor_ops_tpu.utils.profiling import training_memory_report
+
+    net = _net(jb)
+    bytes_per = np.dtype(net.params[0].dtype).itemsize
+    n_param = sum(int(np.prod(p.shape)) for p in net.params)
+    foot = moment_footprint(adam8bit(block=256), bytes_per)
+    assert foot == 2 * (1 + bytes_per / 256)
+    r8 = training_memory_report(net, optimizer=adam8bit(), batch_size=32)
+    rf = training_memory_report(net, optimizer=adam(), batch_size=32)
+    assert (r8["per_device"]["optimizer_bytes"]
+            < rf["per_device"]["optimizer_bytes"] / (bytes_per / 1.5))
+
+    from tensor_ops_tpu.parallel.plan import plan_meshes
+
+    p8 = plan_meshes(net, 4, batch_size=64, optimizer=adam8bit())
+    pf = plan_meshes(net, 4, batch_size=64, optimizer=adam())
+    by_shape = lambda ps: {tuple(p["mesh_shape"].values()):  # noqa: E731
+                           p["training_state_bytes_per_device"]
+                           for p in ps}
+    b8, bf = by_shape(p8), by_shape(pf)
+    assert all(b8[k] < bf[k] for k in b8)
