@@ -18,6 +18,6 @@ from .recurrent import RecurrentNetwork, fully_connected, stateless
 from .autoencoder import Encoder
 from . import recurrent, autoencoder, training
 from . import optim, trainer, fast
-from .optim import adam, adam8bit, momentum, sgd
+from .optim import adam, adam8bit, adamw, momentum, sgd
 from .trainer import fit, fit_sequences
 from .serve import Predictor, SequencePredictor

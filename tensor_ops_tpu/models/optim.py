@@ -85,6 +85,39 @@ def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
     return Optimizer(init, update, "adam", hyper=(b1, b2, eps))
 
 
+def adamw(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+          weight_decay: float = 0.01) -> Optimizer:
+    """AdamW — adam with DECOUPLED weight decay (Loshchilov & Hutter):
+    the decay multiplies the parameter directly (``p -= lr*wd*p``)
+    instead of entering the gradient/moment statistics, so the
+    regularization strength is independent of the adaptive scaling.
+    The production default for transformer-era training; ``adam()``
+    stays the unregularized classic."""
+
+    def init(params):
+        return (
+            0,
+            tuple(p * 0 for p in params),
+            tuple(p * 0 for p in params),
+        )
+
+    def update(state, params, grads, lr):
+        t, m, v = state
+        t = t + 1
+        m = tuple(b1 * mi + (1 - b1) * g for mi, g in zip(m, grads))
+        v = tuple(b2 * vi + (1 - b2) * g * g for vi, g in zip(v, grads))
+        mc = tuple(mi / (1 - b1**t) for mi in m)
+        vc = tuple(vi / (1 - b2**t) for vi in v)
+        new_params = tuple(
+            p - lr * (mi / ((vi**0.5) + eps) + weight_decay * p)
+            for p, mi, vi in zip(params, mc, vc)
+        )
+        return (t, m, v), new_params
+
+    return Optimizer(init, update, "adamw", hyper=(b1, b2, eps,
+                                                   weight_decay))
+
+
 def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
              block: int = 256) -> Optimizer:
     """Adam with BLOCK-WISE 8-BIT moments (the bitsandbytes recipe,

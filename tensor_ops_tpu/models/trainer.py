@@ -14,7 +14,7 @@ import os
 import sys
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import numpy as np
 
@@ -32,6 +32,9 @@ class FitResult:
     net: Network
     history: list
     steps: int
+    # exponential moving average of the params (fit(ema_decay=...)) —
+    # the serving artifact Polyak averaging produces; None when off
+    ema_net: Optional[Network] = None
 
 
 class _CheckpointWrites:
@@ -354,6 +357,8 @@ def fit(
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
+    ema_decay: Optional[float] = None,
+    early_stop_patience: int = 0,
     mesh=None,
     pipeline_microbatches: int = 4,
     pipeline_schedule: str = "gpipe",
@@ -402,6 +407,15 @@ def fit(
     loses nothing (single-process runs only: the multi-host checkpoint
     gather is a collective no lone rank may enter).
 
+    ``ema_decay`` (e.g. 0.999) maintains a Polyak/EMA copy of the
+    params — ``ema = d*ema + (1-d)*params`` after every step — returned
+    as ``FitResult.ema_net`` (the usual serving artifact), checkpointed
+    to ``<checkpoint>.ema`` and restored on resume (a resumed chain
+    equals the uninterrupted EMA exactly).  ``early_stop_patience=k``
+    stops training once the validation accuracy (``val=``, evaluated
+    every ``log_every`` steps) has not improved for k consecutive
+    evaluations.
+
     ``mesh`` (jax only) trains multi-chip: params are placed with
     Megatron-style ``model``-axis shardings, each batch is placed over the
     ``data`` axis, and the jitted step carries explicit in/out shardings —
@@ -438,6 +452,12 @@ def fit(
         raise ValueError(
             "shard_opt_state (ZeRO-1) shards the optimizer moments over "
             "the mesh's data axis — pass mesh=make_mesh(...)")
+    if ema_decay is not None and not (0.0 < ema_decay < 1.0):
+        raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+    if early_stop_patience and val is None:
+        raise ValueError(
+            "early_stop_patience watches the validation accuracy — pass "
+            "val=(Xv, labels) (evaluated every log_every steps)")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1 and batch_size % accum_steps != 0:
@@ -701,6 +721,49 @@ def fit(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
+    # Polyak averaging: the EMA copy lives in the TRAINING layout (flat
+    # pipelined or param-stack) with the params' shardings; it rides a
+    # tiny separate jitted update so every fit mode gets it unchanged,
+    # resumes from the sibling .ema file, and converts to a servable
+    # Network only at the edges (FitResult.ema_net)
+    ema_params = None
+    _ema_step = None
+    if ema_decay is not None:
+        ema_path = (checkpoint_path + ".ema") if checkpoint_path else None
+        if resume and ema_path and os.path.exists(ema_path) and step > 0:
+            from ..utils.checkpoint import load_train_state as _lts
+
+            eflat, _, estep = _lts(ema_path, (),
+                                   expect_meta={"layout": layout})
+            if len(eflat) != len(params) or estep != step:
+                raise ValueError(
+                    f"EMA checkpoint {ema_path} holds {len(eflat)} "
+                    f"leaves at step {estep}; this run resumes "
+                    f"{len(params)} leaves at step {step} — resume with "
+                    f"the same configuration")
+            if be.name == "jax":
+                ema_params = tuple(
+                    _place(np.asarray(le), t.sharding)
+                    for le, t in zip(eflat, params))
+            else:
+                ema_params = tuple(be.asarray(le) for le in eflat)
+        else:
+            ema_params = tuple(params)
+        _d = float(ema_decay)
+        if be.name == "jax":
+            import jax
+
+            key_e = ("emastep", _d, mesh) + be.cache_key()
+            _ema_step = net.op._compiled.get(key_e)
+            if _ema_step is None:
+                _ema_step = jax.jit(lambda e, p: tuple(
+                    _d * ei + (1 - _d) * pi for ei, pi in zip(e, p)))
+                net.op._compiled[key_e] = _ema_step
+        else:
+            def _ema_step(e, p):
+                return tuple(_d * ei + (1 - _d) * pi
+                             for ei, pi in zip(e, p))
+
     source = None
     if prefetch > 1 and be.name == "jax" and n_proc == 1 and step < total_steps:
         from ..utils.native import DevicePrefetcher
@@ -743,6 +806,7 @@ def fit(
 
     logger = MetricsLogger(metrics_path)
     saves = _CheckpointWrites()
+    best_val, evals_since_best = -1.0, 0
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
@@ -771,7 +835,10 @@ def fit(
                 xb, yb = loader.next()
                 xb, yb = be.asarray(xb), be.asarray(yb)
             v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
+            if ema_params is not None:
+                ema_params = _ema_step(ema_params, tuple(params))
             step += 1
+            stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
                 rec = {"epoch": epoch, "loss": float(v)}
                 if val is not None:
@@ -781,6 +848,13 @@ def fit(
                     rec["val_acc"] = accuracy(
                         cur, be, be.asarray(val[0]), np.asarray(val[1])
                     )
+                    if early_stop_patience:
+                        if rec["val_acc"] > best_val + 1e-12:
+                            best_val, evals_since_best = rec["val_acc"], 0
+                        else:
+                            evals_since_best += 1
+                            stop_early = (evals_since_best
+                                          >= early_stop_patience)
                 history.append(logger.log(step, **rec))
                 if verbose:
                     msg = f"[epoch {epoch}] step {step}: loss {float(v):.4f}"
@@ -802,6 +876,8 @@ def fit(
                     # replicate-and-fetch collective, rank 0 writes
                     host_p, host_o = _global_host_tree(
                         (tuple(params), opt_state), mesh)
+                    host_e = (_global_host_tree(tuple(ema_params), mesh)
+                              if ema_params is not None else None)
                     if proc_idx == 0:
                         saves.add(
                             save_network_async(
@@ -810,6 +886,10 @@ def fit(
                                 state_path, host_p, host_o, step,
                                 opt_key=opt_key,
                                 extra_meta={"layout": layout}))
+                        if host_e is not None:
+                            saves.add(save_train_state_async(
+                                checkpoint_path + ".ema", host_e, (),
+                                step, extra_meta={"layout": layout}))
                 else:
                     saves.add(
                         save_network_async(checkpoint_path,
@@ -818,6 +898,16 @@ def fit(
                             state_path, params, opt_state, step,
                             opt_key=opt_key,
                             extra_meta={"layout": layout}))
+                    if ema_params is not None:
+                        saves.add(save_train_state_async(
+                            checkpoint_path + ".ema", ema_params, (),
+                            step, extra_meta={"layout": layout}))
+            if stop_early:
+                if verbose:
+                    print(f"early stop at step {step}: val_acc has not "
+                          f"improved over {early_stop_patience} "
+                          f"evaluations (best {best_val:.3f})")
+                break
     except KeyboardInterrupt:
         # the reference's training UX is "recurse until Ctrl-C"
         # (/root/reference/app/MNIST.hs:297-313, trainEpoch); the
@@ -834,6 +924,9 @@ def fit(
             save_train_state(state_path, params, opt_state, step,
                              opt_key=opt_key,
                              extra_meta={"layout": layout})
+            if ema_params is not None:
+                save_train_state(checkpoint_path + ".ema", ema_params,
+                                 (), step, extra_meta={"layout": layout})
             if verbose:
                 print(f"interrupted at step {step}: checkpoint saved to "
                       f"{checkpoint_path} — fit(resume=True) continues "
@@ -845,7 +938,9 @@ def fit(
         logger.close()
         if save_err is not None and sys.exc_info()[0] is None:
             raise save_err
-    return FitResult(_as_network(params), history, step)
+    return FitResult(_as_network(params), history, step,
+                     ema_net=(_as_network(ema_params)
+                              if ema_params is not None else None))
 
 
 def _seq_train_step(net, loss: TOp, be: Backend, n: int,
@@ -1073,6 +1168,7 @@ class FitSeqResult:
     net: "RecurrentNetwork"
     history: list
     steps: int
+    ema_net: Optional[Any] = None  # Polyak average (ema_decay=...)
 
 
 def fit_sequences(
@@ -1092,6 +1188,7 @@ def fit_sequences(
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
+    ema_decay: Optional[float] = None,
     remat_every=None,
     mesh=None,
     seed: int = 0,
@@ -1147,7 +1244,9 @@ def fit_sequences(
     the scan-BPTT forward/backward in bfloat16 with full-precision
     master states+params; ``shard_opt_state=True`` (ZeRO-1) shards the
     optimizer moments over the ``data`` axis (requires ``optimizer=``
-    and a mesh) — the same surface as ``fit``."""
+    and a mesh); ``ema_decay`` keeps a Polyak/EMA copy of states+params
+    (``FitSeqResult.ema_net``, checkpointed to ``<checkpoint>.ema``,
+    exact across resume) — the same surface as ``fit``."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
@@ -1163,6 +1262,8 @@ def fit_sequences(
         raise ValueError(
             "shard_opt_state needs optimizer state to shard — dual-rate "
             "SGD is stateless; pass optimizer=adam() (or momentum())")
+    if ema_decay is not None and not (0.0 < ema_decay < 1.0):
+        raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1:
@@ -1274,6 +1375,45 @@ def fit_sequences(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
+    # Polyak averaging over states + params (the same recipe as fit's)
+    ema_leaves = None
+    _ema_step = None
+    if ema_decay is not None:
+        leaves_now = tuple(net.states) + tuple(net.params)
+        ema_path = (checkpoint_path + ".ema") if checkpoint_path else None
+        if resume and ema_path and os.path.exists(ema_path) and step > 0:
+            from ..utils.checkpoint import load_train_state as _lts
+
+            eflat, _, estep = _lts(ema_path, ())
+            if len(eflat) != len(leaves_now) or estep != step:
+                raise ValueError(
+                    f"EMA checkpoint {ema_path} holds {len(eflat)} "
+                    f"leaves at step {estep}; this run resumes "
+                    f"{len(leaves_now)} leaves at step {step} — resume "
+                    f"with the same configuration")
+            if be.name == "jax":
+                ema_leaves = tuple(
+                    _place(np.asarray(le), t.sharding)
+                    for le, t in zip(eflat, leaves_now))
+            else:
+                ema_leaves = tuple(be.asarray(le) for le in eflat)
+        else:
+            ema_leaves = leaves_now
+        _d = float(ema_decay)
+        if be.name == "jax":
+            import jax
+
+            key_e = ("emastep_seq", _d, mesh) + be.cache_key()
+            _ema_step = net.op._compiled.get(key_e)
+            if _ema_step is None:
+                _ema_step = jax.jit(lambda e, p: tuple(
+                    _d * ei + (1 - _d) * pi for ei, pi in zip(e, p)))
+                net.op._compiled[key_e] = _ema_step
+        else:
+            def _ema_step(e, p):
+                return tuple(_d * ei + (1 - _d) * pi
+                             for ei, pi in zip(e, p))
+
     stream = _SeqStream(XS, TS, batch_size, seed, step, steps_per_epoch,
                         shard=(proc_idx, n_proc) if n_proc > 1 else None)
     if prefetch > 1 and be.name == "jax" and n_proc == 1 \
@@ -1344,6 +1484,9 @@ def fit_sequences(
                     tuple(net.states), tuple(net.params))
             net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
                                    net.arch)
+            if ema_leaves is not None:
+                ema_leaves = _ema_step(
+                    ema_leaves, tuple(net.states) + tuple(net.params))
             step += 1
             if step % log_every == 0 or step == first_step_of_run:
                 v = float(np.asarray(v))
@@ -1359,6 +1502,8 @@ def fit_sequences(
                     host_leaves, host_opt = _global_host_tree(
                         (tuple(net.states) + tuple(net.params),
                          opt_state if opt is not None else ()), mesh)
+                    host_e = (_global_host_tree(tuple(ema_leaves), mesh)
+                              if ema_leaves is not None else None)
                     if proc_idx == 0:
                         host_net = RecurrentNetwork(
                             net.op, tuple(host_leaves[:k]),
@@ -1368,6 +1513,10 @@ def fit_sequences(
                             save_train_state_async(
                                 state_path, host_leaves, host_opt, step,
                                 opt_key=opt_key))
+                        if host_e is not None:
+                            saves.add(save_train_state_async(
+                                checkpoint_path + ".ema", host_e, (),
+                                step))
                 else:
                     saves.add(
                         save_recurrent_async(checkpoint_path, net),
@@ -1376,6 +1525,10 @@ def fit_sequences(
                             tuple(net.states) + tuple(net.params),
                             opt_state if opt is not None else (), step,
                             opt_key=opt_key))
+                    if ema_leaves is not None:
+                        saves.add(save_train_state_async(
+                            checkpoint_path + ".ema", ema_leaves, (),
+                            step))
     except KeyboardInterrupt:
         # Ctrl-C leaves an exact-resume artifact (same semantics as
         # fit's handler; single-process only — the multi-host gather is
@@ -1389,6 +1542,9 @@ def fit_sequences(
                 state_path, tuple(net.states) + tuple(net.params),
                 opt_state if opt is not None else (), step,
                 opt_key=opt_key)
+            if ema_leaves is not None:
+                save_train_state(checkpoint_path + ".ema", ema_leaves,
+                                 (), step)
             if verbose:
                 print(f"interrupted at step {step}: checkpoint saved to "
                       f"{checkpoint_path} — fit_sequences(resume=True) "
@@ -1399,7 +1555,11 @@ def fit_sequences(
         logger.close()
         if save_err is not None and sys.exc_info()[0] is None:
             raise save_err
-    return FitSeqResult(net, history, step)
+    ema_net = None
+    if ema_leaves is not None:
+        ema_net = RecurrentNetwork(net.op, tuple(ema_leaves[:k]),
+                                   tuple(ema_leaves[k:]), net.arch)
+    return FitSeqResult(net, history, step, ema_net=ema_net)
 
 
 def _restore_opt_state(template, restored, be: Backend):

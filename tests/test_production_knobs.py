@@ -1,0 +1,183 @@
+"""The production-training trio — adamw (decoupled weight decay),
+ema_decay (Polyak averaging with exact resume), early_stop_patience —
+plus their interplay with the rest of fit's surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tensor_ops_tpu.backend.rng import Rng
+from tensor_ops_tpu.models import (
+    act_logistic,
+    act_softmax,
+    adam,
+    adamw,
+    cross_entropy,
+    gen_net,
+)
+from tensor_ops_tpu.models.trainer import fit, fit_sequences
+
+
+def _task(n=256, seed=0):
+    r = np.random.default_rng(seed)
+    X = r.uniform(-1, 1, size=(n, 2))
+    labels = (X[:, 0] * X[:, 1] > 0).astype(int)
+    return X, np.eye(2)[labels], labels
+
+
+def _net(jb, seed=0):
+    return gen_net(jb, 2, 2, [(16, act_logistic())], act_softmax(),
+                   Rng(jb, seed=seed))
+
+
+def test_adamw_decoupled_decay(jb):
+    """With zero gradients adamw shrinks params by exactly lr*wd per
+    step (the decay is DECOUPLED — it never enters the moments), and
+    wd=0 reproduces adam bit-for-bit."""
+    net = _net(jb)
+    params = tuple(net.params)
+    zeros = tuple(p * 0 for p in params)
+    opt = adamw(weight_decay=0.1)
+    st = opt.init(params)
+    st, p1 = opt.update(st, params, zeros, 0.5)
+    for a, b in zip(p1, params):
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(b) * (1 - 0.5 * 0.1),
+                                   rtol=1e-12)
+
+    g = tuple(p * 0 + 0.01 for p in params)
+    s0 = adamw(weight_decay=0.0).init(params)
+    s1 = adam().init(params)
+    _, pw = adamw(weight_decay=0.0).update(s0, params, g, 0.1)
+    _, pa = adam().update(s1, params, g, 0.1)
+    for a, b in zip(pw, pa):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adamw_regularizes_in_fit(jb):
+    """adamw's decay actually shrinks the weight norm vs adam over a
+    real fit run (same data/seed/lr)."""
+    X, Y, _ = _task()
+    kw = dict(epochs=10, batch_size=64, lr=0.05, verbose=False,
+              prefetch=0, log_every=5)
+    rw = fit(_net(jb, seed=1), cross_entropy(2), jb, X, Y,
+             optimizer=adamw(weight_decay=0.05), **kw)
+    ra = fit(_net(jb, seed=1), cross_entropy(2), jb, X, Y,
+             optimizer=adam(), **kw)
+    norm = lambda ps: sum(float((np.asarray(p) ** 2).sum())  # noqa: E731
+                          for p in ps)
+    assert norm(rw.net.params) < norm(ra.net.params)
+    assert rw.history[-1]["loss"] < rw.history[0]["loss"]
+
+
+def test_ema_matches_manual_recurrence(jb):
+    """FitResult.ema_net equals the hand-computed EMA over the exact
+    per-step params of an identical run (log_every=1 records them)."""
+    X, Y, _ = _task(n=64)
+    d = 0.9
+    kw = dict(epochs=2, batch_size=32, lr=0.05, optimizer=adam(),
+              verbose=False, prefetch=0, log_every=1)
+    res = fit(_net(jb, seed=2), cross_entropy(2), jb, X, Y,
+              ema_decay=d, **kw)
+    assert res.ema_net is not None
+
+    # replay the identical run step by step, folding the EMA by hand
+    from tensor_ops_tpu.models.trainer import make_opt_step
+    from tensor_ops_tpu.utils.native import NativeLoader
+
+    net = _net(jb, seed=2)
+    opt = adam()
+    step_fn = make_opt_step(net, cross_entropy(2), jb, opt)
+    params = tuple(net.params)
+    ema = tuple(params)
+    st = opt.init(params)
+    loader = NativeLoader(X, Y, batch=32, seed=0)
+    for _ in range(4):
+        xb, yb = loader.next()
+        _, st, params = step_fn(0.05, jb.asarray(xb), jb.asarray(yb),
+                                st, params)
+        ema = tuple(d * e + (1 - d) * p for e, p in zip(ema, params))
+    for a, b in zip(res.ema_net.params, ema):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+    for a, b in zip(res.net.params, params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0, rtol=0)
+
+
+def test_ema_resume_exact(jb, tmp_path):
+    """A crash/resume chain reproduces the uninterrupted EMA exactly
+    (the .ema sibling checkpoint round-trips)."""
+    X, Y, _ = _task(n=128)
+    ck = str(tmp_path / "ema.npz")
+    kw = dict(batch_size=32, lr=0.05, optimizer=adam(), ema_decay=0.95,
+              verbose=False, prefetch=0, log_every=1)
+    fit(_net(jb, seed=3), cross_entropy(2), jb, X, Y, epochs=1,
+        checkpoint_path=ck, checkpoint_every=2, **kw)
+    assert os.path.exists(ck + ".ema")
+    resumed = fit(_net(jb, seed=3), cross_entropy(2), jb, X, Y, epochs=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  **kw)
+    straight = fit(_net(jb, seed=3), cross_entropy(2), jb, X, Y,
+                   epochs=2, **kw)
+    for a, b in zip(resumed.ema_net.params, straight.ema_net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+
+
+def test_ema_sequences(jb):
+    """fit_sequences(ema_decay=...) returns the averaged recurrent net
+    (states AND params averaged) and it runs."""
+    t = np.linspace(0, 1, 10)
+    r = np.random.default_rng(4)
+    waves = np.sin(2 * np.pi * t[None, :]
+                   + r.uniform(0, np.pi, size=(32, 1)))
+    XS, TS = waves[:, :-1, None], waves[:, 1:, None]
+    from tensor_ops_tpu.models import squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    net = gen_rnet(jb, 1, 1, [(6, act_logistic(), act_logistic())],
+                   act_logistic(), None, Rng(jb, seed=5))
+    res = fit_sequences(net, squared_error(1), jb, XS, TS, epochs=2,
+                        batch_size=16, rate_param=0.05, rate_state=0.01,
+                        ema_decay=0.9, verbose=False, prefetch=0,
+                        log_every=1)
+    assert res.ema_net is not None
+    assert len(res.ema_net.params) == len(res.net.params)
+    # the EMA trails the raw params (they moved; the average lags)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(res.ema_net.params, res.net.params))
+    assert moved
+    ys, _ = res.ema_net.run_seq(jb, XS[0])
+    assert np.all(np.isfinite(np.asarray(ys)))
+
+
+def test_early_stopping_stops(jb):
+    """A net with lr=0 never improves: early_stop_patience halts after
+    exactly (1 + patience) evaluations instead of running the budget;
+    and the validation requirement is enforced."""
+    X, Y, labels = _task(n=128)
+    res = fit(_net(jb, seed=6), cross_entropy(2), jb, X, Y, epochs=50,
+              batch_size=32, lr=0.0, optimizer=adam(),
+              val=(X, labels), early_stop_patience=3,
+              verbose=False, prefetch=0, log_every=1)
+    # 4 steps/epoch x 50 epochs budget, but eval 1 sets the best and
+    # evals 2..4 never improve -> stop at step 4
+    assert res.steps == 4, res.steps
+
+    with pytest.raises(ValueError, match="early_stop_patience"):
+        fit(_net(jb, seed=6), cross_entropy(2), jb, X, Y, epochs=1,
+            early_stop_patience=2, verbose=False, prefetch=0)
+
+
+def test_early_stopping_keeps_improving_runs(jb):
+    """A genuinely learning run with generous patience completes its
+    budget."""
+    X, Y, labels = _task(n=128)
+    res = fit(_net(jb, seed=7), cross_entropy(2), jb, X, Y, epochs=3,
+              batch_size=32, lr=0.05, optimizer=adam(),
+              val=(X, labels), early_stop_patience=12,
+              verbose=False, prefetch=0, log_every=1)
+    assert res.steps == 12
