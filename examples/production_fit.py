@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """The production training-to-serving journey, end to end:
 
-    gen_net -> fit (adam + cosine schedule + clipping + metrics +
-    checkpoints) -> simulated crash -> fit(resume=True) picks up the
-    remaining budget bit-exactly -> int8 quantization -> bucketed
-    Predictor serving with latency stats.
+    gen_net -> fit (adamw + cosine schedule + clipping + Polyak EMA +
+    metrics + checkpoints) -> simulated crash -> fit(resume=True) picks
+    up the remaining budget bit-exactly (EMA included) -> int8
+    quantization of the EMA net -> bucketed Predictor serving with
+    latency stats.
 
 Everything here is surface the reference lacks (its loop is an inline
 ``foldl'`` to Ctrl-C, ``app/MNIST.hs:297-313``); the model and task are
@@ -31,7 +32,7 @@ from tensor_ops_tpu.models import (
     gen_net,
 )
 from tensor_ops_tpu.models.fast import FusedMLP, QuantizedMLP
-from tensor_ops_tpu.models.optim import adam, cosine_schedule
+from tensor_ops_tpu.models.optim import adamw, cosine_schedule
 
 
 def make_data(n, seed):
@@ -59,7 +60,8 @@ def main():
         return fit(
             net, loss, be, X, Y,
             epochs=total_epochs, batch_size=batch,
-            optimizer=adam(), lr_schedule=schedule, clip_norm=1.0,
+            optimizer=adamw(weight_decay=0.01), lr_schedule=schedule,
+            clip_norm=1.0, ema_decay=0.99,
             val=(Xv, lv), metrics_path=metrics,
             checkpoint_path=ck, checkpoint_every=16,
             resume=resume, log_every=16, verbose=True,
@@ -74,8 +76,8 @@ def main():
     print("== phase 2: resume to the full budget ==")
     res = run(net_seed=999, total_epochs=epochs, resume=True)
 
-    # --- phase 3: quantize + serve --------------------------------------
-    fm = FusedMLP.from_network(res.net)
+    # --- phase 3: quantize + serve the EMA (Polyak-averaged) net --------
+    fm = FusedMLP.from_network(res.ema_net)
     pred = Predictor(QuantizedMLP.from_fused(fm), buckets=(8, 64, 512))
     pred.warmup()
     acc = float(np.mean(pred.predict_class(Xv) == lv))
