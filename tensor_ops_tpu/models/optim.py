@@ -61,7 +61,13 @@ def momentum(beta: float = 0.9, nesterov: bool = False) -> Optimizer:
     return Optimizer(init, update, "momentum", hyper=(beta, nesterov))
 
 
-def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
+def _adam_impl(b1: float, b2: float, eps: float, weight_decay: float):
+    """The one adam update both :func:`adam` and :func:`adamw` wrap —
+    the bias-correction/step math lives exactly once.  ``weight_decay``
+    is DECOUPLED (multiplies the parameter, never the moments); 0.0
+    reproduces classic adam bit-for-bit (``x + 0.0*p == x`` for finite
+    params)."""
+
     def init(params):
         return (
             0,
@@ -78,10 +84,16 @@ def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
         mc = tuple(mi / (1 - b1**t) for mi in m)
         vc = tuple(vi / (1 - b2**t) for vi in v)
         new_params = tuple(
-            p - lr * mi / ((vi**0.5) + eps) for p, mi, vi in zip(params, mc, vc)
+            p - lr * (mi / ((vi**0.5) + eps) + weight_decay * p)
+            for p, mi, vi in zip(params, mc, vc)
         )
         return (t, m, v), new_params
 
+    return init, update
+
+
+def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Optimizer:
+    init, update = _adam_impl(b1, b2, eps, 0.0)
     return Optimizer(init, update, "adam", hyper=(b1, b2, eps))
 
 
@@ -93,27 +105,7 @@ def adamw(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     regularization strength is independent of the adaptive scaling.
     The production default for transformer-era training; ``adam()``
     stays the unregularized classic."""
-
-    def init(params):
-        return (
-            0,
-            tuple(p * 0 for p in params),
-            tuple(p * 0 for p in params),
-        )
-
-    def update(state, params, grads, lr):
-        t, m, v = state
-        t = t + 1
-        m = tuple(b1 * mi + (1 - b1) * g for mi, g in zip(m, grads))
-        v = tuple(b2 * vi + (1 - b2) * g * g for vi, g in zip(v, grads))
-        mc = tuple(mi / (1 - b1**t) for mi in m)
-        vc = tuple(vi / (1 - b2**t) for vi in v)
-        new_params = tuple(
-            p - lr * (mi / ((vi**0.5) + eps) + weight_decay * p)
-            for p, mi, vi in zip(params, mc, vc)
-        )
-        return (t, m, v), new_params
-
+    init, update = _adam_impl(b1, b2, eps, weight_decay)
     return Optimizer(init, update, "adamw", hyper=(b1, b2, eps,
                                                    weight_decay))
 

@@ -186,6 +186,55 @@ def _zero1_init(opt, params, mesh):
     return _zero1_wrap(opt.init(params), mesh)
 
 
+def _make_ema_update(cache: dict, decay: float, mesh, be: Backend,
+                     tag: str):
+    """The tiny jitted Polyak update ``e' = d*e + (1-d)*p`` shared by
+    both fit loops (cached per (tag, decay, mesh)); a plain tuple map
+    on the numpy oracle."""
+    d = float(decay)
+    if be.name != "jax":
+        return lambda e, p: tuple(d * ei + (1 - d) * pi
+                                  for ei, pi in zip(e, p))
+    import jax
+
+    key = (tag, d, mesh) + be.cache_key()
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda e, p: tuple(d * ei + (1 - d) * pi
+                                        for ei, pi in zip(e, p)))
+        cache[key] = fn
+    return fn
+
+
+def _ema_init(r_ema, templates, be: Backend, resumed_step: int,
+              label: str):
+    """The EMA leaves at loop entry, shared by both fit loops: the
+    checkpoint's EMA section re-placed like the training-layout
+    templates — or, LOUDLY when a resumed checkpoint carries none (the
+    saving run had ema_decay off), a fresh average started from the
+    restored params.  The EMA lives in the same .state file as the
+    params it averages, so the pair can never be torn by a crash."""
+    if r_ema is not None:
+        if len(r_ema) != len(templates):
+            raise ValueError(
+                f"checkpoint EMA holds {len(r_ema)} leaves but this "
+                f"configuration expects {len(templates)} — resume with "
+                f"the same model/pipeline configuration")
+        if be.name == "jax":
+            return tuple(_place(np.asarray(le), t.sharding)
+                         for le, t in zip(r_ema, templates))
+        return tuple(be.asarray(le) for le in r_ema)
+    if resumed_step > 0:
+        import warnings
+
+        warnings.warn(
+            f"{label}: the resumed checkpoint carries no EMA (the "
+            f"saving run had ema_decay off) — the Polyak average "
+            f"restarts from the restored params at step {resumed_step}",
+            stacklevel=3)
+    return tuple(templates)
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
@@ -409,9 +458,12 @@ def fit(
 
     ``ema_decay`` (e.g. 0.999) maintains a Polyak/EMA copy of the
     params — ``ema = d*ema + (1-d)*params`` after every step — returned
-    as ``FitResult.ema_net`` (the usual serving artifact), checkpointed
-    to ``<checkpoint>.ema`` and restored on resume (a resumed chain
-    equals the uninterrupted EMA exactly).  ``early_stop_patience=k``
+    as ``FitResult.ema_net`` (the usual serving artifact), stored
+    INSIDE the ``.state`` checkpoint (atomic with the params it
+    averages — a crash can never tear the pair) and restored on resume
+    (a resumed chain equals the uninterrupted EMA exactly; resuming a
+    non-EMA checkpoint with ``ema_decay`` set warns and restarts the
+    average from the restored params).  ``early_stop_patience=k``
     stops training once the validation accuracy (``val=``, evaluated
     every ``log_every`` steps) has not improved for k consecutive
     evaluations.
@@ -678,12 +730,13 @@ def fit(
     # id-based struct keys (custom optimizers without `hyper`) don't
     # survive process restarts — only validate factory-made optimizers
     opt_key = opt.struct_key() if opt.hyper is not None else None
+    r_ema = None
     if resume and state_path and os.path.exists(state_path):
         from ..utils.checkpoint import load_train_state
 
-        rparams, r_opt_state, step = load_train_state(
+        rparams, r_opt_state, step, r_ema = load_train_state(
             state_path, opt_state, opt_key=opt_key,
-            expect_meta={"layout": layout})
+            expect_meta={"layout": layout}, with_ema=True)
         if len(rparams) != len(params):
             raise ValueError(
                 f"checkpoint holds {len(rparams)} parameter leaves but "
@@ -722,47 +775,17 @@ def fit(
                   f"remaining)")
 
     # Polyak averaging: the EMA copy lives in the TRAINING layout (flat
-    # pipelined or param-stack) with the params' shardings; it rides a
+    # pipelined or param-stack) with the params' shardings, rides a
     # tiny separate jitted update so every fit mode gets it unchanged,
-    # resumes from the sibling .ema file, and converts to a servable
-    # Network only at the edges (FitResult.ema_net)
+    # is stored INSIDE the .state file (atomic with the params it
+    # averages), and converts to a servable Network only at the edges
+    # (FitResult.ema_net)
     ema_params = None
     _ema_step = None
     if ema_decay is not None:
-        ema_path = (checkpoint_path + ".ema") if checkpoint_path else None
-        if resume and ema_path and os.path.exists(ema_path) and step > 0:
-            from ..utils.checkpoint import load_train_state as _lts
-
-            eflat, _, estep = _lts(ema_path, (),
-                                   expect_meta={"layout": layout})
-            if len(eflat) != len(params) or estep != step:
-                raise ValueError(
-                    f"EMA checkpoint {ema_path} holds {len(eflat)} "
-                    f"leaves at step {estep}; this run resumes "
-                    f"{len(params)} leaves at step {step} — resume with "
-                    f"the same configuration")
-            if be.name == "jax":
-                ema_params = tuple(
-                    _place(np.asarray(le), t.sharding)
-                    for le, t in zip(eflat, params))
-            else:
-                ema_params = tuple(be.asarray(le) for le in eflat)
-        else:
-            ema_params = tuple(params)
-        _d = float(ema_decay)
-        if be.name == "jax":
-            import jax
-
-            key_e = ("emastep", _d, mesh) + be.cache_key()
-            _ema_step = net.op._compiled.get(key_e)
-            if _ema_step is None:
-                _ema_step = jax.jit(lambda e, p: tuple(
-                    _d * ei + (1 - _d) * pi for ei, pi in zip(e, p)))
-                net.op._compiled[key_e] = _ema_step
-        else:
-            def _ema_step(e, p):
-                return tuple(_d * ei + (1 - _d) * pi
-                             for ei, pi in zip(e, p))
+        ema_params = _ema_init(r_ema, tuple(params), be, step, "fit")
+        _ema_step = _make_ema_update(net.op._compiled, ema_decay, mesh,
+                                     be, "emastep")
 
     source = None
     if prefetch > 1 and be.name == "jax" and n_proc == 1 and step < total_steps:
@@ -807,6 +830,12 @@ def fit(
     logger = MetricsLogger(metrics_path)
     saves = _CheckpointWrites()
     best_val, evals_since_best = -1.0, 0
+    # the Ctrl-C handler reads ONLY this snapshot: it is replaced by a
+    # single assignment after the whole (params, opt_state, ema, step)
+    # update, so an interrupt landing mid-update can never checkpoint
+    # new params under the old step (which would replay a batch on
+    # resume)
+    snap = (params, opt_state, ema_params, step)
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
@@ -834,9 +863,12 @@ def fit(
             else:
                 xb, yb = loader.next()
                 xb, yb = be.asarray(xb), be.asarray(yb)
-            v, opt_state, params = step_fn(cur_lr, xb, yb, opt_state, params)
-            if ema_params is not None:
-                ema_params = _ema_step(ema_params, tuple(params))
+            v, new_opt, new_params = step_fn(cur_lr, xb, yb, opt_state,
+                                             params)
+            new_ema = (_ema_step(ema_params, tuple(new_params))
+                       if ema_params is not None else None)
+            snap = (new_params, new_opt, new_ema, step + 1)
+            params, opt_state, ema_params = new_params, new_opt, new_ema
             step += 1
             stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
@@ -874,34 +906,24 @@ def fit(
                     # leaves sharded ACROSS processes aren't host-
                     # fetchable directly: every rank joins the
                     # replicate-and-fetch collective, rank 0 writes
-                    host_p, host_o = _global_host_tree(
-                        (tuple(params), opt_state), mesh)
-                    host_e = (_global_host_tree(tuple(ema_params), mesh)
-                              if ema_params is not None else None)
+                    host_p, host_o, host_e = _global_host_tree(
+                        (tuple(params), opt_state, ema_params), mesh)
                     if proc_idx == 0:
                         saves.add(
                             save_network_async(
                                 checkpoint_path, _as_network(host_p)),
                             save_train_state_async(
                                 state_path, host_p, host_o, step,
-                                opt_key=opt_key,
+                                opt_key=opt_key, ema=host_e,
                                 extra_meta={"layout": layout}))
-                        if host_e is not None:
-                            saves.add(save_train_state_async(
-                                checkpoint_path + ".ema", host_e, (),
-                                step, extra_meta={"layout": layout}))
                 else:
                     saves.add(
                         save_network_async(checkpoint_path,
                                            _as_network(params)),
                         save_train_state_async(
                             state_path, params, opt_state, step,
-                            opt_key=opt_key,
+                            opt_key=opt_key, ema=ema_params,
                             extra_meta={"layout": layout}))
-                    if ema_params is not None:
-                        saves.add(save_train_state_async(
-                            checkpoint_path + ".ema", ema_params, (),
-                            step, extra_meta={"layout": layout}))
             if stop_early:
                 if verbose:
                     print(f"early stop at step {step}: val_acc has not "
@@ -916,21 +938,19 @@ def fit(
         # an interrupt hits ranks asynchronously and the multi-host
         # checkpoint gather is a collective, so entering it from one
         # rank's handler would deadlock the mesh.
-        if checkpoint_path and step > 0 and n_proc == 1:
+        s_params, s_opt, s_ema, s_step = snap
+        if checkpoint_path and s_step > 0 and n_proc == 1:
             from ..utils.checkpoint import save_network, save_train_state
 
             saves.join()  # in-flight async writes first (ordering)
-            save_network(checkpoint_path, _as_network(params))
-            save_train_state(state_path, params, opt_state, step,
-                             opt_key=opt_key,
+            save_network(checkpoint_path, _as_network(s_params))
+            save_train_state(state_path, s_params, s_opt, s_step,
+                             opt_key=opt_key, ema=s_ema,
                              extra_meta={"layout": layout})
-            if ema_params is not None:
-                save_train_state(checkpoint_path + ".ema", ema_params,
-                                 (), step, extra_meta={"layout": layout})
             if verbose:
-                print(f"interrupted at step {step}: checkpoint saved to "
-                      f"{checkpoint_path} — fit(resume=True) continues "
-                      f"exactly here")
+                print(f"interrupted at step {s_step}: checkpoint saved "
+                      f"to {checkpoint_path} — fit(resume=True) "
+                      f"continues exactly here")
         raise
     finally:
         save_err = saves.join()
@@ -1245,7 +1265,7 @@ def fit_sequences(
     master states+params; ``shard_opt_state=True`` (ZeRO-1) shards the
     optimizer moments over the ``data`` axis (requires ``optimizer=``
     and a mesh); ``ema_decay`` keeps a Polyak/EMA copy of states+params
-    (``FitSeqResult.ema_net``, checkpointed to ``<checkpoint>.ema``,
+    (``FitSeqResult.ema_net``, stored inside the ``.state`` checkpoint,
     exact across resume) — the same surface as ``fit``."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
@@ -1346,11 +1366,12 @@ def fit_sequences(
         opt_state, zero_cons = _zero1_wrap(opt_state, mesh)
     opt_key = (opt.struct_key()
                if opt is not None and opt.hyper is not None else None)
+    r_ema = None
     if resume and state_path and os.path.exists(state_path):
         # the .state "params" slot holds states + params; opt_state
         # carries the optimizer moments (empty for dual-rate SGD)
-        flat, r_opt_state, step = load_train_state(state_path, opt_state,
-                                                   opt_key=opt_key)
+        flat, r_opt_state, step, r_ema = load_train_state(
+            state_path, opt_state, opt_key=opt_key, with_ema=True)
         if len(flat) != k + len(net.params):
             raise ValueError(
                 f"checkpoint has {len(flat)} leaves, the network needs "
@@ -1375,44 +1396,16 @@ def fit_sequences(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
-    # Polyak averaging over states + params (the same recipe as fit's)
+    # Polyak averaging over states + params (the same recipe as fit's:
+    # EMA stored inside the .state file, shared helpers)
     ema_leaves = None
     _ema_step = None
     if ema_decay is not None:
-        leaves_now = tuple(net.states) + tuple(net.params)
-        ema_path = (checkpoint_path + ".ema") if checkpoint_path else None
-        if resume and ema_path and os.path.exists(ema_path) and step > 0:
-            from ..utils.checkpoint import load_train_state as _lts
-
-            eflat, _, estep = _lts(ema_path, ())
-            if len(eflat) != len(leaves_now) or estep != step:
-                raise ValueError(
-                    f"EMA checkpoint {ema_path} holds {len(eflat)} "
-                    f"leaves at step {estep}; this run resumes "
-                    f"{len(leaves_now)} leaves at step {step} — resume "
-                    f"with the same configuration")
-            if be.name == "jax":
-                ema_leaves = tuple(
-                    _place(np.asarray(le), t.sharding)
-                    for le, t in zip(eflat, leaves_now))
-            else:
-                ema_leaves = tuple(be.asarray(le) for le in eflat)
-        else:
-            ema_leaves = leaves_now
-        _d = float(ema_decay)
-        if be.name == "jax":
-            import jax
-
-            key_e = ("emastep_seq", _d, mesh) + be.cache_key()
-            _ema_step = net.op._compiled.get(key_e)
-            if _ema_step is None:
-                _ema_step = jax.jit(lambda e, p: tuple(
-                    _d * ei + (1 - _d) * pi for ei, pi in zip(e, p)))
-                net.op._compiled[key_e] = _ema_step
-        else:
-            def _ema_step(e, p):
-                return tuple(_d * ei + (1 - _d) * pi
-                             for ei, pi in zip(e, p))
+        ema_leaves = _ema_init(
+            r_ema, tuple(net.states) + tuple(net.params), be, step,
+            "fit_sequences")
+        _ema_step = _make_ema_update(net.op._compiled, ema_decay, mesh,
+                                     be, "emastep_seq")
 
     stream = _SeqStream(XS, TS, batch_size, seed, step, steps_per_epoch,
                         shard=(proc_idx, n_proc) if n_proc > 1 else None)
@@ -1444,6 +1437,7 @@ def fit_sequences(
     logger = MetricsLogger(metrics_path)
     history = []
     saves = _CheckpointWrites()
+    snap = (net, opt_state, ema_leaves, step)
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
@@ -1475,18 +1469,23 @@ def fit_sequences(
                 v, new_s, new_p = step_fn(rs, rp, xb, tb,
                                           tuple(net.states),
                                           tuple(net.params))
+                new_opt = opt_state
             else:
                 # the dual-rate ratio is schedule-invariant (rs and rp
                 # scale together); passing it explicitly keeps a
                 # warmup rp == 0 step finite (rs/rp would be 0/0)
-                v, opt_state, new_s, new_p = step_fn(
+                v, new_opt, new_s, new_p = step_fn(
                     rate_state / rate_param, rp, xb, tb, opt_state,
                     tuple(net.states), tuple(net.params))
-            net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
-                                   net.arch)
-            if ema_leaves is not None:
-                ema_leaves = _ema_step(
-                    ema_leaves, tuple(net.states) + tuple(net.params))
+            new_net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
+                                       net.arch)
+            new_ema = (_ema_step(ema_leaves, tuple(new_s) + tuple(new_p))
+                       if ema_leaves is not None else None)
+            # single-assignment snapshot: the Ctrl-C handler reads only
+            # this, so an interrupt mid-update can't checkpoint new
+            # leaves under the old step (batch replay on resume)
+            snap = (new_net, new_opt, new_ema, step + 1)
+            net, opt_state, ema_leaves = new_net, new_opt, new_ema
             step += 1
             if step % log_every == 0 or step == first_step_of_run:
                 v = float(np.asarray(v))
@@ -1499,11 +1498,10 @@ def fit_sequences(
                 if n_proc > 1:
                     # leaves sharded across processes: every rank joins
                     # the replicate-and-fetch collective, rank 0 writes
-                    host_leaves, host_opt = _global_host_tree(
+                    host_leaves, host_opt, host_e = _global_host_tree(
                         (tuple(net.states) + tuple(net.params),
-                         opt_state if opt is not None else ()), mesh)
-                    host_e = (_global_host_tree(tuple(ema_leaves), mesh)
-                              if ema_leaves is not None else None)
+                         opt_state if opt is not None else (),
+                         ema_leaves), mesh)
                     if proc_idx == 0:
                         host_net = RecurrentNetwork(
                             net.op, tuple(host_leaves[:k]),
@@ -1512,11 +1510,7 @@ def fit_sequences(
                             save_recurrent_async(checkpoint_path, host_net),
                             save_train_state_async(
                                 state_path, host_leaves, host_opt, step,
-                                opt_key=opt_key))
-                        if host_e is not None:
-                            saves.add(save_train_state_async(
-                                checkpoint_path + ".ema", host_e, (),
-                                step))
+                                opt_key=opt_key, ema=host_e))
                 else:
                     saves.add(
                         save_recurrent_async(checkpoint_path, net),
@@ -1524,31 +1518,25 @@ def fit_sequences(
                             state_path,
                             tuple(net.states) + tuple(net.params),
                             opt_state if opt is not None else (), step,
-                            opt_key=opt_key))
-                    if ema_leaves is not None:
-                        saves.add(save_train_state_async(
-                            checkpoint_path + ".ema", ema_leaves, (),
-                            step))
+                            opt_key=opt_key, ema=ema_leaves))
     except KeyboardInterrupt:
         # Ctrl-C leaves an exact-resume artifact (same semantics as
         # fit's handler; single-process only — the multi-host gather is
         # a collective no lone rank may enter)
-        if checkpoint_path and step > 0 and n_proc == 1:
+        s_net, s_opt, s_ema, s_step = snap
+        if checkpoint_path and s_step > 0 and n_proc == 1:
             from ..utils.checkpoint import save_recurrent, save_train_state
 
             saves.join()
-            save_recurrent(checkpoint_path, net)
+            save_recurrent(checkpoint_path, s_net)
             save_train_state(
-                state_path, tuple(net.states) + tuple(net.params),
-                opt_state if opt is not None else (), step,
-                opt_key=opt_key)
-            if ema_leaves is not None:
-                save_train_state(checkpoint_path + ".ema", ema_leaves,
-                                 (), step)
+                state_path, tuple(s_net.states) + tuple(s_net.params),
+                s_opt if opt is not None else (), s_step,
+                opt_key=opt_key, ema=s_ema)
             if verbose:
-                print(f"interrupted at step {step}: checkpoint saved to "
-                      f"{checkpoint_path} — fit_sequences(resume=True) "
-                      f"continues exactly here")
+                print(f"interrupted at step {s_step}: checkpoint saved "
+                      f"to {checkpoint_path} — fit_sequences("
+                      f"resume=True) continues exactly here")
         raise
     finally:
         save_err = saves.join()

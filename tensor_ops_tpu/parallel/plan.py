@@ -72,19 +72,27 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
     configs, and per-device training-state bytes (params + grads +
     moments, stage/model/ZeRO sharding applied).
 
-    Feasibility mirrors ``fit``'s own validation: the batch must split
-    over dp (and over the microbatch grid under pp); pp needs at least
-    S composition segments; tp counts as engaged only when every
-    segment row-shards (``_tp_local_segment_split`` — the same rule the
-    partitioners use), otherwise the config is kept but flagged
-    ``tp_idle`` (replicated weights, the loud-warning path)."""
+    Feasibility mirrors ``fit``'s own validation AND its actual
+    sharding rules: the batch must split over dp (and over the
+    microbatch grid under pp); pp needs at least S composition
+    segments.  tp follows the code path the config would take — under
+    pp the pipeline partitioners' all-or-nothing row-sharding rule
+    (``_tp_local_segment_split``); without pp ``param_specs``' per-
+    weight rule (either dim divisible shards, so e.g. the flagship's
+    (10, 100) head column-shards under tp=4) — replicated weights are
+    flagged in ``notes``, fully idle tp as ``tp_idle``."""
     per_seg, segs = _net_flops_and_segments(net)
-    total_flops = float(sum(per_seg))
     n_seg = len(per_seg)
+    # each segment's rank-2 weight (the shardable tensor) and param count
+    seg_w = []
+    seg_nparam = []
+    for op, _ in segs:
+        w2 = [s for s in op.in_stack[1:] if len(s) == 2]
+        seg_w.append(w2[0] if w2 else None)
+        seg_nparam.append(sum(int(np.prod(s, dtype=np.int64)) if s else 1
+                              for s in op.in_stack[1:]))
     if dtype_bytes is None:
         dtype_bytes = np.dtype(net.params[0].dtype).itemsize
-    n_param = sum(int(np.prod(p.shape, dtype=np.int64))
-                  for p in net.params)
     from ..models.optim import moment_footprint
 
     moment_b_per_elem = moment_footprint(optimizer, dtype_bytes)
@@ -102,32 +110,57 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
                          f"schedule (GPipe still runs)")
         if pp > n_seg:
             continue  # not enough composition segments to cut
-        tp_engaged = tp == 1 or _tp_shardable(net, tp)
-        if tp > 1 and not tp_engaged:
-            notes.append("tp_idle: a segment doesn't row-shard at this "
-                         "width — weights replicate (loud warning path)")
+        # per-segment tp division, following the code path this config
+        # would actually take
+        if tp > 1 and pp > 1:
+            # pipeline partitioners: all-or-nothing row sharding
+            eng = _tp_shardable(net, tp)
+            seg_div = [tp if eng else 1] * n_seg
+            if not eng:
+                notes.append("tp_idle: a segment doesn't row-shard at "
+                             "this width — weights replicate (loud "
+                             "warning path)")
+        elif tp > 1:
+            # fit's non-pipeline tp: param_specs shards each weight on
+            # EITHER divisible dim, replicating only no-dim weights
+            seg_div = [tp if (w is not None
+                              and (w[0] % tp == 0 or w[1] % tp == 0))
+                       else 1 for w in seg_w]
+            n_repl = sum(1 for d in seg_div if d == 1)
+            if all(d == 1 for d in seg_div):
+                notes.append("tp_idle: no weight has a tp-divisible "
+                             "dim — all replicate (loud warning path)")
+            elif n_repl:
+                notes.append(f"tp_partial: {n_repl}/{n_seg} segment "
+                             f"weight(s) have no tp-divisible dim and "
+                             f"replicate")
+        else:
+            seg_div = [1] * n_seg
+        tp_engaged = tp == 1 or any(d > 1 for d in seg_div)
+        per_seg_eff = [f / d for f, d in zip(per_seg, seg_div)]
 
-        # per-device compute: stage balance from the SAME min-max DP cut
-        # the partitioner would use; tp divides only when engaged
+        # per-device compute: stage cut from the SAME min-max DP the
+        # partitioner uses (over raw per-segment FLOPs); the slowest
+        # stage's tp-divided FLOPs set the clock
         if pp > 1:
             bounds = _balanced_partition(per_seg, pp)
-            stage_flops = [sum(per_seg[a:b]) for a, b in bounds]
-            balance = max(stage_flops) / (sum(stage_flops) / pp)
+            stage_raw = [sum(per_seg[a:b]) for a, b in bounds]
+            balance = max(stage_raw) / (sum(stage_raw) / pp)
             bubble = (pp - 1) / (M + pp - 1)
+            clock = max(sum(per_seg_eff[a:b]) for a, b in bounds)
         else:
             balance, bubble = 1.0, 0.0
-        flops_dev = total_flops * (batch_size / dp)
-        flops_dev = flops_dev / pp / (tp if tp_engaged else 1)
-        flops_dev *= balance  # the slowest stage sets the clock
+            clock = sum(per_seg_eff)
+        flops_dev = clock * (batch_size / dp)
         cost = flops_dev / (1.0 - bubble)
 
-        # per-device training state: params/grads split over pp stages
-        # and (when engaged) tp rows; moments additionally over dp
-        # under ZeRO-1
-        shard = pp * (tp if tp_engaged else 1)
-        p_dev = n_param * dtype_bytes / shard
-        m_dev = (moment_b_per_elem * n_param / shard
-                 / (dp if (shard_opt_state and dp > 1) else 1))
+        # per-device training state: each segment's params split over
+        # its tp divisor, everything over pp stages; moments
+        # additionally over dp under ZeRO-1
+        p_dev = sum(npar * dtype_bytes / d
+                    for npar, d in zip(seg_nparam, seg_div)) / pp
+        m_dev = (moment_b_per_elem / dtype_bytes
+                 * p_dev / (dp if (shard_opt_state and dp > 1) else 1))
         if shard_opt_state and dp > 1:
             notes.append("zero1: moments /dp (first free divisible dim; "
                          "exact accounting in training_memory_report)")

@@ -200,12 +200,19 @@ def _tree_unflatten(template, leaves_iter):
 
 
 def _train_state_payload(params, opt_state, step: int, opt_key,
-                         extra_meta: Optional[dict]) -> Tuple[dict, dict]:
+                         extra_meta: Optional[dict],
+                         ema=None) -> Tuple[dict, dict]:
     arrays = {f"p_{i}": p for i, p in enumerate(params)}
     leaves = _tree_leaves(opt_state)
     arrays.update({f"o_{i}": l for i, l in enumerate(leaves)})
     meta = {"kind": "train_state", "step": int(step),
             "n_params": len(params), "n_opt_leaves": len(leaves)}
+    if ema is not None:
+        # Polyak-average leaves live in the SAME file as the params
+        # they average, so the pair is atomic by construction — a crash
+        # can never leave a .state newer than its EMA
+        arrays.update({f"e_{i}": l for i, l in enumerate(ema)})
+        meta["n_ema_leaves"] = len(ema)
     if opt_key is not None:
         # structural identity of the update rule (Optimizer.struct_key):
         # resuming under different hyperparameters would silently
@@ -217,30 +224,35 @@ def _train_state_payload(params, opt_state, step: int, opt_key,
 
 def save_train_state(path: str, params, opt_state, step: int,
                      extra_meta: Optional[dict] = None,
-                     opt_key=None) -> None:
+                     opt_key=None, ema=None) -> None:
     """Full training-state checkpoint: parameters AND optimizer state
     (momentum/adam moments) AND the global step — what exact resume
     needs (``fit(resume=True)``); ``save_network`` alone loses the
     optimizer moments.  ``opt_key`` (e.g. ``opt.struct_key()``) is
-    stored so resume can reject a changed optimizer/hyperparameters."""
+    stored so resume can reject a changed optimizer/hyperparameters.
+    ``ema`` (a leaf tuple matching ``params``) stores the Polyak
+    average in the same atomic write."""
     arrays, meta = _train_state_payload(params, opt_state, step, opt_key,
-                                        extra_meta)
+                                        extra_meta, ema=ema)
     save_arrays(path, arrays, meta)
 
 
 def save_train_state_async(path: str, params, opt_state, step: int,
                            extra_meta: Optional[dict] = None,
-                           opt_key=None):
+                           opt_key=None, ema=None):
     """``save_train_state`` with the file write off the training thread
     (leaves are fetched to host synchronously).  Returns a Future."""
     arrays, meta = _train_state_payload(params, opt_state, step, opt_key,
-                                        extra_meta)
+                                        extra_meta, ema=ema)
     return save_arrays_async(path, arrays, meta)
 
 
 def load_train_state(path: str, opt_state_template, opt_key=None,
-                     expect_meta: Optional[dict] = None):
-    """(params, opt_state, step) — opt_state leaves are restored into
+                     expect_meta: Optional[dict] = None,
+                     with_ema: bool = False):
+    """(params, opt_state, step) — or, ``with_ema=True``,
+    ``(params, opt_state, step, ema_or_None)`` (None when the saving
+    run kept no Polyak average) — opt_state leaves are restored into
     the structure of ``opt_state_template`` (from ``opt.init(params)``),
     so the optimizer type/hyperparams must match the saving run.  When
     both the checkpoint and the caller provide an ``opt_key``
@@ -280,7 +292,12 @@ def load_train_state(path: str, opt_state_template, opt_key=None,
             f"current optimizer expects {n_expected} — resume "
             f"with the same optimizer/hyperparameters")
     opt_state = _tree_unflatten(opt_state_template, iter(leaves))
-    return params, opt_state, int(meta["step"])
+    if not with_ema:
+        return params, opt_state, int(meta["step"])
+    n_e = meta.get("n_ema_leaves")
+    ema = (tuple(arrays[f"e_{i}"] for i in range(n_e))
+           if n_e is not None else None)
+    return params, opt_state, int(meta["step"]), ema
 
 
 def save_quantized(path: str, model, extra_meta: Optional[dict] = None) -> None:

@@ -239,14 +239,27 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
         n_local = _sharded(shp, tp_div)
         params_b += n_local * dtype_bytes
         grads_b += n_local * dtype_bytes
-        m_local = n_local
-        if shard_opt_state and dp > 1:
-            # zero1_shardings: first spec-free dp-divisible dim
-            for ax, s in enumerate(spec_l):
-                if s is None and shp[ax] % dp == 0:
-                    m_local //= dp
-                    break
-        moments_b += int(moment_b_per_elem * m_local)
+        if optimizer is not None and optimizer.name == "adam8bit":
+            # adam8bit state is FLAT (n_blocks, block) int8 codes plus
+            # (n_blocks, 1) scales per moment — built by raveling the
+            # FULL param (the blocks carry no model-axis sharding), so
+            # size from the whole param padded to blocks, and ZeRO
+            # divides on n_blocks % dp, not the param dims
+            blk = optimizer.hyper[3] if optimizer.hyper else 256
+            nb = -(-int(np.prod(shp, dtype=np.int64)) // blk)
+            m_bytes = 2 * (nb * blk + nb * dtype_bytes)  # codes+scales
+            if shard_opt_state and dp > 1 and nb % dp == 0:
+                m_bytes //= dp
+            moments_b += m_bytes
+        else:
+            m_local = n_local
+            if shard_opt_state and dp > 1:
+                # zero1_shardings: first spec-free dp-divisible dim
+                for ax, s in enumerate(spec_l):
+                    if s is None and shp[ax] % dp == 0:
+                        m_local //= dp
+                        break
+            moments_b += int(moment_b_per_elem * m_local)
     # bf16 compute copies: params cast to 2-byte bf16 inside the step
     compute_b = (params_b // dtype_bytes) * 2 if mixed_precision else 0
     in_elems = int(np.prod(net.op.in_stack[0], dtype=np.int64))

@@ -150,10 +150,23 @@ def test_adam8bit_memory_accounting(jb):
     n_param = sum(int(np.prod(p.shape)) for p in net.params)
     foot = moment_footprint(adam8bit(block=256), bytes_per)
     assert foot == 2 * (1 + bytes_per / 256)
-    r8 = training_memory_report(net, optimizer=adam8bit(), batch_size=32)
+    # the report is EXACT for adam8bit: codes + scales, each leaf
+    # padded up to whole blocks — so on a TINY net the default block
+    # size honestly reports MORE than f32 adam (padding dominates),
+    # while a block matched to the leaves wins
+    blk = 32
+    r8 = training_memory_report(net, optimizer=adam8bit(block=blk),
+                                batch_size=32)
     rf = training_memory_report(net, optimizer=adam(), batch_size=32)
+    want = sum(2 * (-(-int(np.prod(p.shape)) // blk) * (blk + bytes_per))
+               for p in net.params)
+    assert r8["per_device"]["optimizer_bytes"] == want
     assert (r8["per_device"]["optimizer_bytes"]
-            < rf["per_device"]["optimizer_bytes"] / (bytes_per / 1.5))
+            < rf["per_device"]["optimizer_bytes"])
+    r256 = training_memory_report(net, optimizer=adam8bit(),
+                                  batch_size=32)
+    assert (r256["per_device"]["optimizer_bytes"]
+            > rf["per_device"]["optimizer_bytes"])  # padding, honestly
 
     from tensor_ops_tpu.parallel.plan import plan_meshes
 

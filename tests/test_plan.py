@@ -48,13 +48,30 @@ def test_plan_enumerates_and_ranks(jb):
 
 
 def test_plan_flags_idle_tp_and_batch_misfit(jb):
-    # odd widths: tp=2 cannot row-shard every segment -> flagged idle
-    odd = gen_net(jb, 16, 5, [(9, act_logistic())], act_softmax(),
+    # ALL-odd dims: no weight has a tp=2-divisible dim anywhere ->
+    # idle under both the pipeline row rule and param_specs' either-dim
+    # rule
+    odd = gen_net(jb, 15, 5, [(9, act_logistic())], act_softmax(),
                   Rng(jb, seed=1))
     plans = plan_meshes(odd, 4, batch_size=64)
     tp2 = [p for p in plans if p["mesh_shape"]["model"] == 2]
     assert tp2 and all(not p["tp_engaged"] for p in tp2)
     assert all(any("tp_idle" in n for n in p["notes"]) for p in tp2)
+
+    # pp==1 follows param_specs' EITHER-dim rule: the flagship's
+    # (10, 100) head column-shards under tp=4, so (2, 1, 4) is fully
+    # engaged — while any pipeline config at tp=4 is idle (the row
+    # rule needs o % 4 == 0 on every segment, and o=10 fails)
+    flag = _flagship(jb)
+    pf = plan_meshes(flag, 8, batch_size=4096)
+    dp_tp = next(p for p in pf
+                 if tuple(p["mesh_shape"].values()) == (2, 1, 4))
+    assert dp_tp["tp_engaged"]
+    assert not any("tp_idle" in n or "tp_partial" in n
+                   for n in dp_tp["notes"])
+    pp_tp = [p for p in pf if p["mesh_shape"]["stage"] > 1
+             and p["mesh_shape"]["model"] == 4]
+    assert pp_tp and all(not p["tp_engaged"] for p in pp_tp)
     # engaged tp divides the per-device FLOPs; idle tp must NOT
     even = gen_net(jb, 16, 4, [(8, act_logistic())], act_softmax(),
                    Rng(jb, seed=2))

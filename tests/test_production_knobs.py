@@ -107,15 +107,21 @@ def test_ema_matches_manual_recurrence(jb):
 
 
 def test_ema_resume_exact(jb, tmp_path):
-    """A crash/resume chain reproduces the uninterrupted EMA exactly
-    (the .ema sibling checkpoint round-trips)."""
+    """A crash/resume chain reproduces the uninterrupted EMA exactly.
+    The EMA lives INSIDE the .state file — atomic with the params it
+    averages, so a crash can never tear the pair."""
+    from tensor_ops_tpu.utils.checkpoint import load_train_state
+
     X, Y, _ = _task(n=128)
     ck = str(tmp_path / "ema.npz")
     kw = dict(batch_size=32, lr=0.05, optimizer=adam(), ema_decay=0.95,
               verbose=False, prefetch=0, log_every=1)
     fit(_net(jb, seed=3), cross_entropy(2), jb, X, Y, epochs=1,
         checkpoint_path=ck, checkpoint_every=2, **kw)
-    assert os.path.exists(ck + ".ema")
+    assert not os.path.exists(ck + ".ema")  # no tearable sibling file
+    tmpl = adam().init(tuple(_net(jb, seed=3).params))
+    _, _, _, ema = load_train_state(ck + ".state", tmpl, with_ema=True)
+    assert ema is not None and len(ema) == 4  # w0, b0, w1, b1
     resumed = fit(_net(jb, seed=3), cross_entropy(2), jb, X, Y, epochs=2,
                   checkpoint_path=ck, checkpoint_every=2, resume=True,
                   **kw)
@@ -124,6 +130,27 @@ def test_ema_resume_exact(jb, tmp_path):
     for a, b in zip(resumed.ema_net.params, straight.ema_net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-9, rtol=0)
+
+
+def test_ema_resume_from_non_ema_checkpoint_warns(jb, tmp_path):
+    """Resuming a checkpoint saved WITHOUT ema_decay under a run WITH
+    it restarts the average from the restored params — loudly, never
+    silently."""
+    import warnings
+
+    X, Y, _ = _task(n=128)
+    ck = str(tmp_path / "noe.npz")
+    kw = dict(batch_size=32, lr=0.05, optimizer=adam(),
+              verbose=False, prefetch=0, log_every=1)
+    fit(_net(jb, seed=8), cross_entropy(2), jb, X, Y, epochs=1,
+        checkpoint_path=ck, checkpoint_every=2, **kw)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = fit(_net(jb, seed=8), cross_entropy(2), jb, X, Y, epochs=2,
+                  checkpoint_path=ck, checkpoint_every=2, resume=True,
+                  ema_decay=0.95, **kw)
+    assert any("carries no EMA" in str(x.message) for x in w)
+    assert res.ema_net is not None
 
 
 def test_ema_sequences(jb):
