@@ -408,6 +408,7 @@ def fit(
     shard_opt_state: bool = False,
     ema_decay: Optional[float] = None,
     early_stop_patience: int = 0,
+    val_metric: str = "accuracy",
     mesh=None,
     pipeline_microbatches: int = 4,
     pipeline_schedule: str = "gpipe",
@@ -464,9 +465,12 @@ def fit(
     (a resumed chain equals the uninterrupted EMA exactly; resuming a
     non-EMA checkpoint with ``ema_decay`` set warns and restarts the
     average from the restored params).  ``early_stop_patience=k``
-    stops training once the validation accuracy (``val=``, evaluated
+    stops training once the validation metric (``val=``, evaluated
     every ``log_every`` steps) has not improved for k consecutive
-    evaluations.
+    evaluations; ``val_metric`` picks it — ``"accuracy"`` (default,
+    ``val=(Xv, class labels)``) or ``"loss"`` (``val=(Xv, targets)``
+    through the training loss — the regression/reconstruction case
+    where argmax accuracy is meaningless).
 
     ``mesh`` (jax only) trains multi-chip: params are placed with
     Megatron-style ``model``-axis shardings, each batch is placed over the
@@ -508,8 +512,14 @@ def fit(
         raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
     if early_stop_patience and val is None:
         raise ValueError(
-            "early_stop_patience watches the validation accuracy — pass "
-            "val=(Xv, labels) (evaluated every log_every steps)")
+            "early_stop_patience watches the validation metric — pass "
+            "val=(Xv, labels_or_targets) (evaluated every log_every "
+            "steps)")
+    if val_metric not in ("accuracy", "loss"):
+        raise ValueError(
+            f"val_metric must be 'accuracy' (val=(Xv, class labels)) or "
+            f"'loss' (val=(Xv, targets) through the training loss — for "
+            f"regression/reconstruction objectives), got {val_metric!r}")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1 and batch_size % accum_steps != 0:
@@ -829,7 +839,7 @@ def fit(
 
     logger = MetricsLogger(metrics_path)
     saves = _CheckpointWrites()
-    best_val, evals_since_best = -1.0, 0
+    best_val, evals_since_best = float("-inf"), 0
     # the Ctrl-C handler reads ONLY this snapshot: it is replaced by a
     # single assignment after the whole (params, opt_state, ema, step)
     # update, so an interrupt landing mid-update can never checkpoint
@@ -874,15 +884,23 @@ def fit(
             if step % log_every == 0 or step == first_step_of_run:
                 rec = {"epoch": epoch, "loss": float(v)}
                 if val is not None:
-                    from .training import accuracy
-
                     cur = _as_network(params)
-                    rec["val_acc"] = accuracy(
-                        cur, be, be.asarray(val[0]), np.asarray(val[1])
-                    )
+                    if val_metric == "accuracy":
+                        from .training import accuracy
+
+                        rec["val_acc"] = accuracy(
+                            cur, be, be.asarray(val[0]),
+                            np.asarray(val[1]))
+                        score = rec["val_acc"]
+                    else:
+                        from .training import batch_loss
+
+                        rec["val_loss"] = batch_loss(
+                            cur, loss, be, val[0], val[1])
+                        score = -rec["val_loss"]
                     if early_stop_patience:
-                        if rec["val_acc"] > best_val + 1e-12:
-                            best_val, evals_since_best = rec["val_acc"], 0
+                        if score > best_val + 1e-12:
+                            best_val, evals_since_best = score, 0
                         else:
                             evals_since_best += 1
                             stop_early = (evals_since_best
@@ -892,6 +910,8 @@ def fit(
                     msg = f"[epoch {epoch}] step {step}: loss {float(v):.4f}"
                     if "val_acc" in rec:
                         msg += f"  val_acc {rec['val_acc']:.3f}"
+                    if "val_loss" in rec:
+                        msg += f"  val_loss {rec['val_loss']:.4f}"
                     print(msg)
             if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
                 from ..utils.checkpoint import (save_network_async,
@@ -926,9 +946,13 @@ def fit(
                             extra_meta={"layout": layout}))
             if stop_early:
                 if verbose:
-                    print(f"early stop at step {step}: val_acc has not "
+                    name = ("val_acc" if val_metric == "accuracy"
+                            else "val_loss")
+                    shown = (best_val if val_metric == "accuracy"
+                             else -best_val)
+                    print(f"early stop at step {step}: {name} has not "
                           f"improved over {early_stop_patience} "
-                          f"evaluations (best {best_val:.3f})")
+                          f"evaluations (best {shown:.4f})")
                 break
     except KeyboardInterrupt:
         # the reference's training UX is "recurse until Ctrl-C"

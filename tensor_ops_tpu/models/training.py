@@ -170,6 +170,38 @@ def accuracy(net: Network, be: Backend, xb: Any, yb_idx: Any) -> float:
     return float((preds == np.asarray(yb_idx)).mean())
 
 
+def batch_loss(net: Network, loss: TOp, be: Backend, xb: Any,
+               yb: Any) -> float:
+    """Mean loss over a batch — the value-only evaluation ``fit`` uses
+    for ``val=`` on regression/reconstruction objectives, where argmax
+    accuracy is meaningless."""
+    key = ("bloss", loss.struct_key()) + be.cache_key()
+
+    def build():
+        composed = net._loss_op(loss)
+        if be.name == "jax":
+            import jax
+            import jax.numpy as jnp
+
+            def single(x, y, *params):
+                return composed.apply(be, (x,) + params + (y,))[0]
+
+            vm = jax.jit(jax.vmap(
+                single, in_axes=(0, 0) + (None,) * len(net.params)))
+            return lambda xb, yb, *ps: jnp.mean(vm(xb, yb, *ps))
+
+        def loop(xb, yb, *params):
+            return float(np.mean([
+                composed.apply(be, (x,) + tuple(params) + (y,))[0]
+                for x, y in zip(xb, yb)]))
+
+        return loop
+
+    fn = _cache(net, key, build)
+    return float(np.asarray(fn(be.asarray(xb), be.asarray(yb),
+                               *net.params)))
+
+
 def confusion(net: Network, be: Backend, xb: Any, yb_idx: Any, n_classes: int) -> np.ndarray:
     """Confusion matrix ``count[predicted, actual]`` (the ``confusion``
     fold, ``app/MNIST.hs:379-389``)."""

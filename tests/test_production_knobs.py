@@ -208,3 +208,45 @@ def test_early_stopping_keeps_improving_runs(jb):
               val=(X, labels), early_stop_patience=12,
               verbose=False, prefetch=0, log_every=1)
     assert res.steps == 12
+
+
+def test_val_loss_metric_and_early_stop(jb):
+    """val_metric='loss' evaluates the TRAINING loss on (Xv, targets) —
+    the regression/reconstruction validation accuracy can't express —
+    logs val_loss, and drives early stopping (lr=0 never improves ->
+    stop after 1 + patience evaluations)."""
+    from tensor_ops_tpu.models import squared_error
+
+    r = np.random.default_rng(9)
+    X = r.uniform(0, 1, size=(64, 8))
+    Y = r.uniform(0, 1, size=(64, 8))
+    net = gen_net(jb, 8, 8, [(8, act_logistic())], act_logistic(),
+                  Rng(jb, seed=10))
+    res = fit(net, squared_error(8), jb, X, Y, epochs=20, batch_size=32,
+              lr=0.0, optimizer=adam(), val=(X, Y), val_metric="loss",
+              early_stop_patience=2, verbose=False, prefetch=0,
+              log_every=1)
+    assert res.steps == 3, res.steps  # eval 1 best, evals 2-3 stall
+    assert all("val_loss" in h for h in res.history)
+    assert np.isfinite(res.history[0]["val_loss"])
+
+    with pytest.raises(ValueError, match="val_metric"):
+        fit(net, squared_error(8), jb, X, Y, epochs=1,
+            val=(X, Y), val_metric="f1", verbose=False, prefetch=0)
+
+
+def test_batch_loss_matches_training_loss(jb):
+    """training.batch_loss == the mean of per-sample loss_value."""
+    from tensor_ops_tpu.models import squared_error
+    from tensor_ops_tpu.models.training import batch_loss
+
+    r = np.random.default_rng(11)
+    X = r.uniform(0, 1, size=(8, 4))
+    Y = r.uniform(0, 1, size=(8, 4))
+    net = gen_net(jb, 4, 4, [(6, act_logistic())], act_logistic(),
+                  Rng(jb, seed=12))
+    loss = squared_error(4)
+    got = batch_loss(net, loss, jb, X, Y)
+    want = np.mean([float(np.asarray(net.loss_value(
+        loss, jb, jb.asarray(x), jb.asarray(y)))) for x, y in zip(X, Y)])
+    assert abs(got - want) < 1e-9
