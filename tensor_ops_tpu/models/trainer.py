@@ -409,6 +409,7 @@ def fit(
     ema_decay: Optional[float] = None,
     early_stop_patience: int = 0,
     val_metric: str = "accuracy",
+    profile_dir: Optional[str] = None,
     mesh=None,
     pipeline_microbatches: int = 4,
     pipeline_schedule: str = "gpipe",
@@ -470,7 +471,11 @@ def fit(
     evaluations; ``val_metric`` picks it — ``"accuracy"`` (default,
     ``val=(Xv, class labels)``) or ``"loss"`` (``val=(Xv, targets)``
     through the training loss — the regression/reconstruction case
-    where argmax accuracy is meaningless).
+    where argmax accuracy is meaningless).  ``profile_dir`` captures a
+    ``jax.profiler`` device trace of steady-state steps 2-5 of this run
+    (past the compile, short enough to view) into that directory for
+    TensorBoard/xprof — profiling the REAL production step, shardings
+    and all, instead of a reconstruction.
 
     ``mesh`` (jax only) trains multi-chip: params are placed with
     Megatron-style ``model``-axis shardings, each batch is placed over the
@@ -846,8 +851,22 @@ def fit(
     # new params under the old step (which would replay a batch on
     # resume)
     snap = (params, opt_state, ema_params, step)
+    # profile_dir: trace steps 2-5 OF THIS RUN (relative — past step
+    # 1's compile), stopped in the finally for short/interrupted runs
+    prof_stop = (step + 5) if profile_dir and be.name == "jax" else None
+    prof_on = False
     try:
         while step < total_steps:
+            if prof_stop is not None:
+                import jax
+
+                if not prof_on and step == prof_stop - 4:
+                    jax.profiler.start_trace(profile_dir)
+                    prof_on = True
+                elif prof_on and step >= prof_stop:
+                    jax.profiler.stop_trace()
+                    prof_on = False
+                    prof_stop = None
             epoch = step // steps_per_epoch
             cur_lr = lr_schedule(step) if lr_schedule is not None else lr
             if source is not None:
@@ -977,6 +996,10 @@ def fit(
                       f"continues exactly here")
         raise
     finally:
+        if prof_on:
+            import jax
+
+            jax.profiler.stop_trace()
         save_err = saves.join()
         loader.close()
         logger.close()

@@ -250,3 +250,31 @@ def test_batch_loss_matches_training_loss(jb):
     want = np.mean([float(np.asarray(net.loss_value(
         loss, jb, jb.asarray(x), jb.asarray(y)))) for x, y in zip(X, Y)])
     assert abs(got - want) < 1e-9
+
+
+def test_profile_dir_captures_trace(jb, tmp_path):
+    """fit(profile_dir=...) writes a jax.profiler trace of steady-state
+    steps and training proceeds normally (trace stopped even on short
+    runs)."""
+    X, Y, _ = _task(n=64)
+    pd = str(tmp_path / "trace")
+    res = fit(_net(jb, seed=13), cross_entropy(2), jb, X, Y, epochs=2,
+              batch_size=32, lr=0.05, optimizer=adam(), profile_dir=pd,
+              verbose=False, prefetch=0, log_every=1)
+    assert res.steps == 4
+    import glob
+
+    assert glob.glob(os.path.join(pd, "**", "*.xplane.pb"),
+                     recursive=True), "no trace written"
+
+    # a run SHORTER than the trace window still stops the trace cleanly
+    pd2 = str(tmp_path / "trace2")
+    res2 = fit(_net(jb, seed=13), cross_entropy(2), jb, X, Y, epochs=1,
+               batch_size=64, lr=0.05, profile_dir=pd2,
+               verbose=False, prefetch=0, log_every=1)
+    assert res2.steps == 1
+    # starting a new trace would raise if the previous were left open
+    from tensor_ops_tpu.utils.profiling import device_trace
+
+    with device_trace(str(tmp_path / "trace3")):
+        pass
