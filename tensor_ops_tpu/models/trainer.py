@@ -853,18 +853,20 @@ def fit(
     snap = (params, opt_state, ema_params, step)
     # profile_dir: trace steps 2-5 OF THIS RUN (relative — past step
     # 1's compile), stopped in the finally for short/interrupted runs
-    prof_stop = (step + 5) if profile_dir and be.name == "jax" else None
+    prof_stop = None
     prof_on = False
+    if profile_dir and be.name == "jax":
+        import jax.profiler as _jprof
+
+        prof_stop = step + 5
     try:
         while step < total_steps:
             if prof_stop is not None:
-                import jax
-
                 if not prof_on and step == prof_stop - 4:
-                    jax.profiler.start_trace(profile_dir)
+                    _jprof.start_trace(profile_dir)
                     prof_on = True
                 elif prof_on and step >= prof_stop:
-                    jax.profiler.stop_trace()
+                    _jprof.stop_trace()
                     prof_on = False
                     prof_stop = None
             epoch = step // steps_per_epoch
@@ -997,9 +999,7 @@ def fit(
         raise
     finally:
         if prof_on:
-            import jax
-
-            jax.profiler.stop_trace()
+            _jprof.stop_trace()
         save_err = saves.join()
         loader.close()
         logger.close()
