@@ -1256,6 +1256,8 @@ def fit_sequences(
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
     ema_decay: Optional[float] = None,
+    val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    early_stop_patience: int = 0,
     remat_every=None,
     mesh=None,
     seed: int = 0,
@@ -1313,7 +1315,10 @@ def fit_sequences(
     optimizer moments over the ``data`` axis (requires ``optimizer=``
     and a mesh); ``ema_decay`` keeps a Polyak/EMA copy of states+params
     (``FitSeqResult.ema_net``, stored inside the ``.state`` checkpoint,
-    exact across resume) — the same surface as ``fit``."""
+    exact across resume); ``val=(XSv, TSv)`` logs the held-out mean
+    sequence loss (``val_loss``) every ``log_every`` steps and
+    ``early_stop_patience=k`` halts once it stops improving for k
+    consecutive evaluations — the same surface as ``fit``."""
     from ..utils.checkpoint import (load_train_state, save_recurrent_async,
                                     save_train_state_async)
     from .recurrent import RecurrentNetwork
@@ -1331,6 +1336,10 @@ def fit_sequences(
             "SGD is stateless; pass optimizer=adam() (or momentum())")
     if ema_decay is not None and not (0.0 < ema_decay < 1.0):
         raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+    if early_stop_patience and val is None:
+        raise ValueError(
+            "early_stop_patience watches the held-out sequence loss — "
+            "pass val=(XSv, TSv) (evaluated every log_every steps)")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if accum_steps > 1:
@@ -1485,6 +1494,7 @@ def fit_sequences(
     history = []
     saves = _CheckpointWrites()
     snap = (net, opt_state, ema_leaves, step)
+    best_val, evals_since_best = float("-inf"), 0
     try:
         while step < total_steps:
             epoch = step // steps_per_epoch
@@ -1534,12 +1544,29 @@ def fit_sequences(
             snap = (new_net, new_opt, new_ema, step + 1)
             net, opt_state, ema_leaves = new_net, new_opt, new_ema
             step += 1
+            stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
                 v = float(np.asarray(v))
-                history.append(logger.log(step, epoch=epoch, loss=v))
+                rec = {"epoch": epoch, "loss": v}
+                if val is not None:
+                    from .training import seq_batch_loss
+
+                    rec["val_loss"] = seq_batch_loss(net, loss, be,
+                                                     val[0], val[1])
+                    if early_stop_patience:
+                        if -rec["val_loss"] > best_val + 1e-12:
+                            best_val = -rec["val_loss"]
+                            evals_since_best = 0
+                        else:
+                            evals_since_best += 1
+                            stop_early = (evals_since_best
+                                          >= early_stop_patience)
+                history.append(logger.log(step, **rec))
                 if verbose:
-                    print(f"[epoch {epoch}] step {step}: "
-                          f"seq loss {v:.4f}")
+                    msg = f"[epoch {epoch}] step {step}: seq loss {v:.4f}"
+                    if "val_loss" in rec:
+                        msg += f"  val_loss {rec['val_loss']:.4f}"
+                    print(msg)
             if checkpoint_path and checkpoint_every and \
                     step % checkpoint_every == 0:
                 if n_proc > 1:
@@ -1566,6 +1593,12 @@ def fit_sequences(
                             tuple(net.states) + tuple(net.params),
                             opt_state if opt is not None else (), step,
                             opt_key=opt_key, ema=ema_leaves))
+            if stop_early:
+                if verbose:
+                    print(f"early stop at step {step}: val_loss has not "
+                          f"improved over {early_stop_patience} "
+                          f"evaluations (best {-best_val:.4f})")
+                break
     except KeyboardInterrupt:
         # Ctrl-C leaves an exact-resume artifact (same semantics as
         # fit's handler; single-process only — the multi-host gather is

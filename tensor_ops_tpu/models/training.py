@@ -202,6 +202,41 @@ def batch_loss(net: Network, loss: TOp, be: Backend, xb: Any,
                                *net.params)))
 
 
+def seq_batch_loss(rnet, loss: TOp, be: Backend, XS: Any,
+                   TS: Any) -> float:
+    """Mean scan-BPTT sequence loss over ``(N, n, *in)`` sequences —
+    the value-only evaluation ``fit_sequences`` uses for ``val=``
+    (``rnet`` is any RecurrentNetwork-shaped object: ``._seq_graph``,
+    ``.states``, ``.params``, ``.op``)."""
+    n = int(np.asarray(XS).shape[1])
+    key = ("sbloss", loss.struct_key(), n) + be.cache_key()
+
+    def build():
+        g = rnet._seq_graph(loss, n)
+        nsp = len(rnet.states) + len(rnet.params)
+        if be.name == "jax":
+            import jax
+            import jax.numpy as jnp
+
+            def single(xs, ts, *sp):
+                return g.apply(be, (xs,) + sp + (ts,))[0]
+
+            vm = jax.jit(jax.vmap(
+                single, in_axes=(0, 0) + (None,) * nsp))
+            return lambda X, T, *sp: jnp.mean(vm(X, T, *sp))
+
+        def loop(X, T, *sp):
+            return float(np.mean([
+                g.apply(be, (xs,) + tuple(sp) + (ts,))[0]
+                for xs, ts in zip(X, T)]))
+
+        return loop
+
+    fn = _cache(rnet, key, build)
+    return float(np.asarray(fn(be.asarray(XS), be.asarray(TS),
+                               *rnet.states, *rnet.params)))
+
+
 def confusion(net: Network, be: Backend, xb: Any, yb_idx: Any, n_classes: int) -> np.ndarray:
     """Confusion matrix ``count[predicted, actual]`` (the ``confusion``
     fold, ``app/MNIST.hs:379-389``)."""

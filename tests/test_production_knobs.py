@@ -278,3 +278,50 @@ def test_profile_dir_captures_trace(jb, tmp_path):
 
     with device_trace(str(tmp_path / "trace3")):
         pass
+
+
+def test_fit_sequences_val_and_early_stop(jb):
+    """fit_sequences(val=(XSv, TSv)) logs the held-out sequence loss
+    and early_stop_patience halts a non-improving (lr=0-equivalent)
+    run after 1 + patience evaluations — the same surface as fit."""
+    from tensor_ops_tpu.models import squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    t = np.linspace(0, 1, 10)
+    r = np.random.default_rng(14)
+    waves = np.sin(2 * np.pi * t[None, :]
+                   + r.uniform(0, np.pi, size=(48, 1)))
+    XS, TS = waves[:32, :-1, None], waves[:32, 1:, None]
+    XSv, TSv = waves[32:, :-1, None], waves[32:, 1:, None]
+
+    def net():
+        return gen_rnet(jb, 1, 1, [(6, act_logistic(), act_logistic())],
+                        act_logistic(), None, Rng(jb, seed=15))
+
+    res = fit_sequences(net(), squared_error(1), jb, XS, TS, epochs=2,
+                        batch_size=16, rate_param=0.05, rate_state=0.01,
+                        val=(XSv, TSv), verbose=False, prefetch=0,
+                        log_every=1)
+    assert all("val_loss" in h and np.isfinite(h["val_loss"])
+               for h in res.history)
+
+    stalled = fit_sequences(net(), squared_error(1), jb, XS, TS,
+                            epochs=20, batch_size=16, rate_param=0.0,
+                            rate_state=0.0, val=(XSv, TSv),
+                            early_stop_patience=2, verbose=False,
+                            prefetch=0, log_every=1)
+    assert stalled.steps == 3, stalled.steps
+
+    with pytest.raises(ValueError, match="early_stop_patience"):
+        fit_sequences(net(), squared_error(1), jb, XS, TS, epochs=1,
+                      early_stop_patience=2, verbose=False, prefetch=0)
+
+    # seq_batch_loss == the mean of per-sequence seq_loss
+    from tensor_ops_tpu.models.training import seq_batch_loss
+
+    n0 = net()
+    got = seq_batch_loss(n0, squared_error(1), jb, XSv, TSv)
+    want = np.mean([float(np.asarray(n0.seq_loss(
+        squared_error(1), jb, jb.asarray(xs), jb.asarray(ts))))
+        for xs, ts in zip(XSv, TSv)])
+    assert abs(got - want) < 1e-9
