@@ -324,4 +324,7 @@ def test_fit_sequences_val_and_early_stop(jb):
     want = np.mean([float(np.asarray(n0.seq_loss(
         squared_error(1), jb, jb.asarray(xs), jb.asarray(ts))))
         for xs, ts in zip(XSv, TSv)])
-    assert abs(got - want) < 1e-9
+    # 1e-6 (not 1e-9): the vmapped and per-sequence paths are different
+    # XLA programs, and the TPU's software-emulated f64 differs between
+    # them at ~1e-8 relative (TESTING.md gotchas); CPU stays ~1e-16
+    assert abs(got - want) < 1e-6
