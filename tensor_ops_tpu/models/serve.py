@@ -123,12 +123,7 @@ class Predictor:
 
     def warmup(self) -> None:
         """Compile every bucket ahead of serving."""
-        if isinstance(self.model, QuantizedMLP):
-            i = self.model.wqs[0].shape[1]
-        elif isinstance(self.model, FusedMLP):
-            i = self.model.weights[0].shape[1]
-        else:
-            i = self.model.in_shape[0]
+        i = self._in_width()
         for b in self.buckets:
             x = np.zeros((b, i), dtype=np.float32)
             np.asarray(self._forward(self._as(x)))
@@ -162,6 +157,36 @@ class Predictor:
 
     def latency(self) -> dict:
         return self.timer.summary()
+
+    def reload(self, model, dtype: Optional[str] = None) -> None:
+        """Zero-downtime model swap (the rolling-update primitive): the
+        replacement's forward is built and WARMED for every bucket
+        BEFORE the switch — blue/green inside the process, so no
+        request ever waits on a compile — then the serving attributes
+        swap.  The replacement must serve the same interface (same
+        input width); kind may change (e.g. a FusedMLP replaced by its
+        int8 QuantizedMLP).  Latency stats continue across the swap."""
+        new = Predictor(model, be=self.be, buckets=self.buckets,
+                        use_fused_kernel=self.use_fused_kernel,
+                        xla_threshold=self.xla_threshold, dtype=dtype)
+        old_i = self._in_width()
+        new_i = new._in_width()
+        if new_i != old_i:
+            raise ValueError(
+                f"reload would change the serving interface: current "
+                f"model takes {old_i}-wide inputs, replacement takes "
+                f"{new_i} — deploy a new Predictor instead")
+        new.warmup()  # compile every bucket before anyone sees it
+        self.model = new.model
+        self._q_uniform = new._q_uniform
+        self._sharded = new._sharded
+
+    def _in_width(self) -> int:
+        if isinstance(self.model, QuantizedMLP):
+            return self.model.wqs[0].shape[1]
+        if isinstance(self.model, FusedMLP):
+            return self.model.weights[0].shape[1]
+        return self.model.in_shape[0]
 
 
 class SequencePredictor:

@@ -320,3 +320,43 @@ def test_serve_cli_recurrent_checkpoint(tmp_path, jb):
                         "--seq-len", "6"])
     line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
     assert _json.loads(line)["latency"]["n"] >= 5
+
+
+def test_predictor_reload_hot_swaps(jb):
+    """Predictor.reload: the rolling-update primitive — the replacement
+    is warmed for every bucket before the swap, predictions change to
+    the new model's, interface changes are rejected, and latency stats
+    continue across the swap."""
+    import pytest
+
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+
+    rng = Rng(jb, seed=0)
+    net_a = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(), rng)
+    net_b = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=99))
+    x = np.random.default_rng(1).uniform(0, 1, size=(5, 4))
+
+    pred = Predictor(FusedMLP.from_network(net_a), buckets=(2, 8))
+    pred.warmup()
+    out_a = pred.predict(x)
+    n_before = pred.latency()["n"]
+
+    pred.reload(FusedMLP.from_network(net_b))
+    out_b = pred.predict(x)
+    assert not np.allclose(out_a, out_b)
+    np.testing.assert_allclose(
+        out_b, Predictor(FusedMLP.from_network(net_b),
+                         buckets=(2, 8)).predict(x), atol=1e-5)
+    assert pred.latency()["n"] == n_before + 1  # stats continue
+
+    # kind may change: swap in the int8 quantization of the same net
+    pred.reload(QuantizedMLP.from_fused(FusedMLP.from_network(net_b)))
+    out_q = pred.predict(x)
+    assert np.argmax(out_q, axis=1).shape == (5,)
+
+    # interface changes are rejected (different input width)
+    wide = gen_net(jb, 6, 3, [(8, act_logistic())], act_softmax(),
+                   Rng(jb, seed=7))
+    with pytest.raises(ValueError, match="serving interface"):
+        pred.reload(FusedMLP.from_network(wide))
