@@ -37,6 +37,7 @@ def _run(script, timeout=600):
     ("autoencoder_digits.py", "reconstruction loss"),
     ("recurrent_sine.py", "predictions"),
     ("pipeline_parallel.py", "loss"),
+    ("plan_and_budget.py", "analytic winner"),
 ])
 def test_example_runs(script, expect):
     out = _run(script)
