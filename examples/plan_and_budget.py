@@ -39,6 +39,17 @@ from tensor_ops_tpu.utils.profiling import training_memory_report
 def main():
     import jax
 
+    if len(jax.devices()) < 8:
+        # self-provision a virtual 8-device CPU mesh when launched bare
+        # (same pattern as examples/pipeline_parallel.py)
+        try:
+            import jax._src.xla_bridge as _xb
+
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+            _xb._clear_backends()
+        except Exception:
+            pass
     n_dev = len(jax.devices())
     be = T.JaxBackend()
     # the reference's flagship shape (MNIST.hs:89-104)
@@ -54,12 +65,20 @@ def main():
     best = plans[0]["mesh_shape"]
     print(f"\nanalytic winner: (dp={best['data']}, pp={best['stage']}, "
           f"tp={best['model']})")
+    if best["stage"] > 1:
+        # training_memory_report models dp/tp placements; a pipeline
+        # winner's per-stage budget is in the plan table above — the
+        # budget/step demo below uses the best non-pipeline config
+        best = next(p["mesh_shape"] for p in plans
+                    if p["mesh_shape"]["stage"] == 1)
+        print(f"(pipeline winner: per-stage budget in the table; "
+              f"demoing the best pp==1 config "
+              f"(dp={best['data']}, tp={best['model']}) below)")
 
     print("\n== training-state budget for the winner, per optimizer ==")
     from tensor_ops_tpu.parallel.mesh import make_mesh
 
-    mesh = (make_mesh(n_dev, shape=(best["data"], best["model"]))
-            if best["stage"] == 1 else None)
+    mesh = make_mesh(n_dev, shape=(best["data"], best["model"]))
     for name, opt in (("adam", adam()), ("adam8bit", adam8bit())):
         for zero in (False, True):
             r = training_memory_report(
@@ -70,17 +89,26 @@ def main():
                   f"moments {r['optimizer_bytes'] / 1e6:6.2f} MB  "
                   f"total {r['training_state_total_bytes'] / 1e6:6.2f} MB")
 
-    if mesh is not None:
-        print("\n== one real step on the winner (fit prints the "
-              "budget line) ==")
-        r = np.random.default_rng(0)
-        X = r.uniform(0, 1, size=(batch, 784))
-        Y = np.eye(10)[r.integers(0, 10, size=batch)]
-        res = fit(net, cross_entropy(10), be, X, Y, epochs=1,
-                  batch_size=batch, lr=0.05, optimizer=adam(),
-                  mesh=mesh, shard_opt_state=True, prefetch=0,
-                  log_every=1, verbose=True)
-        print(f"step loss: {res.history[-1]['loss']:.4f}")
+    print("\n== XLA's compiled per-device bytes for the real forward ==")
+    from tensor_ops_tpu.models.training import batched_run
+    from tensor_ops_tpu.utils.profiling import memory_analysis
+
+    r = np.random.default_rng(0)
+    X = r.uniform(0, 1, size=(batch, 784))
+    fwd = batched_run(net, be)
+    ma = memory_analysis(fwd, be.asarray(X), *net.params)
+    print(f"  arguments {ma.get('argument_size_in_bytes', 0) / 1e6:.2f} "
+          f"MB  temp {ma.get('temp_size_in_bytes', 0) / 1e6:.2f} MB  "
+          f"total {ma['total_in_bytes'] / 1e6:.2f} MB")
+
+    print("\n== one real step on the winner (fit prints the "
+          "budget line) ==")
+    Y = np.eye(10)[r.integers(0, 10, size=batch)]
+    res = fit(net, cross_entropy(10), be, X, Y, epochs=1,
+              batch_size=batch, lr=0.05, optimizer=adam(),
+              mesh=mesh, shard_opt_state=True, prefetch=0,
+              log_every=1, verbose=True)
+    print(f"step loss: {res.history[-1]['loss']:.4f}")
 
 
 if __name__ == "__main__":

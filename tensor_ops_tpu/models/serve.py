@@ -81,45 +81,67 @@ class Predictor:
         # vs 4.9 us at batch 8); XLA's own GEMM+epilogue fusion wins from
         # batch ~64 up (1.8 vs 4.0 us at 64, 5.1 vs 6.6 us at 1024).
         # use_fused_kernel=False forces the per-layer pallas path.
-        self.model = model
-        self.be = be
         self.buckets = sorted(buckets)
         self.use_fused_kernel = use_fused_kernel
         self.xla_threshold = xla_threshold
+        self._dtype = dtype  # remembered so reload() keeps the knob
         self.timer = StepTimer()
         if isinstance(model, Network) and be is None:
             raise ValueError("Network predictor needs a backend")
-        self._q_uniform = False
+        q_uniform = False
         if isinstance(model, QuantizedMLP):
             N = model.wqs[0].shape[1]
-            self._q_uniform = (use_fused_kernel and N % 128 == 0
-                               and all(q.shape == (N, N) for q in model.wqs)
-                               and len(set(model.acts[:-1])) <= 1)
+            q_uniform = (use_fused_kernel and N % 128 == 0
+                         and all(q.shape == (N, N) for q in model.wqs)
+                         and len(set(model.acts[:-1])) <= 1)
         # a mesh-sharded FusedMLP (parallel.mesh.shard_fused) must stay on
         # the XLA path: the pallas kernels cannot consume sharded
         # operands, so routing them there would silently all-gather the
         # full weights per device — defeating the sharding's purpose
-        self._sharded = isinstance(model, FusedMLP) and any(
+        sharded = isinstance(model, FusedMLP) and any(
             _is_model_sharded(w) for w in model.weights)
+        # ONE attribute holds everything a request routes on (the
+        # backend included — a Network swapped in via reload(be=...)
+        # must arrive together with its backend), so a reload() swap is
+        # a single atomic assignment — a concurrent request can never
+        # see the new model with the old flags
+        self._serving = (model, q_uniform, sharded, be)
+
+    @property
+    def model(self):
+        return self._serving[0]
+
+    @property
+    def _q_uniform(self) -> bool:
+        return self._serving[1]
+
+    @property
+    def _sharded(self) -> bool:
+        return self._serving[2]
+
+    @property
+    def be(self) -> Optional[Backend]:
+        return self._serving[3]
 
     def _bucket(self, n: int) -> int:
         return _bucket_of(self.buckets, n)
 
     def _forward(self, xb):
-        if isinstance(self.model, QuantizedMLP):
-            if self._q_uniform:
-                return self.model.run_fused(xb)
-            return self.model.run(xb)
-        if isinstance(self.model, FusedMLP):
-            if self._sharded:
-                return self.model.run_xla(xb)
+        model, q_uniform, sharded, be = self._serving  # one consistent read
+        if isinstance(model, QuantizedMLP):
+            if q_uniform:
+                return model.run_fused(xb)
+            return model.run(xb)
+        if isinstance(model, FusedMLP):
+            if sharded:
+                return model.run_xla(xb)
             if not self.use_fused_kernel:
-                return self.model.run(xb)
+                return model.run(xb)
             if xb.shape[0] >= self.xla_threshold:
-                return self.model.run_xla(xb)
-            return self.model.run_fused_inference(xb)
-        fn = batched_run(self.model, self.be)
-        return fn(xb, *self.model.params)
+                return model.run_xla(xb)
+            return model.run_fused_inference(xb)
+        fn = batched_run(model, be)
+        return fn(xb, *model.params)
 
     def warmup(self) -> None:
         """Compile every bucket ahead of serving."""
@@ -158,28 +180,44 @@ class Predictor:
     def latency(self) -> dict:
         return self.timer.summary()
 
-    def reload(self, model, dtype: Optional[str] = None) -> None:
+    _KEEP = object()  # reload sentinel: inherit this predictor's knob
+
+    def reload(self, model, dtype=_KEEP, be: Optional[Backend] = None
+               ) -> None:
         """Zero-downtime model swap (the rolling-update primitive): the
         replacement's forward is built and WARMED for every bucket
         BEFORE the switch — blue/green inside the process, so no
-        request ever waits on a compile — then the serving attributes
-        swap.  The replacement must serve the same interface (same
-        input width); kind may change (e.g. a FusedMLP replaced by its
-        int8 QuantizedMLP).  Latency stats continue across the swap."""
-        new = Predictor(model, be=self.be, buckets=self.buckets,
+        request ever waits on a compile — then the serving state swaps
+        in ONE atomic assignment (a concurrent request sees wholly-old
+        or wholly-new, never a torn mix).  The replacement must serve
+        the same interface (input AND output widths); kind may change
+        (e.g. a FusedMLP replaced by its int8 QuantizedMLP, or a
+        Network — pass ``be=`` if this predictor has none).  ``dtype``
+        defaults to the knob this predictor was built with (a bf16
+        capacity deployment stays bf16 across reloads); pass None or
+        another value to change it.  Latency stats continue across the
+        swap."""
+        if dtype is Predictor._KEEP:
+            dtype = self._dtype
+        if isinstance(model, Network) and dtype is not None:
+            # a bf16-storage predictor may legitimately swap in a
+            # Network (backend-governed dtype); don't let the inherited
+            # knob trip the FusedMLP-only validation
+            dtype = None
+        new = Predictor(model, be=be or self.be, buckets=self.buckets,
                         use_fused_kernel=self.use_fused_kernel,
                         xla_threshold=self.xla_threshold, dtype=dtype)
-        old_i = self._in_width()
-        new_i = new._in_width()
-        if new_i != old_i:
-            raise ValueError(
-                f"reload would change the serving interface: current "
-                f"model takes {old_i}-wide inputs, replacement takes "
-                f"{new_i} — deploy a new Predictor instead")
+        for what, old_w, new_w in (
+                ("input", self._in_width(), new._in_width()),
+                ("output", self._out_width(), new._out_width())):
+            if old_w != new_w:
+                raise ValueError(
+                    f"reload would change the serving interface: "
+                    f"current model's {what} width is {old_w}, the "
+                    f"replacement's is {new_w} — deploy a new Predictor "
+                    f"instead")
         new.warmup()  # compile every bucket before anyone sees it
-        self.model = new.model
-        self._q_uniform = new._q_uniform
-        self._sharded = new._sharded
+        self._serving = new._serving  # the one atomic switch
 
     def _in_width(self) -> int:
         if isinstance(self.model, QuantizedMLP):
@@ -187,6 +225,13 @@ class Predictor:
         if isinstance(self.model, FusedMLP):
             return self.model.weights[0].shape[1]
         return self.model.in_shape[0]
+
+    def _out_width(self) -> int:
+        if isinstance(self.model, QuantizedMLP):
+            return self.model.wqs[-1].shape[0]
+        if isinstance(self.model, FusedMLP):
+            return self.model.weights[-1].shape[0]
+        return self.model.out_shape[0]
 
 
 class SequencePredictor:

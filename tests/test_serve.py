@@ -355,8 +355,37 @@ def test_predictor_reload_hot_swaps(jb):
     out_q = pred.predict(x)
     assert np.argmax(out_q, axis=1).shape == (5,)
 
-    # interface changes are rejected (different input width)
+    # interface changes are rejected (input AND output width)
     wide = gen_net(jb, 6, 3, [(8, act_logistic())], act_softmax(),
                    Rng(jb, seed=7))
-    with pytest.raises(ValueError, match="serving interface"):
+    with pytest.raises(ValueError, match="input width"):
         pred.reload(FusedMLP.from_network(wide))
+    tall = gen_net(jb, 4, 5, [(8, act_logistic())], act_softmax(),
+                   Rng(jb, seed=8))
+    with pytest.raises(ValueError, match="output width"):
+        pred.reload(FusedMLP.from_network(tall))
+
+    # kind may change to a Network when a backend is supplied
+    pred.reload(net_b, be=jb)
+    np.testing.assert_allclose(pred.predict(x), out_b, atol=1e-5)
+
+
+def test_predictor_reload_keeps_dtype_knob(jb):
+    """A bf16-storage deployment STAYS bf16 across reloads (the dtype
+    knob is remembered), and the swap is one atomic assignment
+    (_serving carries model + routing flags together)."""
+    import jax.numpy as jnp
+
+    rng = Rng(jb, seed=1)
+    net_a = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(), rng)
+    net_b = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=2))
+    pred = Predictor(FusedMLP.from_network(net_a), buckets=(4,),
+                     dtype="bf16")
+    assert pred.model.weights[0].dtype == jnp.bfloat16
+    pred.reload(FusedMLP.from_network(net_b))
+    assert pred.model.weights[0].dtype == jnp.bfloat16  # knob kept
+    pred.reload(FusedMLP.from_network(net_b), dtype=None)
+    assert pred.model.weights[0].dtype != jnp.bfloat16  # explicit reset
+    # (model, q_uniform, sharded, be) travel together — one assignment
+    assert isinstance(pred._serving, tuple) and len(pred._serving) == 4
