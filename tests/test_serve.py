@@ -365,9 +365,13 @@ def test_predictor_reload_hot_swaps(jb):
     with pytest.raises(ValueError, match="output width"):
         pred.reload(FusedMLP.from_network(tall))
 
-    # kind may change to a Network when a backend is supplied
+    # kind may change to a Network when a backend is supplied.
+    # 5e-3: the Network (staged-IR) and FusedMLP forwards are different
+    # XLA programs — on TPU at default matmul precision they differ by
+    # ~1e-3 (the documented device-parity bound); the assertion is that
+    # the swap took effect, not cross-path bit parity
     pred.reload(net_b, be=jb)
-    np.testing.assert_allclose(pred.predict(x), out_b, atol=1e-5)
+    np.testing.assert_allclose(pred.predict(x), out_b, atol=5e-3)
 
 
 def test_predictor_reload_keeps_dtype_knob(jb):
