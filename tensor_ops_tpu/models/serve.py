@@ -249,15 +249,25 @@ class SequencePredictor:
     exact agreement needs ``JaxBackend(precision="highest")``."""
 
     def __init__(self, rnet, be: Backend, buckets: Sequence[int] = (1, 8, 32)):
-        self.rnet = rnet
-        self.be = be
+        # one tuple, swapped atomically by reload() — a request racing a
+        # swap sees wholly-old or wholly-new (network, backend)
+        self._serving = (rnet, be)
         self.buckets = sorted(buckets)
         self.timer = StepTimer()
+        self._warmed: set = set()  # lengths warmup compiled (for reload)
+
+    @property
+    def rnet(self):
+        return self._serving[0]
+
+    @property
+    def be(self) -> Backend:
+        return self._serving[1]
 
     def _forward_fn(self, n: int):
         from .recurrent import seq_scan_op
 
-        rnet, be = self.rnet, self.be  # capture locals, not self: the
+        rnet, be = self._serving  # capture locals, not self: the
         # op._compiled cache must not pin predictors (nor their timers)
         k = len(rnet.states)
         key = ("serve_seq", n) + be.cache_key()
@@ -289,34 +299,62 @@ class SequencePredictor:
         first production request doesn't pay trace+compile inside the
         timed region (matches ``Predictor.warmup``; sequence length is
         part of the compiled program, so it must be supplied)."""
-        in_shape = tuple(self.rnet.in_shape)
+        rnet, be = self._serving
+        in_shape = tuple(rnet.in_shape)
         for n in lengths:
             fn = self._forward_fn(int(n))
             for b in self.buckets:
-                x = self.be.asarray(
+                x = be.asarray(
                     np.zeros((b, int(n)) + in_shape, np.float32))
-                np.asarray(fn(x, *self.rnet.states, *self.rnet.params))
+                np.asarray(fn(x, *rnet.states, *rnet.params))
+            self._warmed.add(int(n))
 
     def predict(self, xs: Any) -> np.ndarray:
         """``(B, n, *in_shape)`` sequences -> ``(B, n, *out_shape)``
         outputs (a single ``(n, *in_shape)`` sequence is auto-batched)."""
+        rnet, be = self._serving  # one consistent read per request
         xs = np.asarray(xs, dtype=np.float32)
-        squeeze = xs.ndim == len(self.rnet.in_shape) + 1
+        squeeze = xs.ndim == len(rnet.in_shape) + 1
         if squeeze:
             xs = xs[None]
         B = xs.shape[0]
         # bucketing amortizes jit specializations; the numpy fallback is
         # a plain loop, so padding there would just scan zeros
-        b = _bucket_of(self.buckets, B) if self.be.name == "jax" else B
+        b = _bucket_of(self.buckets, B) if be.name == "jax" else B
         if b != B:
             xs = np.pad(xs, ((0, b - B),) + ((0, 0),) * (xs.ndim - 1))
         fn = self._forward_fn(int(xs.shape[1]))
         self.timer.start()
-        out = np.asarray(fn(self.be.asarray(xs), *self.rnet.states,
-                            *self.rnet.params))
+        out = np.asarray(fn(be.asarray(xs), *rnet.states, *rnet.params))
         self.timer.stop()
         out = out[:B]
         return out[0] if squeeze else out
 
     def latency(self) -> dict:
         return self.timer.summary()
+
+    def reload(self, rnet, be: Optional[Backend] = None,
+               warm_lengths: Optional[Sequence[int]] = None) -> None:
+        """Zero-downtime recurrent model swap (``Predictor.reload``'s
+        semantics): the replacement is compiled and warmed for every
+        previously-warmed sequence length (or ``warm_lengths``) and
+        every bucket BEFORE the (rnet, be) pair swaps in one atomic
+        assignment.  The replacement must serve the same interface
+        (in/out shapes)."""
+        be = be or self.be
+        for what, old_s, new_s in (
+                ("input", tuple(self.rnet.in_shape), tuple(rnet.in_shape)),
+                ("output", tuple(self.rnet.out_shape),
+                 tuple(rnet.out_shape))):
+            if old_s != new_s:
+                raise ValueError(
+                    f"reload would change the serving interface: "
+                    f"current model's {what} shape is {old_s}, the "
+                    f"replacement's is {new_s} — deploy a new "
+                    f"SequencePredictor instead")
+        lengths = sorted(set(int(n) for n in (warm_lengths
+                                              or self._warmed)))
+        staging = SequencePredictor(rnet, be, buckets=self.buckets)
+        staging.warmup(lengths)  # compile before anyone sees it
+        self._warmed |= set(lengths)
+        self._serving = (rnet, be)  # the one atomic switch

@@ -393,3 +393,36 @@ def test_predictor_reload_keeps_dtype_knob(jb):
     assert pred.model.weights[0].dtype != jnp.bfloat16  # explicit reset
     # (model, q_uniform, sharded, be) travel together — one assignment
     assert isinstance(pred._serving, tuple) and len(pred._serving) == 4
+
+
+def test_sequence_predictor_reload(jb):
+    """SequencePredictor.reload: previously-warmed lengths are compiled
+    for the replacement before the atomic (rnet, be) swap; predictions
+    change; interface changes are rejected."""
+    import pytest
+
+    from tensor_ops_tpu.backend.rng import Rng as _Rng
+    from tensor_ops_tpu.models import act_logistic as _log
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.models.serve import SequencePredictor
+
+    def rnet(seed):
+        return gen_rnet(jb, 1, 1, [(6, _log(), _log())], _log(), None,
+                        _Rng(jb, seed=seed))
+
+    pred = SequencePredictor(rnet(0), jb, buckets=(2, 8))
+    pred.warmup([5])
+    xs = np.random.default_rng(2).uniform(0, 1, size=(3, 5, 1))
+    out_a = pred.predict(xs)
+    n_before = pred.latency()["n"]
+
+    pred.reload(rnet(1))
+    assert 5 in pred._warmed
+    out_b = pred.predict(xs)
+    assert not np.allclose(out_a, out_b)
+    assert pred.latency()["n"] == n_before + 1
+
+    wide = gen_rnet(jb, 2, 1, [(6, _log(), _log())], _log(), None,
+                    _Rng(jb, seed=3))
+    with pytest.raises(ValueError, match="input shape"):
+        pred.reload(wide)
