@@ -197,12 +197,19 @@ class Predictor:
         capacity deployment stays bf16 across reloads); pass None or
         another value to change it.  Latency stats continue across the
         swap."""
-        if dtype is Predictor._KEEP:
+        explicit_dtype = dtype is not Predictor._KEEP
+        # the remembered knob tracks the last EXPLICIT choice, so the
+        # next default reload inherits what the operator last asked for
+        remembered = dtype if explicit_dtype else self._dtype
+        if not explicit_dtype:
             dtype = self._dtype
-        if isinstance(model, Network) and dtype is not None:
-            # a bf16-storage predictor may legitimately swap in a
-            # Network (backend-governed dtype); don't let the inherited
-            # knob trip the FusedMLP-only validation
+        if not isinstance(model, FusedMLP) and not explicit_dtype:
+            # the dtype knob is FusedMLP-only; an INHERITED knob must not
+            # trip that validation when the replacement is a Network
+            # (backend-governed dtype) or a QuantizedMLP (int8 storage) —
+            # e.g. a bf16 deployment hot-swapping in its int8 quantization.
+            # The remembered knob survives: a later FusedMLP reload goes
+            # back to bf16 storage without the operator re-asking.
             dtype = None
         new = Predictor(model, be=be or self.be, buckets=self.buckets,
                         use_fused_kernel=self.use_fused_kernel,
@@ -217,6 +224,7 @@ class Predictor:
                     f"replacement's is {new_w} — deploy a new Predictor "
                     f"instead")
         new.warmup()  # compile every bucket before anyone sees it
+        self._dtype = remembered
         self._serving = new._serving  # the one atomic switch
 
     def _in_width(self) -> int:
@@ -337,10 +345,10 @@ class SequencePredictor:
                warm_lengths: Optional[Sequence[int]] = None) -> None:
         """Zero-downtime recurrent model swap (``Predictor.reload``'s
         semantics): the replacement is compiled and warmed for every
-        previously-warmed sequence length (or ``warm_lengths``) and
-        every bucket BEFORE the (rnet, be) pair swaps in one atomic
-        assignment.  The replacement must serve the same interface
-        (in/out shapes)."""
+        previously-warmed sequence length plus any extra
+        ``warm_lengths``, for every bucket, BEFORE the (rnet, be) pair
+        swaps in one atomic assignment.  The replacement must serve the
+        same interface (in/out shapes)."""
         be = be or self.be
         for what, old_s, new_s in (
                 ("input", tuple(self.rnet.in_shape), tuple(rnet.in_shape)),
@@ -352,9 +360,12 @@ class SequencePredictor:
                     f"current model's {what} shape is {old_s}, the "
                     f"replacement's is {new_s} — deploy a new "
                     f"SequencePredictor instead")
-        lengths = sorted(set(int(n) for n in (warm_lengths
-                                              or self._warmed)))
+        # warm the UNION of previously-warmed lengths and any extras the
+        # caller names — every length that was warm stays warm across the
+        # swap, so _warmed never overstates what is actually compiled
+        lengths = sorted(self._warmed
+                         | set(int(n) for n in (warm_lengths or ())))
         staging = SequencePredictor(rnet, be, buckets=self.buckets)
         staging.warmup(lengths)  # compile before anyone sees it
-        self._warmed |= set(lengths)
+        self._warmed = set(lengths)
         self._serving = (rnet, be)  # the one atomic switch

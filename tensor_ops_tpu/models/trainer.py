@@ -509,6 +509,10 @@ def fit(
     opt = optimizer or sgd()
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    if profile_dir and be.name != "jax":
+        raise ValueError(
+            "profile_dir captures a jax.profiler trace and requires the "
+            "jax backend (the numpy backend has nothing to trace)")
     if shard_opt_state and mesh is None:
         raise ValueError(
             "shard_opt_state (ZeRO-1) shards the optimizer moments over "

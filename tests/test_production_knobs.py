@@ -328,3 +328,13 @@ def test_fit_sequences_val_and_early_stop(jb):
     # XLA programs, and the TPU's software-emulated f64 differs between
     # them at ~1e-8 relative (TESTING.md gotchas); CPU stays ~1e-16
     assert abs(got - want) < 1e-6
+
+def test_profile_dir_rejects_numpy_backend(nb, tmp_path):
+    """ADVICE r3: profile_dir is jax-only (there is nothing to trace on
+    the numpy oracle) — asking for a trace there raises eagerly instead
+    of silently writing an empty directory."""
+    X, Y, _ = _task(n=8)
+    with pytest.raises(ValueError, match="profile_dir"):
+        fit(_net(nb, seed=1), cross_entropy(2), nb, X, Y, epochs=1,
+            batch_size=8, lr=0.05, profile_dir=str(tmp_path / "t"),
+            verbose=False)

@@ -426,3 +426,63 @@ def test_sequence_predictor_reload(jb):
                     _Rng(jb, seed=3))
     with pytest.raises(ValueError, match="input shape"):
         pred.reload(wide)
+
+def test_predictor_bf16_reload_quantized_then_back(jb):
+    """ADVICE r3: a bf16-storage deployment can hot-swap in a
+    QuantizedMLP (the inherited dtype knob must not trip the
+    FusedMLP-only validation), and the remembered bf16 preference
+    SURVIVES that swap — a later default FusedMLP reload goes back to
+    bf16 storage without the operator re-asking."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+
+    net_a = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=11))
+    net_b = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=12))
+    pred = Predictor(FusedMLP.from_network(net_a), buckets=(4,),
+                     dtype="bf16")
+    x = np.random.default_rng(3).uniform(0, 1, size=(2, 4))
+
+    # the docstring's own use case: bf16 deployment -> int8 quantization
+    pred.reload(QuantizedMLP.from_fused(FusedMLP.from_network(net_b)))
+    assert isinstance(pred.model, QuantizedMLP)
+    assert pred.predict(x).shape == (2, 3)
+
+    # the bf16 preference survived the non-FusedMLP swap
+    pred.reload(FusedMLP.from_network(net_b))
+    assert pred.model.weights[0].dtype == jnp.bfloat16
+
+    # an EXPLICIT dtype updates the remembered knob: the next default
+    # reload follows the last explicit choice, not construction-time
+    pred.reload(FusedMLP.from_network(net_a), dtype=None)
+    pred.reload(FusedMLP.from_network(net_b))
+    assert pred.model.weights[0].dtype != jnp.bfloat16
+    pred.reload(FusedMLP.from_network(net_a), dtype="bf16")
+    pred.reload(FusedMLP.from_network(net_b))
+    assert pred.model.weights[0].dtype == jnp.bfloat16
+
+
+def test_sequence_predictor_reload_warms_union(jb):
+    """ADVICE r3: reload(warm_lengths=...) warms the UNION of
+    previously-warmed lengths and the extras — _warmed never claims a
+    length the new rnet was not actually compiled for."""
+    from tensor_ops_tpu.backend.rng import Rng as _Rng
+    from tensor_ops_tpu.models import act_logistic as _log
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+    from tensor_ops_tpu.models.serve import SequencePredictor
+
+    def rnet(seed):
+        return gen_rnet(jb, 1, 1, [(6, _log(), _log())], _log(), None,
+                        _Rng(jb, seed=seed))
+
+    pred = SequencePredictor(rnet(0), jb, buckets=(2,))
+    pred.warmup([3, 5])
+    new = rnet(1)
+    pred.reload(new, warm_lengths=[7])
+    assert pred._warmed == {3, 5, 7}
+    # every claimed-warm length is genuinely compiled for the NEW rnet
+    for n in (3, 5, 7):
+        key = ("serve_seq", n) + jb.cache_key()
+        assert key in new.op._compiled, f"length {n} not warm post-swap"
