@@ -64,3 +64,39 @@ def check_grads(op, be, xs, atol: float = 1e-5, rtol: float = 1e-4):
         np.testing.assert_allclose(
             got, fd, atol=atol, rtol=rtol,
             err_msg=f"gradient mismatch at input slot {slot}")
+
+
+def check_grads_vs_jax(op, jb, xs, atol=None, rtol=None):
+    """Assert the transposition AD of a scalar-output graph equals
+    ``jax.grad`` of the composed forward — an INDEPENDENT whole-graph
+    oracle alongside finite differences (tolerance-bound, ~1e-6) and
+    numpy-vs-jax parity (same IR both sides).  ``jax.grad`` traces the
+    graph's *forward* (``ir.run``) and derives the VJP itself, so a
+    subtly-wrong-but-FD-close hand transposition (the VJP semantics of
+    reference ``src/TensorOps/Types.hs:122-157`` / ``TOp.hs:56-131``)
+    is caught at ~1e-12 on an f64 CPU backend instead of FD's ~1e-6.
+
+    Default tolerance: 1e-12 on CPU f64; 1e-6 elsewhere (real-TPU f64
+    is software-emulated)."""
+    import jax
+
+    assert op.out_stack == ((),), "needs a scalar-output graph"
+    if atol is None:
+        tight = (jax.default_backend() == "cpu"
+                 and jax.config.jax_enable_x64)
+        atol = 1e-12 if tight else 1e-6
+    if rtol is None:
+        rtol = atol
+    xj = tuple(jb.asarray(x) for x in xs)
+    _, grads = ir.value_and_grad(op, jb, xj)
+
+    def forward(*args):
+        out = ir.run(op, jb, args)[0]
+        return out.reshape(())  # jax.grad needs a true scalar
+
+    oracle = jax.grad(forward, argnums=tuple(range(len(xj))))(*xj)
+    for slot, (got, want) in enumerate(zip(grads, oracle)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=atol, rtol=rtol,
+            err_msg=(f"transposition AD disagrees with jax.grad at "
+                     f"input slot {slot}"))

@@ -12,7 +12,7 @@ from tensor_ops_tpu import prim as P
 from tensor_ops_tpu.ops import ir
 from tensor_ops_tpu.ops.ir import TOp
 
-from helpers import fd_grad
+from helpers import check_grads_vs_jax, fd_grad
 
 DIMS = (2, 3, 4)
 
@@ -113,6 +113,10 @@ def test_random_graphs_parity_and_fd(seed, nb, jb):
     fd = fd_grad(op, nb, xs, slot=0)
     np.testing.assert_allclose(np.asarray(g_n[0]), fd, atol=1e-4, rtol=1e-3)
 
+    # third, INDEPENDENT oracle: jax.grad of the composed forward —
+    # catches subtly-wrong-but-FD-close hand transpositions at ~1e-12
+    check_grads_vs_jax(op, jb, xs)
+
 
 @pytest.mark.parametrize("seed", range(6))
 def test_random_recurrent_scan_fuzz(seed, nb, jb):
@@ -156,6 +160,12 @@ def test_random_recurrent_scan_fuzz(seed, nb, jb):
     for a, b in zip(gS + gP, gSj + gPj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+    # jax.grad oracle over the WHOLE scan graph (inputs, states, params,
+    # targets all validated) — covers ScanOp's checkpointed backward
+    seq_graph = jnet._seq_graph(loss, n)
+    check_grads_vs_jax(seq_graph, jb,
+                       (xs,) + net.states + net.params + (tg,))
 
     # FD on the first state's first entry
     eps = 1e-6
