@@ -15,7 +15,8 @@ Layering (cf. SURVEY.md §1):
 * ``parallel``     — device meshes and sharded training steps
 """
 
-from .backend.base import Backend, Distribution, normal, uniform
+from .backend.base import (Backend, CustomDistribution, Distribution,
+                           beta, custom, exponential, gamma, normal, uniform)
 from .backend.jax_backend import JaxBackend
 from .backend.numpy_backend import NumpyBackend
 from .ops import prim
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Backend",
+    "CustomDistribution",
     "Distribution",
     "JaxBackend",
     "NumpyBackend",
@@ -36,7 +38,11 @@ __all__ = [
     "Stack",
     "TOp",
     "VFunc",
+    "beta",
+    "custom",
     "engine",
+    "exponential",
+    "gamma",
     "grad",
     "normal",
     "prim",

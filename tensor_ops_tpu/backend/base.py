@@ -33,7 +33,9 @@ from ..ops.vfunc import VFunc
 class Distribution:
     """Element-i.i.d. continuous distribution spec for ``gen_rand``
     (reference parameterizes ``genRand`` by any statistics ``ContGen``,
-    ``src/TensorOps/Types.hs:93-96``)."""
+    ``src/TensorOps/Types.hs:93-96``).  Five common kinds are built in;
+    ``custom`` expresses ANY continuous distribution via its inverse CDF
+    (exactly a ``ContGen``'s content) or per-backend native samplers."""
 
     __slots__ = ("kind", "a", "b")
 
@@ -48,6 +50,53 @@ class Distribution:
 
     def __repr__(self):
         return f"Distribution({self.kind}, {self.a}, {self.b})"
+
+
+class CustomDistribution(Distribution):
+    """A user-supplied continuous distribution for ``gen_rand`` — the
+    full ``ContGen`` parameterization of the reference's ``genRand``
+    (``src/TensorOps/Types.hs:93-96``), not just the five built-ins.
+
+    Two (composable) ways to specify it:
+
+    * ``icdf``: the inverse CDF (quantile function), applied elementwise
+      to U(0,1) draws — backend-agnostic (write it with ``jax.numpy``
+      ops; they evaluate on both backends' arrays).  This is exactly
+      what a statistics ``ContGen`` instance closes over.
+    * ``samplers``: per-backend native samplers ``{"numpy": f, "jax": g}``
+      where ``f(np_generator, shape)`` / ``g(jax_key, shape)`` return an
+      array — for distributions with better-than-inversion samplers
+      (e.g. ``jax.random.laplace``).  A backend falls back to ``icdf``
+      when it has no native sampler.
+    """
+
+    __slots__ = ("icdf", "samplers", "label")
+
+    def __init__(self, icdf: "Callable[[Any], Any] | None" = None,
+                 samplers: "dict | None" = None, name: str = "custom"):
+        if icdf is None and not samplers:
+            raise ValueError(
+                "custom distribution needs an inverse CDF (icdf=) and/or "
+                "per-backend samplers ({'numpy': f, 'jax': g})")
+        # deliberately NOT calling Distribution.__init__: kind 'custom'
+        # is recognized structurally (isinstance) by the backends
+        self.kind = "custom"
+        self.a = 0.0
+        self.b = 0.0
+        self.icdf = icdf
+        self.samplers = dict(samplers or {})
+        self.label = name
+
+    def sample(self, backend_name: str, uniform01, rng, shape):
+        """Backend hook: native sampler if registered, else inverse-CDF
+        transform of ``uniform01(shape)`` (a U(0,1) draw)."""
+        f = self.samplers.get(backend_name)
+        if f is not None:
+            return f(rng, shape)
+        return self.icdf(uniform01(shape))
+
+    def __repr__(self):
+        return f"CustomDistribution({self.label})"
 
 
 def normal(mean: float = 0.0, std: float = 1.0) -> Distribution:
@@ -68,6 +117,19 @@ def gamma(shape: float, scale: float = 1.0) -> Distribution:
 
 def beta(a: float, b: float) -> Distribution:
     return Distribution("beta", a, b)
+
+
+def custom(icdf=None, samplers=None, name: str = "custom") -> CustomDistribution:
+    """Any continuous distribution, by inverse CDF and/or per-backend
+    samplers — closes the reference's full ``ContGen`` parameterization
+    (``src/TensorOps/Types.hs:93-96``).  Example (Laplace)::
+
+        import jax.numpy as jnp
+        lap = custom(icdf=lambda u: -jnp.sign(u - 0.5)
+                     * jnp.log1p(-2 * jnp.abs(u - 0.5)), name="laplace")
+        rng.draw(lap, (3, 4))
+    """
+    return CustomDistribution(icdf=icdf, samplers=samplers, name=name)
 
 
 class Backend:

@@ -110,6 +110,12 @@ class JaxBackend(Backend):
         return t[(idx,) * k]
 
     def gen_rand(self, dist: Distribution, rng: jax.Array, shape: Shape) -> jax.Array:
+        if dist.kind == "custom":
+            out = dist.sample(
+                self.name,
+                lambda s: jax.random.uniform(rng, s, dtype=self.dtype),
+                rng, tuple(shape))
+            return jnp.asarray(out, dtype=self.dtype)
         if dist.kind == "normal":
             return dist.a + dist.b * jax.random.normal(rng, shape, dtype=self.dtype)
         if dist.kind == "uniform":

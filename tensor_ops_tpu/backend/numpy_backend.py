@@ -139,6 +139,11 @@ class NumpyBackend(Backend):
         return t[(idx,) * k]
 
     def gen_rand(self, dist: Distribution, rng: np.random.Generator, shape: Shape) -> np.ndarray:
+        if dist.kind == "custom":
+            out = dist.sample(
+                self.name, lambda s: rng.uniform(0.0, 1.0, size=s),
+                rng, tuple(shape))
+            return np.asarray(out, dtype=self.dtype)
         if dist.kind == "normal":
             out = rng.normal(dist.a, dist.b, size=shape)
         elif dist.kind == "uniform":

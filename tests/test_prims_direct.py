@@ -188,3 +188,76 @@ def test_gen_rand_deterministic_per_key(jb):
     a = np.asarray(jb.gen_rand(normal(0, 1), jax.random.PRNGKey(11), (64,)))
     b = np.asarray(jb.gen_rand(normal(0, 1), jax.random.PRNGKey(11), (64,)))
     np.testing.assert_array_equal(a, b)
+
+# -- gen_rand: custom distributions (the full ContGen parameterization,
+#    Types.hs:93-96 — VERDICT r3 item 4) ----------------------------------
+
+
+def _laplace_icdf():
+    import jax.numpy as jnp
+
+    # standard Laplace (mu=0, b=1): mean 0, var 2
+    return lambda u: -jnp.sign(u - 0.5) * jnp.log1p(-2 * jnp.abs(u - 0.5))
+
+
+def test_gen_rand_custom_icdf_moments_numpy(nb):
+    from tensor_ops_tpu.backend.base import custom
+
+    lap = custom(icdf=_laplace_icdf(), name="laplace")
+    out = np.asarray(nb.gen_rand(lap, np.random.default_rng(7), (N,)))
+    assert out.shape == (N,) and out.dtype == nb.dtype
+    se = (2.0 / N) ** 0.5
+    assert abs(out.mean()) < 6 * se
+    assert abs(out.var() - 2.0) < 0.1 + 6 * se
+
+
+def test_gen_rand_custom_icdf_moments_jax(jb):
+    from tensor_ops_tpu.backend.base import custom
+
+    lap = custom(icdf=_laplace_icdf(), name="laplace")
+    out = np.asarray(jb.gen_rand(lap, jax.random.PRNGKey(7), (N,)))
+    assert out.shape == (N,)
+    se = (2.0 / N) ** 0.5
+    assert abs(out.mean()) < 6 * se
+    assert abs(out.var() - 2.0) < 0.1 + 6 * se
+
+
+def test_gen_rand_custom_native_sampler_overrides_icdf(jb, nb):
+    """A per-backend native sampler wins over the icdf on its backend;
+    the other backend falls back to the icdf."""
+    from tensor_ops_tpu.backend.base import custom
+
+    def jax_sampler(key, shape):
+        return jax.random.laplace(key, shape, dtype=jb.dtype)
+
+    lap = custom(icdf=_laplace_icdf(), samplers={"jax": jax_sampler},
+                 name="laplace")
+    out_j = np.asarray(jb.gen_rand(lap, jax.random.PRNGKey(3), (N,)))
+    out_n = np.asarray(nb.gen_rand(lap, np.random.default_rng(3), (N,)))
+    want_j = np.asarray(jax.random.laplace(jax.random.PRNGKey(3), (N,),
+                                           dtype=jb.dtype))
+    np.testing.assert_array_equal(out_j, want_j)  # native path taken
+    se = (2.0 / N) ** 0.5
+    for out in (out_j, out_n):
+        assert abs(out.mean()) < 6 * se
+        assert abs(out.var() - 2.0) < 0.1 + 6 * se
+
+
+def test_gen_rand_custom_through_rng_draw(backends):
+    """Rng.draw accepts a custom distribution on both backends (the
+    user-facing path gen_net etc. thread through)."""
+    from tensor_ops_tpu.backend.base import custom
+    from tensor_ops_tpu.backend.rng import Rng
+
+    lap = custom(icdf=_laplace_icdf(), name="laplace")
+    for be in backends:
+        out = np.asarray(Rng(be, seed=5).draw(lap, (8, 4)))
+        assert out.shape == (8, 4)
+        assert np.isfinite(out).all()
+
+
+def test_gen_rand_custom_requires_a_spec():
+    from tensor_ops_tpu.backend.base import custom
+
+    with pytest.raises(ValueError, match="inverse CDF"):
+        custom()
