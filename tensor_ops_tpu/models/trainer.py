@@ -132,14 +132,19 @@ def _global_host_tree(tree, mesh):
     return jax.tree.map(fetch, tree)
 
 
-def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int):
+def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int,
+                grad_constrain=None):
     """Sequential gradient accumulation shared by ``make_opt_step``,
     ``fit``'s pipeline step, and ``_seq_train_step``: reshape the batch
     into ``accum_steps`` equal chunks, ``lax.scan`` the
     ``(x_chunk, y_chunk) -> (loss, grads)`` closure over them summing
     both, and return the chunk means (== the batch mean for equal
     chunks; the fit loops validate divisibility eagerly).  ``leaves``
-    supplies the gradient-accumulator structure (``zeros_like`` each)."""
+    supplies the gradient-accumulator structure (``zeros_like`` each).
+    ``grad_constrain`` (ZeRO-2) pins data-axis shardings on each chunk's
+    gradients AND the accumulator carry, so the accumulated gradient
+    memory is 1/dp per device throughout the scan — each chunk is
+    reduce-scattered as it is produced, not all-reduced then re-split."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -149,14 +154,56 @@ def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int):
     ym = yb[: micro * accum_steps].reshape(
         (accum_steps, micro) + yb.shape[1:])
 
+    def _shard(gs):
+        return gs if grad_constrain is None else grad_constrain(gs)
+
     def body(carry, chunk):
         vsum, gsum = carry
         v, gs = vag_xy(chunk[0], chunk[1])
+        gs = _shard(gs)
         return (vsum + v, tuple(a + g for a, g in zip(gsum, gs))), None
 
-    zero = tuple(jnp.zeros_like(x) for x in leaves)
+    zero = _shard(tuple(jnp.zeros_like(x) for x in leaves))
     (vsum, gsum), _ = lax.scan(body, (0.0, zero), (xm, ym))
     return vsum / accum_steps, tuple(g / accum_steps for g in gsum)
+
+
+def _normalize_zero_stage(shard_opt_state: bool, zero_stage):
+    """One ladder, two spellings: ``shard_opt_state=True`` is ZeRO-1;
+    ``zero_stage=1|2`` names the rung explicitly (2 subsumes 1 —
+    moments AND gradients shard).  Returns ``(shard_opt_state, stage)``
+    with ``shard_opt_state`` true for any stage >= 1.  An explicit
+    ``zero_stage=0`` alongside ``shard_opt_state=True`` is
+    contradictory and rejected."""
+    if zero_stage is None:
+        return shard_opt_state, (1 if shard_opt_state else 0)
+    if zero_stage not in (0, 1, 2):
+        raise ValueError(
+            f"zero_stage must be 0, 1, or 2 (ZeRO-3 parameter sharding "
+            f"is not implemented), got {zero_stage!r}")
+    if zero_stage == 0 and shard_opt_state:
+        raise ValueError(
+            "zero_stage=0 contradicts shard_opt_state=True — drop one "
+            "(shard_opt_state=True is exactly zero_stage=1)")
+    return zero_stage >= 1, int(zero_stage)
+
+
+def _zero2_grads(leaves, mesh):
+    """ZeRO-2 gradient constraint over the placed training leaves
+    (``parallel.mesh.zero2_grad_constrain``), warning loudly when
+    nothing can shard — the run continues as ZeRO-1, never silently."""
+    from ..parallel.mesh import zero2_grad_constrain
+
+    cons = zero2_grad_constrain(leaves, mesh)
+    if cons is None:
+        import warnings
+
+        warnings.warn(
+            "zero_stage=2: no gradient leaf can shard over the data "
+            "axis (no data axis in the mesh, dp == 1, or no dp-divisible "
+            "dimension) — continuing with replicated gradients (ZeRO-1)",
+            stacklevel=4)
+    return cons
 
 
 def _zero1_wrap(opt_state, mesh):
@@ -239,7 +286,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
                   mixed_precision: bool = False,
-                  mesh=None, zero_constrain=None) -> Callable:
+                  mesh=None, zero_constrain=None,
+                  grad_constrain=None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
@@ -266,7 +314,11 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     ``zero_constrain`` (from ``parallel.mesh.zero1_place``) pins ZeRO-1
     data-axis shardings on the updated optimizer state inside the step,
     so the moments stay 1/dp per device across steps instead of XLA
-    re-replicating them."""
+    re-replicating them.  ``grad_constrain`` (from
+    ``parallel.mesh.zero2_grad_constrain``) additionally pins ZeRO-2
+    shardings on the MEAN GRADIENTS, lowering the batch-gradient
+    reduction to a reduce-scatter — each dp rank holds only its 1/dp
+    gradient shard through clip and optimizer update."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -278,7 +330,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     # hits the same cache entry instead of recompiling per call
     key = ("optstep", loss.struct_key(), opt.struct_key(),
            int(accum_steps), clip_norm, mixed_precision, mesh,
-           zero_constrain is not None) + be.cache_key()
+           zero_constrain is not None,
+           grad_constrain is not None) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -330,11 +383,17 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 return jnp.mean(vals), tuple(jnp.mean(g, axis=0)
                                              for g in grads)
 
+        # ZeRO-2: pin reduce-scatter shardings on the mean grads BEFORE
+        # clip — the global-norm clip is a scalar reduction, so it works
+        # on shards, and everything downstream (moment update) stays 1/dp
+        def _shard_grads(grads):
+            return grads if grad_constrain is None else grad_constrain(grads)
+
         if accum_steps <= 1:
 
             def step(lr, xb, yb, opt_state, params):
                 v, mean_grads = batch_vag(xb, yb, params)
-                mean_grads = _clip(mean_grads)
+                mean_grads = _clip(_shard_grads(mean_grads))
                 opt_state, params = opt.update(opt_state, params, mean_grads, lr)
                 if zero_constrain is not None:
                     opt_state = zero_constrain(opt_state)
@@ -345,8 +404,9 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
             def step(lr, xb, yb, opt_state, params):
                 v, mean_grads = _accum_scan(
                     lambda xc, yc: batch_vag(xc, yc, params),
-                    params, xb, yb, accum_steps)
-                mean_grads = _clip(mean_grads)
+                    params, xb, yb, accum_steps,
+                    grad_constrain=grad_constrain)
+                mean_grads = _clip(_shard_grads(mean_grads))
                 opt_state, new_params = opt.update(opt_state, params,
                                                    mean_grads, lr)
                 if zero_constrain is not None:
@@ -406,6 +466,7 @@ def fit(
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
+    zero_stage: Optional[int] = None,
     ema_decay: Optional[float] = None,
     early_stop_patience: int = 0,
     val_metric: str = "accuracy",
@@ -487,7 +548,14 @@ def fit(
     device, with the update's all-gather inserted by XLA from the
     sharding alone; training remains bit-identical to the replicated
     run, and checkpoints/resume keep working (moments gather at save,
-    re-place on their ZeRO shardings at load).  Works on every mesh
+    re-place on their ZeRO shardings at load).  ``zero_stage`` names
+    the rung explicitly: ``1`` == ``shard_opt_state=True``; ``2``
+    (ZeRO-2) ALSO shards the mean gradients — the batch-gradient
+    reduction lowers to a reduce-scatter, each dp rank carries only its
+    1/dp gradient shard through clip and the moment update (with
+    ``accum_steps`` the accumulator itself is sharded), and XLA inserts
+    the one param-update all-gather.  Still bit-identical to the
+    replicated run; exact crash/resume.  Works on every mesh
     kind with a data axis (dp, dp x tp, dp x pipeline).  Under
     multi-process jax each host loads only its own disjoint shard via
     ``NativeLoader(shard=(process_index, process_count))`` and the global
@@ -513,10 +581,12 @@ def fit(
         raise ValueError(
             "profile_dir captures a jax.profiler trace and requires the "
             "jax backend (the numpy backend has nothing to trace)")
+    shard_opt_state, zstage = _normalize_zero_stage(
+        shard_opt_state, zero_stage)
     if shard_opt_state and mesh is None:
         raise ValueError(
-            "shard_opt_state (ZeRO-1) shards the optimizer moments over "
-            "the mesh's data axis — pass mesh=make_mesh(...)")
+            f"ZeRO-{zstage} (shard_opt_state/zero_stage) shards over "
+            f"the mesh's data axis — pass mesh=make_mesh(...)")
     if ema_decay is not None and not (0.0 < ema_decay < 1.0):
         raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
     if early_stop_patience and val is None:
@@ -555,6 +625,7 @@ def fit(
     params = net.params
     data_sh = None
     zero_cons = None   # ZeRO-1: pins moment shardings inside the step
+    grad_cons = None   # ZeRO-2: pins reduce-scatter shardings on grads
     opt_state0 = None  # ... and the matching placed initial state
     n_proc, proc_idx = 1, 0
     mp_replicated = False  # multi-process stage-only mesh: identical
@@ -617,11 +688,14 @@ def fit(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
         if shard_opt_state:
             opt_state0, zero_cons = _zero1_init(opt, params, mesh)
+            if zstage >= 2:
+                grad_cons = _zero2_grads(params, mesh)
 
         key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
                mesh, M, int(accum_steps), mixed_precision,
                pipeline_schedule, pipeline_chunks,
-               zero_cons is not None) + be.cache_key()
+               zero_cons is not None,
+               grad_cons is not None) + be.cache_key()
         step_fn = net.op._compiled.get(key)
         if step_fn is None:
             import jax.numpy as jnp
@@ -657,10 +731,13 @@ def fit(
             def _pl_step(lr, xb, yb, opt_state, params):
                 if accum_steps <= 1:
                     v, grads = _vag(tuple(params), xb, yb)
+                    if grad_cons is not None:
+                        grads = grad_cons(grads)
                 else:
                     v, grads = _accum_scan(
                         lambda xc, yc: _vag(tuple(params), xc, yc),
-                        tuple(params), xb, yb, accum_steps)
+                        tuple(params), xb, yb, accum_steps,
+                        grad_constrain=grad_cons)
                 if clip_norm:
                     grads = clip_by_global_norm(grads, clip_norm)
                 opt_state, params = opt.update(opt_state, tuple(params),
@@ -694,11 +771,14 @@ def fit(
             _check_process_data_alignment(mesh, n_proc)
         if shard_opt_state:
             opt_state0, zero_cons = _zero1_init(opt, params, mesh)
+            if zstage >= 2:
+                grad_cons = _zero2_grads(params, mesh)
     if not pipeline_mode:
         step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
                                 clip_norm=clip_norm,
                                 mixed_precision=mixed_precision, mesh=mesh,
-                                zero_constrain=zero_cons)
+                                zero_constrain=zero_cons,
+                                grad_constrain=grad_cons)
 
     if pipeline_mode and X.shape[0] < batch_size:
         raise ValueError(
@@ -828,13 +908,13 @@ def fit(
 
         rep = training_memory_report(
             net, optimizer=opt, batch_size=batch_size, mesh=mesh,
-            shard_opt_state=shard_opt_state,
+            shard_opt_state=shard_opt_state, zero_stage=zstage,
             mixed_precision=mixed_precision)["per_device"]
         print(f"training state/device: "
               f"params {rep['params_bytes'] / 1e6:.2f} MB + "
               f"grads {rep['grads_bytes'] / 1e6:.2f} MB + "
               f"moments {rep['optimizer_bytes'] / 1e6:.2f} MB"
-              + (" (zero1)" if shard_opt_state else "")
+              + (f" (zero{zstage})" if shard_opt_state else "")
               + f" + batch {rep['batch_bytes'] / 1e6:.2f} MB")
 
     def _as_network(cur_params) -> Network:
@@ -1018,7 +1098,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     opt: Optional[Optimizer] = None,
                     clip_norm: Optional[float] = None,
                     remat_every=None, mesh=None, accum_steps: int = 1,
-                    mixed_precision: bool = False, zero_constrain=None):
+                    mixed_precision: bool = False, zero_constrain=None,
+                    grad_constrain=None):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -1055,7 +1136,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
     key = ("seq_fit_step", loss.struct_key(), n,
            opt.struct_key() if opt is not None else None, clip_norm,
            remat_every, mesh, int(accum_steps),
-           mixed_precision, zero_constrain is not None) + be.cache_key()
+           mixed_precision, zero_constrain is not None,
+           grad_constrain is not None) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -1109,7 +1191,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
             def vag(xb, tb, sp):  # noqa: F811 — accum wraps the plain vag
                 return _accum_scan(
                     lambda xc, tc: inner_vag(xc, tc, sp),
-                    sp, xb, tb, accum_steps)
+                    sp, xb, tb, accum_steps,
+                    grad_constrain=grad_constrain)
 
         if opt is None:
 
@@ -1125,6 +1208,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
 
             def step(ratio, rp, xb, tb, opt_state, states, params):
                 v, mean = vag(xb, tb, tuple(states) + tuple(params))
+                if grad_constrain is not None:
+                    mean = grad_constrain(mean)
                 mean = _clip(mean)
                 scaled = tuple(ratio * gg for gg in mean[:k]) + mean[k:]
                 leaves = tuple(states) + tuple(params)
@@ -1259,6 +1344,7 @@ def fit_sequences(
     lr_schedule: Optional[Callable[[int], float]] = None,
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
+    zero_stage: Optional[int] = None,
     ema_decay: Optional[float] = None,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     early_stop_patience: int = 0,
@@ -1317,7 +1403,9 @@ def fit_sequences(
     the scan-BPTT forward/backward in bfloat16 with full-precision
     master states+params; ``shard_opt_state=True`` (ZeRO-1) shards the
     optimizer moments over the ``data`` axis (requires ``optimizer=``
-    and a mesh); ``ema_decay`` keeps a Polyak/EMA copy of states+params
+    and a mesh) and ``zero_stage=2`` also reduce-scatters the joint
+    state+param gradients (as in ``fit``, bit-identical to replicated);
+    ``ema_decay`` keeps a Polyak/EMA copy of states+params
     (``FitSeqResult.ema_net``, stored inside the ``.state`` checkpoint,
     exact across resume); ``val=(XSv, TSv)`` logs the held-out mean
     sequence loss (``val_loss``) every ``log_every`` steps and
@@ -1330,10 +1418,12 @@ def fit_sequences(
     opt = optimizer
     if mixed_precision and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
+    shard_opt_state, zstage = _normalize_zero_stage(
+        shard_opt_state, zero_stage)
     if shard_opt_state and mesh is None:
         raise ValueError(
-            "shard_opt_state (ZeRO-1) shards the optimizer moments over "
-            "the mesh's data axis — pass mesh=make_mesh(...)")
+            f"ZeRO-{zstage} (shard_opt_state/zero_stage) shards over "
+            f"the mesh's data axis — pass mesh=make_mesh(...)")
     if shard_opt_state and opt is None:
         raise ValueError(
             "shard_opt_state needs optimizer state to shard — dual-rate "
@@ -1422,8 +1512,14 @@ def fit_sequences(
     opt_state = (opt.init(tuple(net.states) + tuple(net.params))
                  if opt is not None else ())
     zero_cons = None
+    grad_cons = None
     if shard_opt_state:
         opt_state, zero_cons = _zero1_wrap(opt_state, mesh)
+        if zstage >= 2:
+            # the joint gradient covers states THEN params — build the
+            # ZeRO-2 constraint from the same placed leaf order
+            grad_cons = _zero2_grads(
+                tuple(net.states) + tuple(net.params), mesh)
     opt_key = (opt.struct_key()
                if opt is not None and opt.hyper is not None else None)
     r_ema = None
@@ -1492,7 +1588,8 @@ def fit_sequences(
                               clip_norm=clip_norm, remat_every=remat_every,
                               mesh=mesh, accum_steps=accum_steps,
                               mixed_precision=mixed_precision,
-                              zero_constrain=zero_cons)
+                              zero_constrain=zero_cons,
+                              grad_constrain=grad_cons)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
     history = []

@@ -133,6 +133,38 @@ def batch_spec() -> PSpec:
     return PSpec(DATA_AXIS, None)
 
 
+def _data_extended_sharding(x, mesh: Mesh, dp: int):
+    """The shared ZeRO dim-choice rule: extend an array leaf's inherited
+    sharding spec by the ``data`` axis on the FIRST spec-free dimension
+    the dp size divides.  Returns a ``NamedSharding`` or ``None`` (leave
+    untouched — scalars, non-divisible leaves, leaves already sharded
+    over ``data``).  ZeRO-1 applies it to optimizer moments and ZeRO-2
+    additionally to the mean gradients; using ONE rule guarantees the
+    gradient shards and the moment shards coincide dimension-for-
+    dimension, so the sharded optimizer update is collective-free."""
+    if (dp <= 1 or not isinstance(x, jax.Array) or x.ndim == 0
+            or x.size == 0):
+        return None
+    if isinstance(x.sharding, NamedSharding):
+        spec = list(x.sharding.spec)
+    else:
+        spec = []
+    spec += [None] * (x.ndim - len(spec))
+    used = set()
+    for s in spec:
+        if isinstance(s, str):
+            used.add(s)
+        elif isinstance(s, (tuple, list)):
+            used.update(s)
+    if DATA_AXIS in used:
+        return None
+    for ax in range(x.ndim):
+        if spec[ax] is None and x.shape[ax] % dp == 0:
+            spec[ax] = DATA_AXIS
+            return NamedSharding(mesh, PSpec(*spec))
+    return None
+
+
 def zero1_shardings(opt_state, mesh: Mesh):
     """ZeRO-1 shardings for an optimizer-state pytree: each array leaf's
     INHERITED sharding (moments are built by ``opt.init`` as ``p * 0``,
@@ -148,33 +180,7 @@ def zero1_shardings(opt_state, mesh: Mesh):
     already sharded over ``data``) per flattened leaf."""
     flat, treedef = jax.tree.flatten(opt_state)
     dp = dict(mesh.shape).get(DATA_AXIS, 1)
-    shs = []
-    for x in flat:
-        if (dp <= 1 or not isinstance(x, jax.Array) or x.ndim == 0
-                or x.size == 0):
-            shs.append(None)
-            continue
-        if isinstance(x.sharding, NamedSharding):
-            spec = list(x.sharding.spec)
-        else:
-            spec = []
-        spec += [None] * (x.ndim - len(spec))
-        used = set()
-        for s in spec:
-            if isinstance(s, str):
-                used.add(s)
-            elif isinstance(s, (tuple, list)):
-                used.update(s)
-        if DATA_AXIS in used:
-            shs.append(None)
-            continue
-        placed = None
-        for ax in range(x.ndim):
-            if spec[ax] is None and x.shape[ax] % dp == 0:
-                spec[ax] = DATA_AXIS
-                placed = NamedSharding(mesh, PSpec(*spec))
-                break
-        shs.append(placed)
+    shs = [_data_extended_sharding(x, mesh, dp) for x in flat]
     return shs, treedef
 
 
@@ -207,6 +213,44 @@ def zero1_place(opt_state, mesh: Mesh):
         return jax.tree.unflatten(td, leaves)
 
     return state, constrain
+
+
+def zero2_grad_shardings(leaves, mesh: Mesh):
+    """ZeRO-2 gradient shardings: for each PLACED training leaf (param,
+    or state+param for the recurrent loop), its sharding spec extended
+    by the ``data`` axis under the same dim-choice rule as the ZeRO-1
+    moments (:func:`_data_extended_sharding`) — so inside the jitted
+    step XLA lowers the batch-gradient reduction to a REDUCE-SCATTER
+    (each dp rank materializes only its 1/dp gradient shard) instead of
+    an all-reduce, and the sharded moments update collective-free
+    against their matching gradient shards.  The param update's
+    all-gather is inserted by XLA where the (data-replicated) params
+    meet their sharded update term.  Returns one ``NamedSharding`` or
+    ``None`` per leaf."""
+    dp = dict(mesh.shape).get(DATA_AXIS, 1)
+    return tuple(_data_extended_sharding(x, mesh, dp) for x in leaves)
+
+
+def zero2_grad_constrain(leaves, mesh: Mesh):
+    """A function pinning ZeRO-2 gradient shardings
+    (:func:`zero2_grad_shardings`, built from the placed ``leaves``)
+    on a same-structure gradient tuple INSIDE a jitted step — or
+    ``None`` when nothing can shard (no data axis, dp == 1, or no
+    divisible dimension), which callers must treat as a loud no-op."""
+    shs = zero2_grad_shardings(leaves, mesh)
+    if not any(sh is not None for sh in shs):
+        return None
+
+    def constrain(grads):
+        if len(grads) != len(shs):
+            raise ValueError(
+                f"zero_stage=2: expected {len(shs)} gradient leaves, "
+                f"got {len(grads)}")
+        return tuple(g if sh is None
+                     else jax.lax.with_sharding_constraint(g, sh)
+                     for g, sh in zip(grads, shs))
+
+    return constrain
 
 
 def _reshard_leaf(x, sh: NamedSharding):

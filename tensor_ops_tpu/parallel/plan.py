@@ -64,6 +64,7 @@ def _tp_shardable(net: Network, tp: int) -> bool:
 def plan_meshes(net: Network, n_devices: int, batch_size: int,
                 optimizer=None, microbatches: int = 4,
                 shard_opt_state: bool = False,
+                zero_stage: Optional[int] = None,
                 dtype_bytes: Optional[int] = None) -> List[dict]:
     """Rank every feasible ``(dp, pp, tp)`` mesh for training ``net``
     with ``fit(mesh=...)``: returns dicts sorted by ``analytic_cost``
@@ -81,6 +82,9 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
     weight rule (either dim divisible shards, so e.g. the flagship's
     (10, 100) head column-shards under tp=4) — replicated weights are
     flagged in ``notes``, fully idle tp as ``tp_idle``."""
+    if zero_stage is None:
+        zero_stage = 1 if shard_opt_state else 0
+    shard_opt_state = shard_opt_state or zero_stage >= 1
     per_seg, segs = _net_flops_and_segments(net)
     n_seg = len(per_seg)
     # each segment's rank-2 weight (the shardable tensor) and param count
@@ -161,10 +165,14 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
                     for npar, d in zip(seg_nparam, seg_div)) / pp
         m_dev = (moment_b_per_elem / dtype_bytes
                  * p_dev / (dp if (shard_opt_state and dp > 1) else 1))
-        if shard_opt_state and dp > 1:
+        g_dev = p_dev / (dp if (zero_stage >= 2 and dp > 1) else 1)
+        if zero_stage >= 2 and dp > 1:
+            notes.append("zero2: moments AND grads /dp (reduce-scatter; "
+                         "exact accounting in training_memory_report)")
+        elif shard_opt_state and dp > 1:
             notes.append("zero1: moments /dp (first free divisible dim; "
                          "exact accounting in training_memory_report)")
-        mem_dev = 2 * p_dev + m_dev  # params + grads + moments
+        mem_dev = p_dev + g_dev + m_dev  # params + grads + moments
         plans.append({
             "mesh_shape": {"data": dp, "stage": pp, "model": tp},
             "flops_per_device": flops_dev,

@@ -25,14 +25,21 @@ def device_trace(logdir: str) -> Iterator[None]:
 
 
 class StepTimer:
-    """Per-step wall timing with device sync; reports p50/p90/mean."""
+    """Per-step wall timing with device sync; reports p50/p90/mean.
+
+    Thread-safe for concurrent start/stop pairs (each thread times its
+    own request — the serving soak case: N predict threads sharing one
+    ``Predictor``): the in-flight start mark is thread-local, and the
+    samples append is atomic under the GIL."""
 
     def __init__(self):
+        import threading
+
         self.samples: List[float] = []
-        self._t0: Optional[float] = None
+        self._tl = threading.local()
 
     def start(self):
-        self._t0 = time.perf_counter()
+        self._tl.t0 = time.perf_counter()
 
     def stop(self, result=None):
         if result is not None:
@@ -42,9 +49,10 @@ class StepTimer:
                 jax.block_until_ready(result)
             except Exception:
                 pass
-        assert self._t0 is not None, "StepTimer.stop() without start()"
-        self.samples.append(time.perf_counter() - self._t0)
-        self._t0 = None
+        t0 = getattr(self._tl, "t0", None)
+        assert t0 is not None, "StepTimer.stop() without start()"
+        self.samples.append(time.perf_counter() - t0)
+        self._tl.t0 = None
 
     @contextlib.contextmanager
     def step(self):
@@ -186,6 +194,7 @@ def memory_analysis(fn, *args) -> dict:
 
 def training_memory_report(net, optimizer=None, batch_size: int = 128,
                            mesh=None, shard_opt_state: bool = False,
+                           zero_stage: int = None,
                            mixed_precision: bool = False) -> dict:
     """Analytic PER-DEVICE training-state bytes for ``fit``'s
     configuration knobs — the operator-facing answer to "what does this
@@ -193,7 +202,10 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
 
     Counts params, gradients (transient, same sharding as params),
     optimizer moments (0 for sgd, 1 for momentum, 2 for adam — ZeRO-1
-    divides each dp-divisible moment by dp when ``shard_opt_state``),
+    divides each dp-divisible moment by dp when ``shard_opt_state``;
+    ``zero_stage=2`` also divides the gradient row by dp — the
+    reduce-scattered shard is all a rank holds at the optimizer
+    boundary),
     and the bf16 compute copies under ``mixed_precision``.  Activation
     memory is workload-shaped; measure it with
     :func:`memory_analysis` on the real step instead.  Sizes follow the
@@ -203,6 +215,9 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
 
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+    if zero_stage is None:
+        zero_stage = 1 if shard_opt_state else 0
+    shard_opt_state = shard_opt_state or zero_stage >= 1
     dtype_bytes = np.dtype(net.params[0].dtype).itemsize
     tp = dp = 1
     if mesh is not None:
@@ -238,7 +253,14 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
                   if s == MODEL_AXIS]
         n_local = _sharded(shp, tp_div)
         params_b += n_local * dtype_bytes
-        grads_b += n_local * dtype_bytes
+        g_local = n_local
+        if zero_stage >= 2 and dp > 1:
+            # zero2_grad_shardings: same first-free-dim rule as moments
+            for ax, s in enumerate(spec_l):
+                if s is None and shp[ax] % dp == 0:
+                    g_local //= dp
+                    break
+        grads_b += g_local * dtype_bytes
         if optimizer is not None and optimizer.name == "adam8bit":
             # adam8bit state is FLAT (n_blocks, block) int8 codes plus
             # (n_blocks, 1) scales per moment — built by raveling the
@@ -276,5 +298,6 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
         },
         "mesh": {"dp": dp, "tp": tp},
         "zero1": bool(shard_opt_state and dp > 1),
+        "zero_stage": zero_stage if dp > 1 else 0,
         "n_moment_buffers": n_moments,
     }

@@ -113,3 +113,24 @@ def test_plan_memory_accounting(jb):
                if tuple(p["mesh_shape"].values()) == (4, 2, 1))
     assert (pp2["training_state_bytes_per_device"]
             < dp_only["training_state_bytes_per_device"])
+
+def test_plan_zero2_memory_accounting(jb):
+    """zero_stage=2 divides the gradient row by dp as well and notes it."""
+    net = _flagship(jb)
+    n_param = sum(int(np.prod(p.shape)) for p in net.params)
+    bytes_per = np.dtype(net.params[0].dtype).itemsize
+    plans = plan_meshes(net, 8, batch_size=4096, optimizer=adam(),
+                        zero_stage=2)
+    dp_only = next(p for p in plans
+                   if tuple(p["mesh_shape"].values()) == (8, 1, 1))
+    # params full; grads + 2 moments / dp=8
+    want = n_param * bytes_per + 3 * n_param * bytes_per / 8
+    assert dp_only["training_state_bytes_per_device"] == int(want)
+    assert any("zero2" in n for n in dp_only["notes"])
+    # zero_stage=1 spelling matches shard_opt_state=True
+    p1 = plan_meshes(net, 8, batch_size=4096, optimizer=adam(),
+                     zero_stage=1)
+    ps = plan_meshes(net, 8, batch_size=4096, optimizer=adam(),
+                     shard_opt_state=True)
+    assert ([p["training_state_bytes_per_device"] for p in p1]
+            == [p["training_state_bytes_per_device"] for p in ps])

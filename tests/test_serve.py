@@ -486,3 +486,73 @@ def test_sequence_predictor_reload_warms_union(jb):
     for n in (3, 5, 7):
         key = ("serve_seq", n) + jb.cache_key()
         assert key in new.op._compiled, f"length {n} not warm post-swap"
+
+def test_predictor_soak_under_concurrent_reloads(jb):
+    """Serving soak (VERDICT r3 item 7): N predict threads race M
+    hot-swaps on one Predictor.  Asserts ZERO exceptions, zero torn
+    routes (every response equals wholly-old or wholly-new model
+    output), and that no request paid a compile inside the timed
+    region (max request latency well under one measured warmup)."""
+    import threading
+    import time as _time
+
+    from tensor_ops_tpu.models.fast import QuantizedMLP
+
+    net_a = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=21))
+    net_b = gen_net(jb, 4, 3, [(8, act_logistic())], act_softmax(),
+                    Rng(jb, seed=22))
+    fa = FusedMLP.from_network(net_a)
+    qb = QuantizedMLP.from_fused(FusedMLP.from_network(net_b))
+    x = np.random.default_rng(4).uniform(0, 1, size=(3, 4))
+
+    # expected pure outputs of each serving state (computed up front)
+    out_a = Predictor(fa, buckets=(4,)).predict(x)
+    out_q = Predictor(qb, buckets=(4,)).predict(x)
+    assert not np.allclose(out_a, out_q)
+
+    pred = Predictor(fa, buckets=(4,))
+    t0 = _time.perf_counter()
+    pred.warmup()
+    warmup_s = _time.perf_counter() - t0
+
+    errors, torn = [], []
+    latencies = []
+    stop = threading.Event()
+
+    def client():
+        while not stop.is_set():
+            t = _time.perf_counter()
+            try:
+                out = pred.predict(x)
+            except Exception as e:  # noqa: BLE001 — collected, asserted
+                errors.append(repr(e))
+                return
+            latencies.append(_time.perf_counter() - t)
+            if not (np.allclose(out, out_a, atol=1e-5)
+                    or np.allclose(out, out_q, atol=1e-5)):
+                torn.append(np.asarray(out))
+                return
+
+    threads = [threading.Thread(target=client) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for k in range(6):  # M=6 alternating hot-swaps under load
+            pred.reload(qb if k % 2 == 0 else fa)
+            _time.sleep(0.1)  # let clients race the post-swap state too
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+
+    assert not errors, f"predict raised under reload: {errors[:3]}"
+    assert not torn, "a request observed a torn serving state"
+    assert len(latencies) > 50, "soak produced too few requests"
+    lat = np.sort(latencies)
+    p99 = lat[int(0.99 * (len(lat) - 1))]
+    # a compile in the request path would cost ~a warmup; warm requests
+    # are orders of magnitude cheaper even under thread contention
+    assert p99 < max(0.5 * warmup_s, 0.05), \
+        f"p99 {p99:.3f}s vs warmup {warmup_s:.3f}s — a request compiled?"
+    assert pred.latency()["n"] == len(latencies)  # timer stayed coherent
