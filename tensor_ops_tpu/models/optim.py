@@ -111,7 +111,8 @@ def adamw(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 
 
 def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-             block: int = 256) -> Optimizer:
+             block: int = 256,
+             stochastic_rounding: bool = False) -> Optimizer:
     """Adam with BLOCK-WISE 8-BIT moments (the bitsandbytes recipe,
     simplified to symmetric per-block absmax): m and v are stored as
     int8 with one f32 scale per ``block`` elements — 4x less optimizer
@@ -122,6 +123,23 @@ def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     Deterministic — the crash/resume bit-exactness property holds —
     but NOT numerically identical to ``adam()``: convergence is the
     contract (tested), not 1e-9 equality.
+
+    ``stochastic_rounding=True`` requantizes the FIRST moment with
+    UNBIASED stochastic rounding (``floor(x/s + u)``, u ~ U(0,1)): a
+    moment increment smaller than half a quantization step — which
+    nearest-rounding silently drops FOREVER (an element whose block
+    holds one large moment can stall at zero) — survives in
+    expectation.  The SECOND moment instead rounds UP (ceil): v sits
+    under a square root in the step's denominator, so UNDERestimating
+    it (which unbiased rounding does half the time, occasionally to
+    zero) explodes steps, while overestimating by at most one quantum
+    only makes them conservative — and the overestimate self-anneals
+    as the block's absmax shrinks.  The SR noise is COUNTER-BASED
+    (derived from the step index and the leaf index alone, not a
+    carried rng state), so the state layout, checkpoints,
+    ``moment_footprint``, and crash/resume BIT-exactness are all
+    unchanged: the same step at the same index rounds identically in
+    any resume chain.  Off by default (nearest rounding).
 
     State: ``(t, ((mq, ms, vq, vs), ...))`` with ``mq/vq``
     ``(n_blocks, block)`` int8 and ``ms/vs`` ``(n_blocks, 1)`` f32 —
@@ -142,11 +160,38 @@ def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 
         return np
 
-    def _q(x, xp):
+    _SR_SALT = 0xA8B17  # stream id: "adam8bit" SR noise, fixed forever
+
+    def _sr_uniform(xp, t, stream, shape):
+        """Counter-based U(0,1) noise for stochastic rounding — a pure
+        function of (step t, leaf stream id), so requantization is
+        reproducible bit-for-bit across crash/resume chains."""
+        if xp.__name__ == "jax.numpy":
+            import jax
+
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(_SR_SALT), t),
+                stream)
+            return jax.random.uniform(key, shape)
+        import numpy as _np
+
+        return _np.random.default_rng(
+            (_SR_SALT, int(t), int(stream))).uniform(size=shape)
+
+    def _q(x, xp, t=None, stream=0, mode="nearest"):
         # x: (n_blocks, block) f32 -> int8 codes + per-block scale
         s = xp.max(xp.abs(x), axis=1, keepdims=True) / 127.0
         safe = xp.where(s > 0, s, 1.0)
-        q = xp.clip(xp.rint(x / safe), -127, 127).astype("int8")
+        y = x / safe
+        if mode == "sr" and t is not None:
+            # unbiased: E[floor(y + u)] == y for u ~ U(0,1)
+            y = xp.floor(y + _sr_uniform(xp, t, stream, x.shape))
+        elif mode == "ceil":
+            # away-from-zero: |dequantized| >= |true| (denominator-safe)
+            y = xp.sign(y) * xp.ceil(xp.abs(y))
+        else:
+            y = xp.rint(y)
+        q = xp.clip(y, -127, 127).astype("int8")
         return q, s.astype(x.dtype)
 
     def _blocks(g, xp):
@@ -172,7 +217,8 @@ def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         t = t + 1
         new_qs: list = []
         new_params: list = []
-        for p, g, (mq, ms, vq, vs) in zip(params, grads, qs):
+        for idx, (p, g, (mq, ms, vq, vs)) in enumerate(
+                zip(params, grads, qs)):
             xp = _xp(g)
             gb = _blocks(g, xp)
             m = b1 * (mq * ms) + (1 - b1) * gb
@@ -181,12 +227,18 @@ def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
             vc = v / (1 - b2**t)
             step = (lr * mc / (vc**0.5 + eps)).reshape(-1)[: p.size]
             new_params.append(p - step.reshape(p.shape))
-            mq2, ms2 = _q(m, xp)
-            vq2, vs2 = _q(v, xp)
+            mmode = "sr" if stochastic_rounding else "nearest"
+            vmode = "ceil" if stochastic_rounding else "nearest"
+            mq2, ms2 = _q(m, xp, t=t, stream=2 * idx, mode=mmode)
+            vq2, vs2 = _q(v, xp, t=t, stream=2 * idx + 1, mode=vmode)
             new_qs.append((mq2, ms2, vq2, vs2))
         return (t, tuple(new_qs)), tuple(new_params)
 
-    return Optimizer(init, update, "adam8bit", hyper=(b1, b2, eps, block))
+    # hyper keeps its historical 4-tuple shape for the default (so
+    # struct_key-validated checkpoints stay loadable); SR appends a flag
+    hyper = ((b1, b2, eps, block, True) if stochastic_rounding
+             else (b1, b2, eps, block))
+    return Optimizer(init, update, "adam8bit", hyper=hyper)
 
 
 def moment_footprint(opt: Optional[Optimizer], dtype_bytes: int) -> float:
