@@ -188,6 +188,76 @@ def _normalize_zero_stage(shard_opt_state: bool, zero_stage):
     return zero_stage >= 1, int(zero_stage)
 
 
+def _normalize_mp(mixed_precision) -> str:
+    """``'off' | 'auto' | 'bf16'`` from the ``mixed_precision`` knob.
+
+    ``True`` means AUTO-ROUTE: at first compile, both the f32 and the
+    bf16 step are built and timed on the device and the faster one
+    wins (measured once per configuration, recorded loudly).  bf16 is
+    the MXU-native dtype but *loses* at small layer widths (lane
+    padding of e.g. 300/100/10-wide layers dominates; measured
+    crossover ~2048-wide, BENCH.md) — a "go faster" switch must never
+    go slower.  ``'bf16'`` forces the bf16 compute path unconditionally
+    (memory-bound deployments; exact bf16 semantics in tests)."""
+    if mixed_precision is False or mixed_precision is None:
+        return "off"
+    if mixed_precision is True or mixed_precision == "auto":
+        return "auto"
+    if mixed_precision == "bf16":
+        return "bf16"
+    raise ValueError(
+        f"mixed_precision must be False, True/'auto' (measure f32 vs "
+        f"bf16 once and take the faster), or 'bf16' (force the bf16 "
+        f"path), got {mixed_precision!r}")
+
+
+def _measure_mp_route(step_f32, step_bf16, args, rounds: int = 3,
+                      inner: int = 24):
+    """(f32_us, bf16_us) per-step device times for two compiled steps
+    on identical args — interleaved min-of-``rounds`` so clock drift
+    and one-off contention hit both arms equally; ``inner`` chained
+    async dispatches amortize the per-call host overhead."""
+    import time as _time
+
+    import jax
+
+    fns = (step_f32, step_bf16)
+    for fn in fns:
+        jax.block_until_ready(fn(*args))  # compile outside the clock
+    best = [float("inf"), float("inf")]
+    for _ in range(rounds):
+        for i, fn in enumerate(fns):
+            t0 = _time.perf_counter()
+            out = None
+            for _k in range(inner):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best[i] = min(best[i], (_time.perf_counter() - t0) / inner)
+    return best[0] * 1e6, best[1] * 1e6
+
+
+def _decide_mp_route(build_step, make_args, n_proc: int):
+    """Measure-once auto-routing for ``mixed_precision=True``: compile
+    both steps, time them on a dummy placed batch (zeros — dense TPU
+    math is data-independent), and keep bf16 only when it is >3%
+    faster (hysteresis: near-ties stay on the f32 default so repeated
+    runs of the same config don't flip routes on timing noise).  Under
+    multi-process jax every rank measures the SAME global program but
+    rank 0's verdict is broadcast — per-rank verdicts could differ on
+    a near-tie and diverging programs would deadlock the mesh."""
+    step_f32 = build_step(False)
+    step_bf16 = build_step(True)
+    f32_us, bf16_us = _measure_mp_route(step_f32, step_bf16, make_args())
+    use_bf16 = bf16_us < 0.97 * f32_us
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        use_bf16 = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(use_bf16)))
+    return use_bf16, {"mp_f32_us": round(f32_us, 2),
+                      "mp_bf16_us": round(bf16_us, 2)}
+
+
 def _zero2_grads(leaves, mesh):
     """ZeRO-2 gradient constraint over the placed training leaves
     (``parallel.mesh.zero2_grad_constrain``), warning loudly when
@@ -493,8 +563,20 @@ def fit(
     inside the jitted step; ``lr_schedule`` maps the global step index to
     a learning rate (see ``optim.cosine_schedule`` /
     ``optim.exponential_schedule``) — the lr is a traced scalar argument,
-    so schedules cause no recompilation.  ``mixed_precision=True`` runs
-    forward/backward in bfloat16 with f32 master params (jax only).
+    so schedules cause no recompilation.
+
+    ``mixed_precision=True`` (== ``"auto"``, jax only) AUTO-ROUTES: at
+    first compile both the f32 and the bf16 (f32-master) step are built
+    and timed on the device and the faster one runs — bf16 halves HBM
+    traffic but *loses* below ~2048-wide layers (lane padding; measured
+    crossover table in BENCH.md), and a "go faster" switch must never
+    go slower.  The decision is measured once per configuration, kept
+    f32 on near-ties (<3% — timing noise must not flip routes between
+    runs), printed, logged to the metrics JSONL (``mp_route`` +
+    microsecond timings), cached in-process, and recorded in every
+    ``.state`` checkpoint so ``resume=True`` re-takes the same numerics
+    without re-measuring.  ``mixed_precision="bf16"`` forces the bf16
+    path unconditionally (memory-bound deployments).
 
     ``prefetch`` (jax, single-process) keeps that many batches already
     in flight to the device (``DevicePrefetcher``): batch k+1's
@@ -575,7 +657,8 @@ def fit(
     pipelining — the ppermute ring crosses hosts, every rank loads the
     identical stream, and the replicated batch places globally."""
     opt = optimizer or sgd()
-    if mixed_precision and be.name != "jax":
+    mp_mode = _normalize_mp(mixed_precision)
+    if mp_mode != "off" and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
     if profile_dir and be.name != "jax":
         raise ValueError(
@@ -691,18 +774,20 @@ def fit(
             if zstage >= 2:
                 grad_cons = _zero2_grads(params, mesh)
 
-        key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
-               mesh, M, int(accum_steps), mixed_precision,
-               pipeline_schedule, pipeline_chunks,
-               zero_cons is not None,
-               grad_cons is not None) + be.cache_key()
-        step_fn = net.op._compiled.get(key)
-        if step_fn is None:
+        def build_step(mp_active: bool):
+            key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
+                   mesh, M, int(accum_steps), bool(mp_active),
+                   pipeline_schedule, pipeline_chunks,
+                   zero_cons is not None,
+                   grad_cons is not None) + be.cache_key()
+            step_fn = net.op._compiled.get(key)
+            if step_fn is not None:
+                return step_fn
             import jax.numpy as jnp
 
             # the closure captures only a structure skeleton — no pinned
             # parameter copy survives in the jit cache
-            if mixed_precision:
+            if mp_active:
                 # bf16 compute, f32 master params (same recipe as
                 # make_opt_step): the pipelined forward/backward runs in
                 # the MXU-native dtype; grads upcast before clip/update
@@ -748,6 +833,7 @@ def fit(
 
             step_fn = jax.jit(_pl_step)
             net.op._compiled[key] = step_fn
+            return step_fn
     elif mesh is not None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
@@ -774,11 +860,13 @@ def fit(
             if zstage >= 2:
                 grad_cons = _zero2_grads(params, mesh)
     if not pipeline_mode:
-        step_fn = make_opt_step(net, loss, be, opt, accum_steps=accum_steps,
-                                clip_norm=clip_norm,
-                                mixed_precision=mixed_precision, mesh=mesh,
-                                zero_constrain=zero_cons,
-                                grad_constrain=grad_cons)
+        def build_step(mp_active: bool):
+            return make_opt_step(net, loss, be, opt,
+                                 accum_steps=accum_steps,
+                                 clip_norm=clip_norm,
+                                 mixed_precision=mp_active, mesh=mesh,
+                                 zero_constrain=zero_cons,
+                                 grad_constrain=grad_cons)
 
     if pipeline_mode and X.shape[0] < batch_size:
         raise ValueError(
@@ -829,6 +917,79 @@ def fit(
     # id-based struct keys (custom optimizers without `hyper`) don't
     # survive process restarts — only validate factory-made optimizers
     opt_key = opt.struct_key() if opt.hyper is not None else None
+
+    # --- mixed-precision routing: resolve BEFORE the step compiles ---
+    # Priority: explicit force ('bf16') > route recorded in the
+    # checkpoint being resumed (the resumed chain must re-take the
+    # saving run's numerics exactly — a re-measure could flip on timing
+    # noise and break bit-exact resume) > in-process measured cache >
+    # measure both steps now on a dummy placed batch.
+    mp_active = mp_mode == "bf16"
+    mp_rec = None
+    if mp_mode == "auto":
+
+        def _dummy_batch():
+            # mirrors the loop's placement exactly (same shapes =>
+            # the winning route's compile is reused by step 1)
+            rows = batch_size if pipeline_mode else min(batch_size,
+                                                        X.shape[0])
+            if n_proc > 1 and not mp_replicated:
+                rows //= n_proc
+            xb = np.zeros((rows,) + tuple(X.shape[1:]), dtype=X.dtype)
+            yb = np.zeros((rows,) + tuple(Y.shape[1:]), dtype=Y.dtype)
+            if data_sh is not None:
+                import jax
+
+                if mp_replicated:
+                    return (_place(np.asarray(be.asarray(xb)), data_sh),
+                            _place(np.asarray(be.asarray(yb)), data_sh))
+                if n_proc > 1:
+                    gx = (rows * n_proc,) + xb.shape[1:]
+                    gy = (rows * n_proc,) + yb.shape[1:]
+                    return (jax.make_array_from_process_local_data(
+                                data_sh, np.asarray(be.asarray(xb)), gx),
+                            jax.make_array_from_process_local_data(
+                                data_sh, np.asarray(be.asarray(yb)), gy))
+                return (jax.device_put(be.asarray(xb), data_sh),
+                        jax.device_put(be.asarray(yb), data_sh))
+            return be.asarray(xb), be.asarray(yb)
+
+        route_key = ("mproute", loss.struct_key(), opt.struct_key(),
+                     clip_norm, mesh, int(accum_steps), int(batch_size),
+                     pipeline_mode,
+                     pipeline_schedule if pipeline_mode else None,
+                     tuple(X.shape[1:]), tuple(Y.shape[1:])) + be.cache_key()
+        stored = None
+        if resume and state_path and os.path.exists(state_path):
+            from ..utils.checkpoint import load_meta
+
+            stored = load_meta(state_path).get("mp_route")
+        if stored in ("f32", "bf16"):
+            mp_active = stored == "bf16"
+            mp_src = f"route recorded in {state_path}"
+        elif route_key in net.op._compiled:
+            mp_active, mp_rec = net.op._compiled[route_key]
+            mp_src = (f"cached measurement: f32 {mp_rec['mp_f32_us']}us "
+                      f"vs bf16 {mp_rec['mp_bf16_us']}us")
+        else:
+            mp_active, mp_rec = _decide_mp_route(
+                build_step,
+                lambda: (lr,) + _dummy_batch() + (opt_state,
+                                                  tuple(params)),
+                n_proc)
+            net.op._compiled[route_key] = (mp_active, mp_rec)
+            mp_src = (f"measured f32 {mp_rec['mp_f32_us']}us vs "
+                      f"bf16 {mp_rec['mp_bf16_us']}us")
+        if verbose:
+            print(f"mixed_precision auto-routed to "
+                  f"{'bf16' if mp_active else 'f32'} ({mp_src})")
+    step_fn = build_step(mp_active)
+    # the route travels with every .state checkpoint so resume re-takes
+    # it without re-measuring (and so operators can see what ran)
+    state_meta = {"layout": layout}
+    if mp_mode != "off":
+        state_meta["mp_route"] = "bf16" if mp_active else "f32"
+
     r_ema = None
     if resume and state_path and os.path.exists(state_path):
         from ..utils.checkpoint import load_train_state
@@ -909,7 +1070,7 @@ def fit(
         rep = training_memory_report(
             net, optimizer=opt, batch_size=batch_size, mesh=mesh,
             shard_opt_state=shard_opt_state, zero_stage=zstage,
-            mixed_precision=mixed_precision)["per_device"]
+            mixed_precision=mp_active)["per_device"]
         print(f"training state/device: "
               f"params {rep['params_bytes'] / 1e6:.2f} MB + "
               f"grads {rep['grads_bytes'] / 1e6:.2f} MB + "
@@ -927,6 +1088,11 @@ def fit(
         return Network(net.op, tuple(cur_params), net.act_names)
 
     logger = MetricsLogger(metrics_path)
+    if mp_mode != "off":
+        # the routing decision lands in the metrics JSONL too — the
+        # record an operator audits when asking "what precision ran?"
+        logger.log(step, mp_route="bf16" if mp_active else "f32",
+                   **(mp_rec or {}))
     saves = _CheckpointWrites()
     best_val, evals_since_best = float("-inf"), 0
     # the Ctrl-C handler reads ONLY this snapshot: it is replaced by a
@@ -1040,7 +1206,7 @@ def fit(
                             save_train_state_async(
                                 state_path, host_p, host_o, step,
                                 opt_key=opt_key, ema=host_e,
-                                extra_meta={"layout": layout}))
+                                extra_meta=state_meta))
                 else:
                     saves.add(
                         save_network_async(checkpoint_path,
@@ -1048,7 +1214,7 @@ def fit(
                         save_train_state_async(
                             state_path, params, opt_state, step,
                             opt_key=opt_key, ema=ema_params,
-                            extra_meta={"layout": layout}))
+                            extra_meta=state_meta))
             if stop_early:
                 if verbose:
                     name = ("val_acc" if val_metric == "accuracy"
@@ -1075,7 +1241,7 @@ def fit(
             save_network(checkpoint_path, _as_network(s_params))
             save_train_state(state_path, s_params, s_opt, s_step,
                              opt_key=opt_key, ema=s_ema,
-                             extra_meta={"layout": layout})
+                             extra_meta=state_meta)
             if verbose:
                 print(f"interrupted at step {s_step}: checkpoint saved "
                       f"to {checkpoint_path} — fit(resume=True) "
@@ -1399,9 +1565,12 @@ def fit_sequences(
 
     ``accum_steps`` accumulates gradients over that many sequence-batch
     chunks inside the jitted step before one update (jax only, batch
-    divisibility validated eagerly); ``mixed_precision`` (jax only) runs
-    the scan-BPTT forward/backward in bfloat16 with full-precision
-    master states+params; ``shard_opt_state=True`` (ZeRO-1) shards the
+    divisibility validated eagerly); ``mixed_precision`` (jax only)
+    enables the bf16 scan-BPTT step with full-precision master
+    states+params — ``True``/``"auto"`` measures the f32 and bf16 steps
+    once and takes the faster (recorded in checkpoints for exact
+    resume, same router as ``fit``); ``"bf16"`` forces the bf16 path;
+    ``shard_opt_state=True`` (ZeRO-1) shards the
     optimizer moments over the ``data`` axis (requires ``optimizer=``
     and a mesh) and ``zero_stage=2`` also reduce-scatters the joint
     state+param gradients (as in ``fit``, bit-identical to replicated);
@@ -1416,7 +1585,8 @@ def fit_sequences(
     from .recurrent import RecurrentNetwork
 
     opt = optimizer
-    if mixed_precision and be.name != "jax":
+    mp_mode = _normalize_mp(mixed_precision)
+    if mp_mode != "off" and be.name != "jax":
         raise ValueError("mixed_precision requires the jax backend")
     shard_opt_state, zstage = _normalize_zero_stage(
         shard_opt_state, zero_stage)
@@ -1584,14 +1754,81 @@ def fit_sequences(
         source = None
 
     n_seq = XS.shape[1]
-    step_fn = _seq_train_step(net, loss, be, n_seq, opt=opt,
-                              clip_norm=clip_norm, remat_every=remat_every,
-                              mesh=mesh, accum_steps=accum_steps,
-                              mixed_precision=mixed_precision,
-                              zero_constrain=zero_cons,
-                              grad_constrain=grad_cons)
+
+    def build_step(mp_active: bool):
+        return _seq_train_step(net, loss, be, n_seq, opt=opt,
+                               clip_norm=clip_norm,
+                               remat_every=remat_every,
+                               mesh=mesh, accum_steps=accum_steps,
+                               mixed_precision=mp_active,
+                               zero_constrain=zero_cons,
+                               grad_constrain=grad_cons)
+
+    # mixed-precision routing — same ladder as fit's: force > recorded
+    # in the checkpoint being resumed > in-process cache > measure now
+    mp_active = mp_mode == "bf16"
+    mp_rec = None
+    if mp_mode == "auto":
+
+        def _dummy_args():
+            rows = batch_size // n_proc if n_proc > 1 else batch_size
+            xb = np.zeros((rows,) + tuple(XS.shape[1:]), dtype=XS.dtype)
+            tb = np.zeros((rows,) + tuple(TS.shape[1:]), dtype=TS.dtype)
+            if data_sh is not None:
+                import jax
+
+                if n_proc > 1:
+                    gx = (rows * n_proc,) + xb.shape[1:]
+                    gt = (rows * n_proc,) + tb.shape[1:]
+                    xb = jax.make_array_from_process_local_data(
+                        data_sh, np.asarray(be.asarray(xb)), gx)
+                    tb = jax.make_array_from_process_local_data(
+                        data_sh, np.asarray(be.asarray(tb)), gt)
+                else:
+                    xb = jax.device_put(be.asarray(xb), data_sh)
+                    tb = jax.device_put(be.asarray(tb), data_sh)
+            else:
+                xb, tb = be.asarray(xb), be.asarray(tb)
+            if opt is None:
+                return (rate_state, rate_param, xb, tb,
+                        tuple(net.states), tuple(net.params))
+            return (rate_state / rate_param, rate_param, xb, tb,
+                    opt_state, tuple(net.states), tuple(net.params))
+
+        route_key = ("mproute_seq", loss.struct_key(),
+                     opt.struct_key() if opt is not None else None,
+                     clip_norm, mesh, int(accum_steps), int(batch_size),
+                     remat_every, tuple(XS.shape[1:]),
+                     tuple(TS.shape[1:])) + be.cache_key()
+        stored = None
+        if resume and state_path and os.path.exists(state_path):
+            from ..utils.checkpoint import load_meta
+
+            stored = load_meta(state_path).get("mp_route")
+        if stored in ("f32", "bf16"):
+            mp_active = stored == "bf16"
+            mp_src = f"route recorded in {state_path}"
+        elif route_key in net.op._compiled:
+            mp_active, mp_rec = net.op._compiled[route_key]
+            mp_src = (f"cached measurement: f32 {mp_rec['mp_f32_us']}us "
+                      f"vs bf16 {mp_rec['mp_bf16_us']}us")
+        else:
+            mp_active, mp_rec = _decide_mp_route(build_step, _dummy_args,
+                                                 n_proc)
+            net.op._compiled[route_key] = (mp_active, mp_rec)
+            mp_src = (f"measured f32 {mp_rec['mp_f32_us']}us vs "
+                      f"bf16 {mp_rec['mp_bf16_us']}us")
+        if verbose:
+            print(f"mixed_precision auto-routed to "
+                  f"{'bf16' if mp_active else 'f32'} ({mp_src})")
+    step_fn = build_step(mp_active)
+    state_meta = ({"mp_route": "bf16" if mp_active else "f32"}
+                  if mp_mode != "off" else None)
     first_step_of_run = step + 1
     logger = MetricsLogger(metrics_path)
+    if mp_mode != "off":
+        logger.log(step, mp_route="bf16" if mp_active else "f32",
+                   **(mp_rec or {}))
     history = []
     saves = _CheckpointWrites()
     snap = (net, opt_state, ema_leaves, step)
@@ -1685,7 +1922,8 @@ def fit_sequences(
                             save_recurrent_async(checkpoint_path, host_net),
                             save_train_state_async(
                                 state_path, host_leaves, host_opt, step,
-                                opt_key=opt_key, ema=host_e))
+                                opt_key=opt_key, ema=host_e,
+                                extra_meta=state_meta))
                 else:
                     saves.add(
                         save_recurrent_async(checkpoint_path, net),
@@ -1693,7 +1931,8 @@ def fit_sequences(
                             state_path,
                             tuple(net.states) + tuple(net.params),
                             opt_state if opt is not None else (), step,
-                            opt_key=opt_key, ema=ema_leaves))
+                            opt_key=opt_key, ema=ema_leaves,
+                            extra_meta=state_meta))
             if stop_early:
                 if verbose:
                     print(f"early stop at step {step}: val_loss has not "
@@ -1713,7 +1952,7 @@ def fit_sequences(
             save_train_state(
                 state_path, tuple(s_net.states) + tuple(s_net.params),
                 s_opt if opt is not None else (), s_step,
-                opt_key=opt_key, ema=s_ema)
+                opt_key=opt_key, ema=s_ema, extra_meta=state_meta)
             if verbose:
                 print(f"interrupted at step {s_step}: checkpoint saved "
                       f"to {checkpoint_path} — fit_sequences("

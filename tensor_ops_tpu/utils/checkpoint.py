@@ -66,6 +66,16 @@ def load_arrays(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
     return arrays, meta
 
 
+def load_meta(path: str) -> dict:
+    """Just the JSON manifest of a checkpoint file — the cheap peek
+    ``fit(resume=True)`` uses to adopt recorded decisions (e.g. the
+    ``mp_route`` the saving run measured) BEFORE committing to a step
+    compile; array payloads are not materialized."""
+    with np.load(path) as z:
+        return (json.loads(bytes(z["__meta__"]).decode())
+                if "__meta__" in z.files else {})
+
+
 def _network_payload(net, extra_meta: Optional[dict]) -> Tuple[dict, dict]:
     arrays = {f"param_{i}": p for i, p in enumerate(net.params)}
     meta = {

@@ -118,7 +118,7 @@ def test_fit_mixed_precision_uses_batched_graph(jb):
     proj = r.normal(size=(7, 4))
     Y = np.eye(4)[np.argmax(X @ proj, axis=1)]  # learnable labels
     res = fit(net, cross_entropy(4), jb, X, Y, epochs=8, batch_size=16,
-              lr=0.5, mixed_precision=True, verbose=False, log_every=1)
+              lr=0.5, mixed_precision="bf16", verbose=False, log_every=1)
     losses = [h["loss"] for h in res.history]
     assert all(np.isfinite(v) for v in losses)
     # bf16 steps are noisy: compare trailing mean against the start

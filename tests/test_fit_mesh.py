@@ -369,7 +369,7 @@ def test_fit_pipeline_mixed_precision_and_accum_resume(jb, tmp_path):
     mesh = make_pipeline_mesh(8)
 
     res = fit(_deep_uniform_net(jb, seed=14), loss, jb, X, Y, epochs=1,
-              batch_size=32, lr=0.05, mixed_precision=True,
+              batch_size=32, lr=0.05, mixed_precision="bf16",
               pipeline_microbatches=4, mesh=mesh, verbose=False,
               prefetch=0, log_every=1)
     assert all(np.isfinite(h["loss"]) for h in res.history)
@@ -594,7 +594,7 @@ def test_fit_sequences_mesh_accum_and_mixed(jb):
     master = np.asarray(net.params[0]).dtype
     r_mp = fit_sequences(net, loss, jb, XS, TS, epochs=2, batch_size=16,
                          rate_state=0.01, rate_param=0.1,
-                         mixed_precision=True, log_every=1, verbose=False,
+                         mixed_precision="bf16", log_every=1, verbose=False,
                          mesh=mesh)
     assert all(np.isfinite(h["loss"]) for h in r_mp.history)
     assert np.asarray(r_mp.net.params[0]).dtype == master

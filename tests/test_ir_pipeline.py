@@ -577,7 +577,7 @@ def test_hetero_tp_mixed_precision_and_accum(jb, tmp_path):
     mesh = make_3d_pipeline_mesh(2, 2, 2)
 
     res = fit(_pyramid(jb, seed=32), loss, jb, X, Y, epochs=1,
-              batch_size=16, lr=0.05, mixed_precision=True,
+              batch_size=16, lr=0.05, mixed_precision="bf16",
               pipeline_microbatches=2, mesh=mesh, verbose=False,
               prefetch=0, log_every=1)
     assert all(np.isfinite(h["loss"]) for h in res.history)

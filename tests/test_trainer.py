@@ -164,7 +164,7 @@ def test_fit_mixed_precision(jb):
     loss = cross_entropy(2)
 
     res_mp = fit(make_net(jb, seed=10), loss, jb, X, Y, epochs=6,
-                 batch_size=40, lr=0.3, mixed_precision=True,
+                 batch_size=40, lr=0.3, mixed_precision="bf16",
                  verbose=False, log_every=5)
     assert res_mp.history[-1]["loss"] < res_mp.history[0]["loss"]
     for p in res_mp.net.params:
@@ -181,6 +181,107 @@ def test_fit_mixed_precision(jb):
 
         fit(make_net(jb, seed=10), loss, NumpyBackend(), X, Y,
             mixed_precision=True)
+
+
+def test_mixed_precision_auto_routes_and_caches(jb, tmp_path, monkeypatch):
+    """mixed_precision=True auto-routes on a one-time measurement:
+    the verdict obeys the >3% hysteresis (near-ties stay f32), lands
+    in the metrics JSONL and the .state checkpoint, is cached
+    in-process (second fit of the same config never re-measures), and
+    resume adopts the recorded route without measuring at all."""
+    import tensor_ops_tpu.models.trainer as TR
+
+    X, Y, _ = toy_data(120, seed=11)
+    loss = cross_entropy(2)
+    calls = []
+
+    def fake_measure(step_f32, step_bf16, args):
+        calls.append(1)
+        return 100.0, 98.0  # bf16 only 2% faster: hysteresis keeps f32
+
+    monkeypatch.setattr(TR, "_measure_mp_route", fake_measure)
+    mpath = str(tmp_path / "m.jsonl")
+    ck = str(tmp_path / "c.npz")
+    net = make_net(jb, seed=20)
+    fit(net, loss, jb, X, Y, epochs=2, batch_size=40, lr=0.3,
+        mixed_precision=True, verbose=False, metrics_path=mpath,
+        checkpoint_path=ck, checkpoint_every=2, log_every=2)
+    assert len(calls) == 1
+    recs = [json.loads(l) for l in open(mpath)]
+    assert recs[0]["mp_route"] == "f32"
+    assert recs[0]["mp_f32_us"] == 100.0 and recs[0]["mp_bf16_us"] == 98.0
+    from tensor_ops_tpu.utils.checkpoint import load_meta
+
+    assert load_meta(ck + ".state")["mp_route"] == "f32"
+
+    # same config again on the same graph: in-process cache, no re-measure
+    fit(net, loss, jb, X, Y, epochs=1, batch_size=40, lr=0.3,
+        mixed_precision=True, verbose=False)
+    assert len(calls) == 1
+
+    # resume adopts the checkpoint's route — measuring would be a bug
+    # (a flipped route would break the saving run's numerics)
+    def boom(*a, **k):
+        raise AssertionError("resume must not re-measure the route")
+
+    monkeypatch.setattr(TR, "_decide_mp_route", boom)
+    net2 = make_net(jb, seed=20)
+    fit(net2, loss, jb, X, Y, epochs=3, batch_size=40, lr=0.3,
+        mixed_precision=True, verbose=False, checkpoint_path=ck,
+        checkpoint_every=2, resume=True)
+
+
+def test_mixed_precision_auto_picks_bf16_when_clearly_faster(jb, monkeypatch):
+    """A >3% bf16 win routes to bf16 — and the bf16 step actually runs
+    (the batched-graph key lands in the compile cache)."""
+    import tensor_ops_tpu.models.trainer as TR
+
+    X, Y, _ = toy_data(80, seed=12)
+    monkeypatch.setattr(TR, "_measure_mp_route",
+                        lambda *a: (100.0, 90.0))
+    net = make_net(jb, seed=21)
+    res = fit(net, cross_entropy(2), jb, X, Y, epochs=2, batch_size=40,
+              lr=0.3, mixed_precision=True, verbose=False, log_every=2)
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+    assert any(isinstance(k, tuple) and k and k[0] == "optstep" and k[5]
+               for k in net.op._compiled), "bf16 step was never built"
+
+
+def test_mixed_precision_rejects_unknown_value(jb):
+    X, Y, _ = toy_data(40)
+    with pytest.raises(ValueError, match="mixed_precision must be"):
+        fit(make_net(jb), cross_entropy(2), jb, X, Y,
+            mixed_precision="fp16")
+
+
+def test_fit_sequences_mixed_precision_auto_routes(jb, monkeypatch):
+    """The same measure-once router runs on fit_sequences' dual-rate
+    step (different step signature than fit's)."""
+    import tensor_ops_tpu.models.trainer as TR
+    from tensor_ops_tpu.models import fit_sequences, squared_error
+    from tensor_ops_tpu.models.recurrent import gen_net as gen_rnet
+
+    t = np.linspace(0, 2 * np.pi, 9, dtype=np.float64)
+    XS = np.stack([np.sin(t[:-1] + p)[:, None]
+                   for p in np.linspace(0, 3, 32)])
+    TS = np.stack([np.sin(t[1:] + p)[:, None]
+                   for p in np.linspace(0, 3, 32)])
+    calls = []
+
+    def fake_measure(a, b, args):
+        calls.append(1)
+        return 50.0, 10.0  # clear bf16 win
+
+    monkeypatch.setattr(TR, "_measure_mp_route", fake_measure)
+    net = gen_rnet(jb, 1, 1, [(6, act_logistic(), act_logistic())],
+                   act_logistic(), None, Rng(jb, seed=5))
+    master = np.asarray(net.params[0]).dtype
+    res = fit_sequences(net, squared_error(1), jb, XS, TS, epochs=2,
+                        batch_size=16, rate_state=0.01, rate_param=0.1,
+                        mixed_precision=True, log_every=1, verbose=False)
+    assert len(calls) == 1
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+    assert np.asarray(res.net.params[0]).dtype == master
 
 
 def test_fit_prefetch_identical_to_no_prefetch(jb):
@@ -622,7 +723,7 @@ def test_fit_sequences_mixed_precision_trains(jb):
     master_dtype = np.asarray(net.params[0]).dtype
     res = fit_sequences(net, squared_error(1), jb, XS, TS, epochs=8,
                         batch_size=16, rate_state=0.01, rate_param=0.1,
-                        mixed_precision=True, log_every=4, verbose=False)
+                        mixed_precision="bf16", log_every=4, verbose=False)
     assert res.history[-1]["loss"] < res.history[0]["loss"]
     assert np.asarray(res.net.params[0]).dtype == master_dtype
     assert np.asarray(res.net.states[0]).dtype == master_dtype
