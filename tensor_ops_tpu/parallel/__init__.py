@@ -16,6 +16,8 @@ from .ir_pipeline import (
     split_network_hetero_tp_circular,
     unchain,
 )
-from .collective_kernels import dp_megakernel_train_step, ring_all_reduce
+from .collective_kernels import (dp_megakernel_train_step, ring_all_gather,
+                                 ring_all_reduce, ring_all_reduce_bidir,
+                                 ring_reduce_scatter)
 from .distributed import init_distributed, shutdown_distributed
 from .plan import describe_plans, plan_meshes

@@ -12,7 +12,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tensor_ops_tpu.parallel.collective_kernels import (
     dp_megakernel_train_step,
+    ring_all_gather,
     ring_all_reduce,
+    ring_all_reduce_bidir,
+    ring_reduce_scatter,
 )
 
 N_DEV = 8
@@ -90,6 +93,154 @@ def test_ring_race_detector_clean():
             v, "data", interpret=pltpu.InterpretParams(detect_races=True)),
         mesh=mesh, in_specs=P("data"), out_specs=P("data"), check_vma=False)
     got = np.asarray(jax.jit(f)(x))
+    assert (got == _run_psum(x, mesh)).all()
+
+
+def _run_bidir(x, mesh):
+    f = jax.shard_map(lambda v: ring_all_reduce_bidir(v, "data"), mesh=mesh,
+                      in_specs=P("data"), out_specs=P("data"),
+                      check_vma=False)
+    return np.asarray(jax.jit(f)(x))
+
+
+def test_bidir_ring_matches_psum_bitexact_int32():
+    """Both-directions ring all-reduce == psum bit-for-bit (each
+    chunk's halves travel opposite ways; the reassembly must be
+    exact)."""
+    mesh = _mesh()
+    x = jnp.arange(N_DEV * 16 * 128, dtype=jnp.int32).reshape(N_DEV * 16,
+                                                              128)
+    assert (_run_bidir(x, mesh) == _run_psum(x, mesh)).all()
+
+
+def test_bidir_ring_matches_psum_bitexact_f32_exact_values():
+    mesh = _mesh()
+    r = np.random.default_rng(4)
+    x = jnp.asarray(
+        r.integers(-512, 512, size=(N_DEV * 8, 128)) / 256.0, jnp.float32)
+    got, want = _run_bidir(x, mesh), _run_psum(x, mesh)
+    assert (got.view(np.int32) == want.view(np.int32)).all()
+
+
+def test_bidir_ring_pads_awkward_shapes():
+    mesh = _mesh()
+    r = np.random.default_rng(5)
+    for shape in [(N_DEV * 8, 3, 7), (N_DEV * 8, 50), (N_DEV * 8,)]:
+        x = jnp.asarray(r.integers(-100, 100, size=shape), jnp.int32)
+        got, want = _run_bidir(x, mesh), _run_psum(x, mesh)
+        assert (got == want).all(), shape
+
+
+def test_bidir_ring_race_detector_clean():
+    """Two independent credit streams (one per direction) keep the
+    interpreter's race detector quiet."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = _mesh()
+    x = jnp.arange(N_DEV * 8 * 128, dtype=jnp.int32).reshape(N_DEV * 8, 128)
+    f = jax.shard_map(
+        lambda v: ring_all_reduce_bidir(
+            v, "data", interpret=pltpu.InterpretParams(detect_races=True)),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"), check_vma=False)
+    got = np.asarray(jax.jit(f)(x))
+    assert (got == _run_psum(x, mesh)).all()
+
+
+def test_bidir_ring_two_devices():
+    """n=2 degenerate ring: left == right neighbour, both directions
+    share the single link pair; the slot/credit machinery must still
+    balance (drain == step count)."""
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    x = jnp.arange(2 * 8 * 128, dtype=jnp.int32).reshape(2 * 8, 128)
+    assert (_run_bidir(x, mesh) == _run_psum(x, mesh)).all()
+
+
+def test_reduce_scatter_matches_psum_scatter_bitexact():
+    """ring_reduce_scatter == lax.psum_scatter(tiled) bit-for-bit:
+    device i keeps exactly the summed i-th leading block (the ZeRO-2
+    gradient primitive)."""
+    mesh = _mesh()
+    r = np.random.default_rng(6)
+    # local shard shape[0] (global / N_DEV) must itself divide by the
+    # ring size — the same contract lax.psum_scatter(tiled) imposes
+    for shape in [(N_DEV * 16, 128), (N_DEV * 8, 3, 7), (N_DEV * 8,)]:
+        x = jnp.asarray(r.integers(-100, 100, size=shape), jnp.int32)
+
+        def rs(v):
+            return ring_reduce_scatter(v, "data")
+
+        def want_fn(v):
+            return lax.psum_scatter(v, "data", scatter_dimension=0,
+                                    tiled=True)
+
+        got = np.asarray(jax.jit(jax.shard_map(
+            rs, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            check_vma=False))(x))
+        want = np.asarray(jax.jit(jax.shard_map(
+            want_fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            check_vma=False))(x))
+        assert (got == want).all(), shape
+
+
+def test_reduce_scatter_rejects_indivisible_leading_axis():
+    mesh = _mesh()
+    x = jnp.ones((N_DEV * 8 + 8, 4), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by the ring size"):
+        jax.jit(jax.shard_map(
+            lambda v: ring_reduce_scatter(v, "data"), mesh=mesh,
+            in_specs=P("data"), out_specs=P("data"), check_vma=False))(x)
+
+
+def test_all_gather_matches_lax_all_gather_bitexact():
+    """ring_all_gather == lax.all_gather(tiled) bit-for-bit (the ZeRO
+    param-update primitive)."""
+    mesh = _mesh()
+    r = np.random.default_rng(7)
+    for shape in [(N_DEV * 8, 128), (N_DEV * 2, 3, 5), (N_DEV * 8,)]:
+        x = jnp.asarray(r.integers(-100, 100, size=shape), jnp.int32)
+
+        got = np.asarray(jax.jit(jax.shard_map(
+            lambda v: ring_all_gather(v, "data"), mesh=mesh,
+            in_specs=P("data"), out_specs=P("data"),
+            check_vma=False))(x))
+        want = np.asarray(jax.jit(jax.shard_map(
+            lambda v: lax.all_gather(v, "data", axis=0, tiled=True),
+            mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            check_vma=False))(x))
+        assert (got == want).all(), shape
+
+
+def test_rs_then_ag_composes_to_all_reduce():
+    """reduce-scatter |> all-gather == all-reduce — the decomposition
+    ZeRO-2 rides (grads reduce-scatter down; params all-gather up)."""
+    mesh = _mesh()
+    x = jnp.arange(N_DEV * 16 * 128, dtype=jnp.int32).reshape(N_DEV * 16,
+                                                              128)
+
+    def rs_ag(v):
+        return ring_all_gather(ring_reduce_scatter(v, "data"), "data")
+
+    got = np.asarray(jax.jit(jax.shard_map(
+        rs_ag, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))(x))
+    assert (got == _run_psum(x, mesh)).all()
+
+
+def test_rs_ag_race_detector_clean():
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = _mesh()
+    ip = pltpu.InterpretParams(detect_races=True)
+    x = jnp.arange(N_DEV * 8 * 128, dtype=jnp.int32).reshape(N_DEV * 8, 128)
+
+    def rs_ag(v):
+        return ring_all_gather(
+            ring_reduce_scatter(v, "data", interpret=ip), "data",
+            interpret=ip)
+
+    got = np.asarray(jax.jit(jax.shard_map(
+        rs_ag, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))(x))
     assert (got == _run_psum(x, mesh)).all()
 
 
