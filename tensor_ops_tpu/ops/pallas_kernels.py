@@ -133,17 +133,28 @@ def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, *rest,
         y_ref[:] = _act_fn(act)(z).astype(y_ref.dtype)
 
 
-def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, int]:
-    """Tile heuristic from the on-device sweep (BENCH notes): 1024^2
-    output tiles with a 512-deep K loop balance VMEM double-buffering
-    against HBM revisit traffic; small dims collapse to one tile.  The
-    Honest on-device sweep (differential timing, BENCH.md): 512^2 output
-    tiles with the FULL contraction dim in one pass — the MXU streams
-    the whole K extent without accumulator revisits — reach 186-188
-    TFLOP/s (94-95% of bf16 peak) at K=2048..4096, vs ~170 for 1024^2
-    tiles with a 512-deep K loop.  Needs the raised VMEM limit (the
-    512xK input blocks are 4-8 MB each, double-buffered).  K beyond 8192
-    falls back to a 512-deep K loop to bound block size."""
+def pick_tiles(B: int, K: int, O: int, save_z: bool = False,
+               dtype=None) -> Tuple[int, int, int]:
+    """Measured-cache lookup, then the static heuristic.
+
+    A prior ``autotune.autotune_linear`` run for this exact
+    (B, K, O, save_z, dtype, device kind) persisted its winner to the
+    on-disk tile cache — that wins here (a dict probe at trace time,
+    never a measurement).  Otherwise the heuristic from the on-device
+    sweep (BENCH.md): 512^2 output tiles with the FULL contraction dim
+    in one pass — the MXU streams the whole K extent without
+    accumulator revisits — reach 186-188 TFLOP/s (94-95% of bf16 peak)
+    at K=2048..4096, vs ~170 for 1024^2 tiles with a 512-deep K loop.
+    Needs the raised VMEM limit (the 512xK input blocks are 4-8 MB
+    each, double-buffered).  K beyond 8192 falls back to a 512-deep K
+    loop to bound block size."""
+    from .autotune import get_tuned
+
+    dname = jnp.dtype(dtype).name if dtype is not None else "float32"
+    tuned = get_tuned("linear", B=B, K=K, O=O, save_z=int(save_z),
+                      dtype=dname)
+    if tuned is not None:
+        return tuned
     tb = min(_round_up(B, 8), 512)
     to = min(_round_up(O, LANE), 512)
     tk = _round_up(K, LANE) if K <= 8192 else 512
@@ -152,11 +163,17 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False) -> Tuple[int, int, 
 
 @_f32_kernel_scope
 def _fused_linear_padded(x, w, b, act: str, block_b: int, save_z: bool,
-                         precision: str = "default"):
-    """x:(B,K) @ w:(O,K)^T + b:(1,O), all padded to tile multiples."""
+                         precision: str = "default", tiles=None):
+    """x:(B,K) @ w:(O,K)^T + b:(1,O), all padded to tile multiples.
+    ``tiles`` (the caller's full pick_tiles/autotune triple) keeps the
+    padded-dim re-derivation from diverging from the tuned entry the
+    caller padded for."""
     B, K = x.shape
     O = w.shape[0]
-    _, block_o, block_k = pick_tiles(B, K, O, save_z)
+    if tiles is not None:
+        block_b, block_o, block_k = tiles
+    else:
+        _, block_o, block_k = pick_tiles(B, K, O, save_z)
     nk = K // block_k
     grid = (B // block_b, O // block_o, nk)
     kernel = functools.partial(_linear_act_kernel, act=act, save_z=save_z,
@@ -225,14 +242,16 @@ def _fused_linear_fwd_impl(x, w, b, act: str, save_z: bool,
                            precision: str = "default"):
     B, i = x.shape
     o = w.shape[0]
-    block_b, block_o, block_k = pick_tiles(B, i, o, save_z)
     # keep bf16 operands in bf16 (half the HBM/VMEM traffic; the kernel
     # accumulates in f32 either way); other dtypes go through f32
     op_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    tiles = pick_tiles(B, i, o, save_z, dtype=op_dtype)
+    block_b, block_o, block_k = tiles
     xp = _pad2(x.astype(op_dtype), block_b, block_k)
     wp = _pad2(w.astype(op_dtype), block_o, block_k)
     bp = jnp.pad(b.astype(jnp.float32), (0, wp.shape[0] - o)).reshape(1, -1)
-    y, z = _fused_linear_padded(xp, wp, bp, act, block_b, save_z, precision)
+    y, z = _fused_linear_padded(xp, wp, bp, act, block_b, save_z, precision,
+                                tiles=tiles)
     return y[:B, :o].astype(x.dtype), (z[:B, :o] if save_z else None)
 
 
@@ -290,16 +309,27 @@ def _mlp_kernel(x_ref, *refs, acts: Sequence[str],
 
 @_f32_kernel_scope
 def fused_mlp_forward(x, weights, biases, acts: Sequence[str],
-                      softmax_out: bool = True, block_b: int = 256,
+                      softmax_out: bool = True,
+                      block_b: Optional[int] = None,
                       precision: str = "default"):
     """Whole ffLayer-chain forward in ONE Pallas kernel: weights stay in
     VMEM across layers, activations never round-trip HBM.
 
     weights[k]: (o_k, i_k) with i_{k+1} == o_k; acts[k] applied after
     layer k (last layer uses masked softmax when ``softmax_out``).
+    ``block_b=None`` takes a prior ``autotune.autotune_mlp_forward``
+    winner for this (B, dims, device) from the tile cache, else 256.
     """
     B = x.shape[0]
     out_dim = weights[-1].shape[0]
+    if block_b is None:
+        from .autotune import get_tuned
+
+        dims = "x".join(str(d) for d in
+                        [weights[0].shape[1]] + [w.shape[0] for w in weights])
+        tuned = get_tuned("mlp_fwd", B=B, dims=dims,
+                          softmax=int(softmax_out), precision=precision)
+        block_b = tuned[0] if tuned else 256
     block_b = min(_round_up(B, 8), block_b)
     xp = _pad2(x.astype(jnp.float32), block_b, LANE)
     wts, bs = [], []
@@ -463,7 +493,8 @@ def _mlp_train_kernel(*refs, n_layers: int, acts, nb_tiles: int,
 
 @_f32_kernel_scope
 def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
-                         block_b: int = 1024, precision: str = "default",
+                         block_b: Optional[int] = None,
+                         precision: str = "default",
                          loss_kind: str = "softmax_xent"):
     """Entire MLP SGD step in ONE pallas_call.
 
@@ -479,6 +510,15 @@ def fused_mlp_train_step(x, y, weights, biases, lr, acts: Sequence[str],
     n_layers = len(weights)
     out_dim = weights[-1].shape[0]
     B = x.shape[0]
+    if block_b is None:
+        # a prior autotune.autotune_mlp_train_step winner for this
+        # (B, dims, device), else the hand-tuned 1024
+        from .autotune import get_tuned
+
+        dims = "x".join(str(d) for d in
+                        [weights[0].shape[1]] + [w.shape[0] for w in weights])
+        tuned = get_tuned("mlp_train", B=B, dims=dims, precision=precision)
+        block_b = tuned[0] if tuned else 1024
     block_b = min(_round_up(B, 8), block_b)
     xp = _pad2(x.astype(jnp.float32), block_b, LANE)
     yp = _pad2(y.astype(jnp.float32), block_b, LANE)
