@@ -123,7 +123,9 @@ def bench_mnist_train(batch=1024, steps=2000):
 
 
 def bench_mnist_train_mixed(batch=4096, steps=500):
-    """The flagship trained under fit's mixed_precision recipe: bf16
+    """The flagship trained under fit's FORCED bf16 recipe
+    (mixed_precision="bf16" — mixed_precision=True now auto-routes to
+    f32 at this width, BENCH.md "crossover"): bf16
     forward/backward through the staged-IR transposition AD via the
     BATCHED-GRAPH lowering (models/batched.py — weight gradients are
     GEMMs by construction; the vmapped per-sample path materializes B
@@ -414,8 +416,10 @@ def main():
     # from a single-run baseline; contention noise is one-sided)
     blas_base, blas_lo, blas_hi, blas_quiet = _stable_reps(
         bench_cpu_blas_baseline)
-    # bf16-mixed counts: it is fit(mixed_precision=True)'s production
-    # recipe (bf16 compute, f32 masters), not a degraded configuration
+    # bf16-mixed counts: it is fit(mixed_precision="bf16")'s production
+    # recipe (bf16 compute, f32 masters), not a degraded configuration;
+    # mixed_precision=True auto-routes AWAY from it at this width
+    # (measured crossover ~2048-wide, BENCH.md round 4)
     best_samples = max(samples_per_sec, samples4k, samples_bf16, mk_samples)
     result = {
         "metric": "mnist_mlp_train_throughput",

@@ -170,17 +170,17 @@ def _accum_scan(vag_xy, leaves, xb, yb, accum_steps: int,
 
 def _normalize_zero_stage(shard_opt_state: bool, zero_stage):
     """One ladder, two spellings: ``shard_opt_state=True`` is ZeRO-1;
-    ``zero_stage=1|2`` names the rung explicitly (2 subsumes 1 —
-    moments AND gradients shard).  Returns ``(shard_opt_state, stage)``
-    with ``shard_opt_state`` true for any stage >= 1.  An explicit
-    ``zero_stage=0`` alongside ``shard_opt_state=True`` is
-    contradictory and rejected."""
+    ``zero_stage=1|2|3`` names the rung explicitly (each subsumes the
+    ones below — 1: moments shard, 2: + gradients reduce-scatter,
+    3: + params shard between steps with gather-at-use).  Returns
+    ``(shard_opt_state, stage)`` with ``shard_opt_state`` true for any
+    stage >= 1.  An explicit ``zero_stage=0`` alongside
+    ``shard_opt_state=True`` is contradictory and rejected."""
     if zero_stage is None:
         return shard_opt_state, (1 if shard_opt_state else 0)
-    if zero_stage not in (0, 1, 2):
+    if zero_stage not in (0, 1, 2, 3):
         raise ValueError(
-            f"zero_stage must be 0, 1, or 2 (ZeRO-3 parameter sharding "
-            f"is not implemented), got {zero_stage!r}")
+            f"zero_stage must be 0, 1, 2, or 3, got {zero_stage!r}")
     if zero_stage == 0 and shard_opt_state:
         raise ValueError(
             "zero_stage=0 contradicts shard_opt_state=True — drop one "
@@ -211,32 +211,73 @@ def _normalize_mp(mixed_precision) -> str:
         f"path), got {mixed_precision!r}")
 
 
-def _measure_mp_route(step_f32, step_bf16, args, rounds: int = 3,
-                      inner: int = 24):
+def _measure_mp_route(step_f32, step_bf16, args, carry_from: int = 3,
+                      rounds: int = 3):
     """(f32_us, bf16_us) per-step device times for two compiled steps
-    on identical args — interleaved min-of-``rounds`` so clock drift
-    and one-off contention hit both arms equally; ``inner`` chained
-    async dispatches amortize the per-call host overhead."""
+    on identical args, by DIFFERENTIAL loop-carried timing (BENCH.md
+    "Methodology"): each arm runs n chained steps inside a
+    ``fori_loop`` (the training state ``args[carry_from:]`` is the
+    carry, so no iteration can be hoisted), walls for a small and a
+    big n are min-of-``rounds`` interleaved, and the per-step time is
+    their difference over (big - small) — dispatch cost and tunnel
+    RTT cancel.  Synchronization is a host scalar fetch: on tunneled
+    remote devices ``jax.block_until_ready`` returns without waiting
+    (measured 0.0s for 100 chained 4096^3 GEMMs), so naive per-call
+    timing reads pure host dispatch and would score both dtypes
+    identical.  n escalates (x8, same compiled program — n is a
+    traced bound) until the differential rises above wall-clock noise
+    (20 ms) so microsecond steps and millisecond steps both resolve."""
     import time as _time
 
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    fns = (step_f32, step_bf16)
-    for fn in fns:
-        jax.block_until_ready(fn(*args))  # compile outside the clock
-    best = [float("inf"), float("inf")]
-    for _ in range(rounds):
-        for i, fn in enumerate(fns):
-            t0 = _time.perf_counter()
-            out = None
-            for _k in range(inner):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            best[i] = min(best[i], (_time.perf_counter() - t0) / inner)
-    return best[0] * 1e6, best[1] * 1e6
+    head, carry0 = tuple(args[:carry_from]), tuple(args[carry_from:])
+
+    def make_loop(step):
+        @jax.jit
+        def run(head, carry, n):
+            def body(_i, c):
+                out = step(*head, *c)
+                return tuple(out[1:])
+
+            return lax.fori_loop(0, n, body, carry)
+
+        def loop_fn(n):
+            out = run(head, carry0, n)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return float(jnp.asarray(leaf).reshape(-1)[0]
+                         .astype(jnp.float32))
+
+        return loop_fn
+
+    loops = (make_loop(step_f32), make_loop(step_bf16))
+    for lf in loops:
+        lf(2)  # compile outside the clock (n is traced: one program)
+    small, big = 4, 20
+    while True:
+        walls = [[float("inf"), float("inf")] for _ in loops]
+        for _ in range(rounds):
+            for i, lf in enumerate(loops):
+                t0 = _time.perf_counter()
+                lf(small)
+                walls[i][0] = min(walls[i][0], _time.perf_counter() - t0)
+                t0 = _time.perf_counter()
+                lf(big)
+                walls[i][1] = min(walls[i][1], _time.perf_counter() - t0)
+        diffs = [w[1] - w[0] for w in walls]
+        # tunnel RTT jitters ~±10 ms per call: only a differential well
+        # above that separates two dtypes honestly
+        if min(diffs) > 0.15 or big >= 20480:
+            break
+        small, big = big, big * 8  # same programs, bigger signal
+    per_step = [max(d, 1e-9) / (big - small) * 1e6 for d in diffs]
+    return per_step[0], per_step[1]
 
 
-def _decide_mp_route(build_step, make_args, n_proc: int):
+def _decide_mp_route(build_step, make_args, n_proc: int,
+                     carry_from: int = 3):
     """Measure-once auto-routing for ``mixed_precision=True``: compile
     both steps, time them on a dummy placed batch (zeros — dense TPU
     math is data-independent), and keep bf16 only when it is >3%
@@ -247,7 +288,8 @@ def _decide_mp_route(build_step, make_args, n_proc: int):
     a near-tie and diverging programs would deadlock the mesh."""
     step_f32 = build_step(False)
     step_bf16 = build_step(True)
-    f32_us, bf16_us = _measure_mp_route(step_f32, step_bf16, make_args())
+    f32_us, bf16_us = _measure_mp_route(step_f32, step_bf16, make_args(),
+                                        carry_from=carry_from)
     use_bf16 = bf16_us < 0.97 * f32_us
     if n_proc > 1:
         from jax.experimental import multihost_utils
@@ -274,6 +316,38 @@ def _zero2_grads(leaves, mesh):
             "dimension) — continuing with replicated gradients (ZeRO-1)",
             stacklevel=4)
     return cons
+
+
+def _zero3_params(leaves, mesh):
+    """ZeRO-3 placement over the training leaves
+    (``parallel.mesh.zero3_param_place``): params shard over ``data``
+    between steps and gather at use inside the step.  Returns
+    ``(placed, unshard, constrain, shardings)``; warns loudly when
+    nothing can shard — the run continues as ZeRO-2, never silently."""
+    from ..parallel.mesh import zero3_param_place
+
+    placed, unshard, cons, shs = zero3_param_place(leaves, mesh)
+    if unshard is None:
+        import warnings
+
+        warnings.warn(
+            "zero_stage=3: no parameter leaf can shard over the data "
+            "axis (no data axis in the mesh, dp == 1, or no dp-divisible "
+            "dimension) — continuing with replicated params (ZeRO-2)",
+            stacklevel=4)
+    return placed, unshard, cons, shs
+
+
+def _zero3_opt_init(opt, params, mesh):
+    """ZeRO-3 optimizer state: ``opt.init`` on the already-data-sharded
+    params INHERITS the extended shardings (moments are built as
+    ``p * 0``), so nothing is extended — the in-step constraint just
+    keeps the inherited shards pinned (``parallel.mesh.pin_inherited``)
+    so XLA never re-replicates the updated moments."""
+    from ..parallel.mesh import pin_inherited
+
+    opt_state = opt.init(params)
+    return opt_state, pin_inherited(opt_state, what="optimizer state")
 
 
 def _zero1_wrap(opt_state, mesh):
@@ -357,7 +431,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   clip_norm: Optional[float] = None,
                   mixed_precision: bool = False,
                   mesh=None, zero_constrain=None,
-                  grad_constrain=None) -> Callable:
+                  grad_constrain=None, param_unshard=None,
+                  param_constrain=None, param_shardings=None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
@@ -388,7 +463,17 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     ``parallel.mesh.zero2_grad_constrain``) additionally pins ZeRO-2
     shardings on the MEAN GRADIENTS, lowering the batch-gradient
     reduction to a reduce-scatter — each dp rank holds only its 1/dp
-    gradient shard through clip and optimizer update."""
+    gradient shard through clip and optimizer update.
+
+    ``param_unshard`` / ``param_constrain`` / ``param_shardings`` (from
+    ``parallel.mesh.zero3_param_place``) complete the ladder (ZeRO-3):
+    the step receives DATA-SHARDED master params (``param_shardings``
+    replaces the Megatron specs as the step's param in/out shardings),
+    gathers them at use (``param_unshard`` — the forward/backward
+    differentiates w.r.t. the gathered copy, so no cotangent flows
+    through the constraint itself), and pins the updated masters back
+    onto their shards (``param_constrain``) — params, gradients, and
+    moments are all 1/dp resident between steps."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -401,7 +486,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     key = ("optstep", loss.struct_key(), opt.struct_key(),
            int(accum_steps), clip_norm, mixed_precision, mesh,
            zero_constrain is not None,
-           grad_constrain is not None) + be.cache_key()
+           grad_constrain is not None,
+           param_unshard is not None) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -459,21 +545,32 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
         def _shard_grads(grads):
             return grads if grad_constrain is None else grad_constrain(grads)
 
+        # ZeRO-3: gather the sharded masters ONCE at the top of the step
+        # and differentiate w.r.t. the gathered copy — identical values,
+        # and the cotangent never flows through the sharding constraint
+        def _gather_params(params):
+            return params if param_unshard is None else param_unshard(params)
+
+        def _pin_params(params):
+            return params if param_constrain is None \
+                else param_constrain(params)
+
         if accum_steps <= 1:
 
             def step(lr, xb, yb, opt_state, params):
-                v, mean_grads = batch_vag(xb, yb, params)
+                v, mean_grads = batch_vag(xb, yb, _gather_params(params))
                 mean_grads = _clip(_shard_grads(mean_grads))
                 opt_state, params = opt.update(opt_state, params, mean_grads, lr)
                 if zero_constrain is not None:
                     opt_state = zero_constrain(opt_state)
-                return v, opt_state, params
+                return v, opt_state, _pin_params(params)
 
         else:
 
             def step(lr, xb, yb, opt_state, params):
+                full = _gather_params(params)
                 v, mean_grads = _accum_scan(
-                    lambda xc, yc: batch_vag(xc, yc, params),
+                    lambda xc, yc: batch_vag(xc, yc, full),
                     params, xb, yb, accum_steps,
                     grad_constrain=grad_constrain)
                 mean_grads = _clip(_shard_grads(mean_grads))
@@ -481,7 +578,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                                                    mean_grads, lr)
                 if zero_constrain is not None:
                     opt_state = zero_constrain(opt_state)
-                return v, opt_state, new_params
+                return v, opt_state, _pin_params(new_params)
 
         if mesh is None:
             fn = jax.jit(step)
@@ -492,6 +589,11 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
 
             pspecs = param_specs(net.param_stack, mesh)
             param_sh = tuple(NamedSharding(mesh, s) for s in pspecs)
+            if param_shardings is not None:
+                # ZeRO-3: the step's param in/out shardings are the
+                # data-extended ones (None entries keep the Megatron spec)
+                param_sh = tuple(z3 or sh for z3, sh
+                                 in zip(param_shardings, param_sh))
             repl = NamedSharding(mesh, PSpec())
             data_sh = NamedSharding(mesh, PSpec(DATA_AXIS, None))
             # opt_state shardings are left None (inferred from the arrays
@@ -636,7 +738,13 @@ def fit(
     reduction lowers to a reduce-scatter, each dp rank carries only its
     1/dp gradient shard through clip and the moment update (with
     ``accum_steps`` the accumulator itself is sharded), and XLA inserts
-    the one param-update all-gather.  Still bit-identical to the
+    the one param-update all-gather.  ``3`` (ZeRO-3) ALSO shards the
+    PARAMS between steps: each rank stores only its 1/dp param shard,
+    the step gathers them at use (one all-gather in), gradients
+    reduce-scatter back onto the same shards (one reduce-scatter out),
+    and the optimizer update is collective-free shard-local math —
+    params + grads + moments all 1/dp resident, the full ladder.
+    Every stage stays bit-identical to the
     replicated run; exact crash/resume.  Works on every mesh
     kind with a data axis (dp, dp x tp, dp x pipeline).  Under
     multi-process jax each host loads only its own disjoint shard via
@@ -709,6 +817,9 @@ def fit(
     data_sh = None
     zero_cons = None   # ZeRO-1: pins moment shardings inside the step
     grad_cons = None   # ZeRO-2: pins reduce-scatter shardings on grads
+    p_unshard = None   # ZeRO-3: gathers the sharded params at use ...
+    p_cons = None      # ... and pins the updated masters back on shards
+    z3_shs = None      # ... the extended shardings (grads + resume)
     opt_state0 = None  # ... and the matching placed initial state
     n_proc, proc_idx = 1, 0
     mp_replicated = False  # multi-process stage-only mesh: identical
@@ -770,16 +881,27 @@ def fit(
         data_sh = NamedSharding(
             mesh, PSpec(DATA_AXIS, None) if has_data else PSpec())
         if shard_opt_state:
-            opt_state0, zero_cons = _zero1_init(opt, params, mesh)
-            if zstage >= 2:
-                grad_cons = _zero2_grads(params, mesh)
+            if zstage >= 3:
+                from ..parallel.mesh import pin_shardings
+
+                params, p_unshard, p_cons, z3_shs = _zero3_params(
+                    params, mesh)
+            if zstage >= 3 and p_unshard is not None:
+                opt_state0, zero_cons = _zero3_opt_init(opt, params, mesh)
+                grad_cons = pin_shardings(
+                    z3_shs, what="zero_stage=3 gradient shards")
+            else:
+                opt_state0, zero_cons = _zero1_init(opt, params, mesh)
+                if zstage >= 2:
+                    grad_cons = _zero2_grads(params, mesh)
 
         def build_step(mp_active: bool):
             key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
                    mesh, M, int(accum_steps), bool(mp_active),
                    pipeline_schedule, pipeline_chunks,
                    zero_cons is not None,
-                   grad_cons is not None) + be.cache_key()
+                   grad_cons is not None,
+                   p_unshard is not None) + be.cache_key()
             step_fn = net.op._compiled.get(key)
             if step_fn is not None:
                 return step_fn
@@ -814,13 +936,18 @@ def fit(
                 _vag = jax.value_and_grad(loss_fn)
 
             def _pl_step(lr, xb, yb, opt_state, params):
+                # ZeRO-3: gather the sharded masters once at the top;
+                # the pipelined forward/backward differentiates w.r.t.
+                # the gathered copy (identical values)
+                full = (tuple(params) if p_unshard is None
+                        else p_unshard(tuple(params)))
                 if accum_steps <= 1:
-                    v, grads = _vag(tuple(params), xb, yb)
+                    v, grads = _vag(full, xb, yb)
                     if grad_cons is not None:
                         grads = grad_cons(grads)
                 else:
                     v, grads = _accum_scan(
-                        lambda xc, yc: _vag(tuple(params), xc, yc),
+                        lambda xc, yc: _vag(full, xc, yc),
                         tuple(params), xb, yb, accum_steps,
                         grad_constrain=grad_cons)
                 if clip_norm:
@@ -829,6 +956,8 @@ def fit(
                                                grads, lr)
                 if zero_cons is not None:
                     opt_state = zero_cons(opt_state)
+                if p_cons is not None:
+                    params = p_cons(params)
                 return v, opt_state, params
 
             step_fn = jax.jit(_pl_step)
@@ -856,9 +985,19 @@ def fit(
         if n_proc > 1:
             _check_process_data_alignment(mesh, n_proc)
         if shard_opt_state:
-            opt_state0, zero_cons = _zero1_init(opt, params, mesh)
-            if zstage >= 2:
-                grad_cons = _zero2_grads(params, mesh)
+            if zstage >= 3:
+                params, p_unshard, p_cons, z3_shs = _zero3_params(
+                    params, mesh)
+            if zstage >= 3 and p_unshard is not None:
+                from ..parallel.mesh import pin_shardings
+
+                opt_state0, zero_cons = _zero3_opt_init(opt, params, mesh)
+                grad_cons = pin_shardings(
+                    z3_shs, what="zero_stage=3 gradient shards")
+            else:
+                opt_state0, zero_cons = _zero1_init(opt, params, mesh)
+                if zstage >= 2:
+                    grad_cons = _zero2_grads(params, mesh)
     if not pipeline_mode:
         def build_step(mp_active: bool):
             return make_opt_step(net, loss, be, opt,
@@ -866,7 +1005,10 @@ def fit(
                                  clip_norm=clip_norm,
                                  mixed_precision=mp_active, mesh=mesh,
                                  zero_constrain=zero_cons,
-                                 grad_constrain=grad_cons)
+                                 grad_constrain=grad_cons,
+                                 param_unshard=p_unshard,
+                                 param_constrain=p_cons,
+                                 param_shardings=z3_shs)
 
     if pipeline_mode and X.shape[0] < batch_size:
         raise ValueError(
@@ -1012,9 +1154,15 @@ def fit(
         elif mesh is not None:
             from jax.sharding import NamedSharding
 
+            # ZeRO-3 resumes onto the data-extended shardings (z3_shs
+            # entry where the leaf sharded, the Megatron spec otherwise)
+            place_shs = tuple(
+                (z3_shs[i] if z3_shs is not None and z3_shs[i] is not None
+                 else NamedSharding(mesh, s))
+                for i, s in enumerate(pspecs))
             params = tuple(
-                _place(np.asarray(be.asarray(p)), NamedSharding(mesh, s))
-                for p, s in zip(rparams, pspecs))
+                _place(np.asarray(be.asarray(p)), sh)
+                for p, sh in zip(rparams, place_shs))
         else:
             params = tuple(be.asarray(p) for p in rparams)
         # restored leaves are host numpy; re-place each onto its
@@ -1265,7 +1413,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     clip_norm: Optional[float] = None,
                     remat_every=None, mesh=None, accum_steps: int = 1,
                     mixed_precision: bool = False, zero_constrain=None,
-                    grad_constrain=None):
+                    grad_constrain=None, param_unshard=None,
+                    param_constrain=None, leaf_shardings=None):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -1303,7 +1452,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
            opt.struct_key() if opt is not None else None, clip_norm,
            remat_every, mesh, int(accum_steps),
            mixed_precision, zero_constrain is not None,
-           grad_constrain is not None) + be.cache_key()
+           grad_constrain is not None,
+           param_unshard is not None) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -1373,15 +1523,21 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
         else:
 
             def step(ratio, rp, xb, tb, opt_state, states, params):
-                v, mean = vag(xb, tb, tuple(states) + tuple(params))
+                leaves = tuple(states) + tuple(params)
+                # ZeRO-3: gather the sharded joint masters once and
+                # differentiate w.r.t. the gathered copy
+                full = (leaves if param_unshard is None
+                        else param_unshard(leaves))
+                v, mean = vag(xb, tb, full)
                 if grad_constrain is not None:
                     mean = grad_constrain(mean)
                 mean = _clip(mean)
                 scaled = tuple(ratio * gg for gg in mean[:k]) + mean[k:]
-                leaves = tuple(states) + tuple(params)
                 opt_state, leaves = opt.update(opt_state, leaves, scaled, rp)
                 if zero_constrain is not None:
                     opt_state = zero_constrain(opt_state)
+                if param_constrain is not None:
+                    leaves = param_constrain(leaves)
                 return (v, opt_state,
                         tuple(leaves[:k]), tuple(leaves[k:]))
 
@@ -1397,6 +1553,12 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
             state_sh = tuple(repl for _ in range(k))
             param_sh = tuple(NamedSharding(mesh, s)
                              for s in param_specs(net.param_stack, mesh))
+            if leaf_shardings is not None:
+                # ZeRO-3: the step's joint in/out shardings are the
+                # data-extended ones where a leaf sharded
+                joint = tuple(z3 or sh for z3, sh
+                              in zip(leaf_shardings, state_sh + param_sh))
+                state_sh, param_sh = joint[:k], joint[k:]
             if opt is None:
                 fn = jax.jit(
                     step,
@@ -1572,8 +1734,10 @@ def fit_sequences(
     resume, same router as ``fit``); ``"bf16"`` forces the bf16 path;
     ``shard_opt_state=True`` (ZeRO-1) shards the
     optimizer moments over the ``data`` axis (requires ``optimizer=``
-    and a mesh) and ``zero_stage=2`` also reduce-scatters the joint
-    state+param gradients (as in ``fit``, bit-identical to replicated);
+    and a mesh), ``zero_stage=2`` also reduce-scatters the joint
+    state+param gradients, and ``zero_stage=3`` also shards the joint
+    states+params between steps with gather-at-use (as in ``fit``,
+    every stage bit-identical to replicated);
     ``ema_decay`` keeps a Polyak/EMA copy of states+params
     (``FitSeqResult.ema_net``, stored inside the ``.state`` checkpoint,
     exact across resume); ``val=(XSv, TSv)`` logs the held-out mean
@@ -1679,17 +1843,35 @@ def fit_sequences(
             net.arch)
     step = 0
     state_path = (checkpoint_path + ".state") if checkpoint_path else None
-    opt_state = (opt.init(tuple(net.states) + tuple(net.params))
-                 if opt is not None else ())
     zero_cons = None
     grad_cons = None
+    p_unshard = None   # ZeRO-3: gather the sharded joint leaves at use
+    p_cons = None      # ... and pin the updated masters back on shards
+    z3_shs = None
+    if shard_opt_state and zstage >= 3:
+        # ZeRO-3 over the JOINT (states + params) leaves, BEFORE
+        # opt.init so the moments inherit the extended shardings
+        placed, p_unshard, p_cons, z3_shs = _zero3_params(
+            tuple(net.states) + tuple(net.params), mesh)
+        if p_unshard is not None:
+            net = RecurrentNetwork(net.op, placed[:k], placed[k:],
+                                   net.arch)
+    opt_state = (opt.init(tuple(net.states) + tuple(net.params))
+                 if opt is not None else ())
     if shard_opt_state:
-        opt_state, zero_cons = _zero1_wrap(opt_state, mesh)
-        if zstage >= 2:
-            # the joint gradient covers states THEN params — build the
-            # ZeRO-2 constraint from the same placed leaf order
-            grad_cons = _zero2_grads(
-                tuple(net.states) + tuple(net.params), mesh)
+        if p_unshard is not None:
+            from ..parallel.mesh import pin_inherited, pin_shardings
+
+            zero_cons = pin_inherited(opt_state, what="optimizer state")
+            grad_cons = pin_shardings(
+                z3_shs, what="zero_stage=3 gradient shards")
+        else:
+            opt_state, zero_cons = _zero1_wrap(opt_state, mesh)
+            if zstage >= 2:
+                # the joint gradient covers states THEN params — build
+                # the ZeRO-2 constraint from the same placed leaf order
+                grad_cons = _zero2_grads(
+                    tuple(net.states) + tuple(net.params), mesh)
     opt_key = (opt.struct_key()
                if opt is not None and opt.hyper is not None else None)
     r_ema = None
@@ -1709,12 +1891,18 @@ def fit_sequences(
                 tuple(be.asarray(p) for p in flat[k:]), net.arch)
         else:
             # restored leaves are host numpy; re-place each onto its
-            # training-time sharding (cross-process aware)
+            # training-time sharding (cross-process aware; ZeRO-3
+            # leaves resume onto their data-extended shardings)
+            base_shs = ([repl] * k
+                        + [NamedSharding(mesh, sp) for sp in pspecs])
+            if z3_shs is not None:
+                base_shs = [z3 or sh for z3, sh in zip(z3_shs, base_shs)]
             net = RecurrentNetwork(
                 net.op,
-                tuple(_place(np.asarray(s), repl) for s in flat[:k]),
-                tuple(_place(np.asarray(p), NamedSharding(mesh, sp))
-                      for p, sp in zip(flat[k:], pspecs)), net.arch)
+                tuple(_place(np.asarray(s), sh)
+                      for s, sh in zip(flat[:k], base_shs[:k])),
+                tuple(_place(np.asarray(p), sh)
+                      for p, sh in zip(flat[k:], base_shs[k:])), net.arch)
         if opt is not None:
             opt_state = _restore_opt_state(opt_state, r_opt_state, be)
         if verbose:
@@ -1762,7 +1950,10 @@ def fit_sequences(
                                mesh=mesh, accum_steps=accum_steps,
                                mixed_precision=mp_active,
                                zero_constrain=zero_cons,
-                               grad_constrain=grad_cons)
+                               grad_constrain=grad_cons,
+                               param_unshard=p_unshard,
+                               param_constrain=p_cons,
+                               leaf_shardings=z3_shs)
 
     # mixed-precision routing — same ladder as fit's: force > recorded
     # in the checkpoint being resumed > in-process cache > measure now
@@ -1814,7 +2005,7 @@ def fit_sequences(
                       f"vs bf16 {mp_rec['mp_bf16_us']}us")
         else:
             mp_active, mp_rec = _decide_mp_route(build_step, _dummy_args,
-                                                 n_proc)
+                                                 n_proc, carry_from=4)
             net.op._compiled[route_key] = (mp_active, mp_rec)
             mp_src = (f"measured f32 {mp_rec['mp_f32_us']}us vs "
                       f"bf16 {mp_rec['mp_bf16_us']}us")

@@ -253,6 +253,96 @@ def zero2_grad_constrain(leaves, mesh: Mesh):
     return constrain
 
 
+def pin_shardings(shs, what: str = "leaves"):
+    """A function pinning a same-length leaf tuple to ``shs`` (one
+    ``NamedSharding`` or ``None`` per leaf — ``None`` leaves untouched)
+    inside a jitted step, or ``None`` when there is nothing to pin.
+    The generic form of :func:`zero2_grad_constrain`, used by the
+    ZeRO-3 param/gradient pins."""
+    shs = tuple(shs)
+    if not any(sh is not None for sh in shs):
+        return None
+
+    def constrain(leaves):
+        if len(leaves) != len(shs):
+            raise ValueError(
+                f"{what}: expected {len(shs)} leaves, got {len(leaves)}")
+        return tuple(x if sh is None
+                     else jax.lax.with_sharding_constraint(x, sh)
+                     for x, sh in zip(leaves, shs))
+
+    return constrain
+
+
+def pin_inherited(tree, what: str = "optimizer state"):
+    """A function pinning every array leaf of a same-structure pytree to
+    the sharding it holds NOW, or ``None`` when no leaf carries a
+    ``NamedSharding``.  Used for the ZeRO-3 optimizer state: moments
+    built by ``opt.init`` on data-sharded params INHERIT the extended
+    shardings, so there is nothing to extend — only to keep (without
+    the in-step pin XLA may re-replicate the updated moments)."""
+    flat, _ = jax.tree.flatten(tree)
+    shs = [x.sharding if isinstance(x, jax.Array)
+           and isinstance(x.sharding, NamedSharding) else None
+           for x in flat]
+    if not any(sh is not None for sh in shs):
+        return None
+
+    def constrain(new):
+        leaves, td = jax.tree.flatten(new)
+        if len(leaves) != len(shs):
+            raise ValueError(
+                f"{what} changed structure across the update "
+                f"({len(shs)} leaves at init, {len(leaves)} after)")
+        leaves = [x if sh is None
+                  else jax.lax.with_sharding_constraint(x, sh)
+                  for x, sh in zip(leaves, shs)]
+        return jax.tree.unflatten(td, leaves)
+
+    return constrain
+
+
+def zero3_param_place(leaves, mesh: Mesh):
+    """ZeRO-3 parameter sharding: each PLACED training leaf's sharding
+    extended by the ``data`` axis under the same dim-choice rule as the
+    ZeRO-1 moments and ZeRO-2 gradients (:func:`_data_extended_sharding`)
+    — between steps every dp rank holds only its 1/dp shard of each
+    divisible param.  Inside the jitted step the params are gathered AT
+    USE (``unshard``: a ``with_sharding_constraint`` back to the leaf's
+    original spec — XLA inserts the all-gather where the sharded master
+    meets it), the forward/backward runs on the gathered copy, gradients
+    reduce-scatter onto the SAME shards (pin ``shardings`` on them with
+    :func:`pin_shardings`), and the optimizer update is collective-free
+    shard-local math — the full ZeRO ladder (one all-gather in, one
+    reduce-scatter out, 1/dp params+grads+moments resident).
+
+    Returns ``(placed, unshard_fn, constrain_fn, shardings)``:
+    ``placed`` the resharded leaves, ``unshard_fn`` the gather-at-use
+    pin (on the ORIGINAL specs), ``constrain_fn`` the keep-sharded pin
+    for the UPDATED leaves (both for inside the jitted step), and
+    ``shardings`` the extended ``NamedSharding``-or-``None`` per leaf
+    (also the correct gradient shardings — gradient shard and param
+    shard must coincide leaf-for-leaf).  When nothing can shard (no
+    data axis, dp == 1, no divisible dim) the leaves come back
+    untouched with both fns ``None`` — callers treat that as a loud
+    no-op, never a silent one."""
+    flat = tuple(leaves)
+    dp = dict(mesh.shape).get(DATA_AXIS, 1)
+    shs = tuple(_data_extended_sharding(x, mesh, dp) for x in flat)
+    if not any(sh is not None for sh in shs):
+        return flat, None, None, shs
+    orig = tuple(
+        None if sh is None
+        else (x.sharding if isinstance(x.sharding, NamedSharding)
+              else NamedSharding(mesh, PSpec()))
+        for x, sh in zip(flat, shs))
+    placed = tuple(x if sh is None else _reshard_leaf(x, sh)
+                   for x, sh in zip(flat, shs))
+    unshard = pin_shardings(orig, what="zero_stage=3 gathered params")
+    constrain = pin_shardings(shs, what="zero_stage=3 param shards")
+    return placed, unshard, constrain, shs
+
+
 def _reshard_leaf(x, sh: NamedSharding):
     """Reshard one array onto ``sh`` — ``device_put`` when the target is
     fully addressable, a compiled identity otherwise (multi-host: all

@@ -161,12 +161,17 @@ def plan_meshes(net: Network, n_devices: int, batch_size: int,
         # per-device training state: each segment's params split over
         # its tp divisor, everything over pp stages; moments
         # additionally over dp under ZeRO-1
-        p_dev = sum(npar * dtype_bytes / d
-                    for npar, d in zip(seg_nparam, seg_div)) / pp
+        p_full = sum(npar * dtype_bytes / d
+                     for npar, d in zip(seg_nparam, seg_div)) / pp
         m_dev = (moment_b_per_elem / dtype_bytes
-                 * p_dev / (dp if (shard_opt_state and dp > 1) else 1))
-        g_dev = p_dev / (dp if (zero_stage >= 2 and dp > 1) else 1)
-        if zero_stage >= 2 and dp > 1:
+                 * p_full / (dp if (shard_opt_state and dp > 1) else 1))
+        g_dev = p_full / (dp if (zero_stage >= 2 and dp > 1) else 1)
+        p_dev = p_full / (dp if (zero_stage >= 3 and dp > 1) else 1)
+        if zero_stage >= 3 and dp > 1:
+            notes.append("zero3: params AND grads AND moments /dp "
+                         "(gather-at-use; exact accounting in "
+                         "training_memory_report)")
+        elif zero_stage >= 2 and dp > 1:
             notes.append("zero2: moments AND grads /dp (reduce-scatter; "
                          "exact accounting in training_memory_report)")
         elif shard_opt_state and dp > 1:

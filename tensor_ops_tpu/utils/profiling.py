@@ -205,8 +205,11 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
     divides each dp-divisible moment by dp when ``shard_opt_state``;
     ``zero_stage=2`` also divides the gradient row by dp — the
     reduce-scattered shard is all a rank holds at the optimizer
-    boundary),
-    and the bf16 compute copies under ``mixed_precision``.  Activation
+    boundary; ``zero_stage=3`` also divides the PARAM row by dp — the
+    masters live sharded between steps and gather at use, so the
+    transient gathered copy is compute-scoped, not resident),
+    and the bf16 compute copies under ``mixed_precision`` (always full:
+    the bf16 copy is made of the gathered params inside the step).  Activation
     memory is workload-shaped; measure it with
     :func:`memory_analysis` on the real step instead.  Sizes follow the
     same placement rules ``fit`` uses (``param_specs`` +
@@ -252,15 +255,16 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
         tp_div = [(ax, tp) for ax, s in enumerate(spec_l)
                   if s == MODEL_AXIS]
         n_local = _sharded(shp, tp_div)
-        params_b += n_local * dtype_bytes
-        g_local = n_local
-        if zero_stage >= 2 and dp > 1:
-            # zero2_grad_shardings: same first-free-dim rule as moments
+        dp_local = n_local
+        if dp > 1:
+            # the shared ZeRO dim-choice rule: first spec-free
+            # dp-divisible dim (zero1/zero2/zero3 all use it)
             for ax, s in enumerate(spec_l):
                 if s is None and shp[ax] % dp == 0:
-                    g_local //= dp
+                    dp_local //= dp
                     break
-        grads_b += g_local * dtype_bytes
+        params_b += (dp_local if zero_stage >= 3 else n_local) * dtype_bytes
+        grads_b += (dp_local if zero_stage >= 2 else n_local) * dtype_bytes
         if optimizer is not None and optimizer.name == "adam8bit":
             # adam8bit state is FLAT (n_blocks, block) int8 codes plus
             # (n_blocks, 1) scales per moment — built by raveling the
@@ -274,13 +278,8 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
                 m_bytes //= dp
             moments_b += m_bytes
         else:
-            m_local = n_local
-            if shard_opt_state and dp > 1:
-                # zero1_shardings: first spec-free dp-divisible dim
-                for ax, s in enumerate(spec_l):
-                    if s is None and shp[ax] % dp == 0:
-                        m_local //= dp
-                        break
+            # zero1_shardings: the shared first-free-dim rule above
+            m_local = dp_local if shard_opt_state else n_local
             moments_b += int(moment_b_per_elem * m_local)
     # bf16 compute copies: params cast to 2-byte bf16 inside the step
     compute_b = (params_b // dtype_bytes) * 2 if mixed_precision else 0

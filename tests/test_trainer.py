@@ -195,7 +195,7 @@ def test_mixed_precision_auto_routes_and_caches(jb, tmp_path, monkeypatch):
     loss = cross_entropy(2)
     calls = []
 
-    def fake_measure(step_f32, step_bf16, args):
+    def fake_measure(step_f32, step_bf16, args, **kw):
         calls.append(1)
         return 100.0, 98.0  # bf16 only 2% faster: hysteresis keeps f32
 
@@ -238,7 +238,7 @@ def test_mixed_precision_auto_picks_bf16_when_clearly_faster(jb, monkeypatch):
 
     X, Y, _ = toy_data(80, seed=12)
     monkeypatch.setattr(TR, "_measure_mp_route",
-                        lambda *a: (100.0, 90.0))
+                        lambda *a, **k: (100.0, 90.0))
     net = make_net(jb, seed=21)
     res = fit(net, cross_entropy(2), jb, X, Y, epochs=2, batch_size=40,
               lr=0.3, mixed_precision=True, verbose=False, log_every=2)
@@ -268,7 +268,7 @@ def test_fit_sequences_mixed_precision_auto_routes(jb, monkeypatch):
                    for p in np.linspace(0, 3, 32)])
     calls = []
 
-    def fake_measure(a, b, args):
+    def fake_measure(a, b, args, **kw):
         calls.append(1)
         return 50.0, 10.0  # clear bf16 win
 

@@ -267,7 +267,7 @@ def test_zero2_memory_report_and_validation(jb):
     X, Y = _data(n=32)
     loss = cross_entropy(4)
     with pytest.raises(ValueError, match="zero_stage must be"):
-        fit(_net(jb), loss, jb, X, Y, mesh=mesh, zero_stage=3,
+        fit(_net(jb), loss, jb, X, Y, mesh=mesh, zero_stage=4,
             verbose=False)
     with pytest.raises(ValueError, match="contradicts"):
         fit(_net(jb), loss, jb, X, Y, mesh=mesh, zero_stage=0,
