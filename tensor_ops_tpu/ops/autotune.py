@@ -113,10 +113,36 @@ def make_key(kernel: str, **params) -> str:
     return "|".join(parts)
 
 
+_PACKAGED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tuned_tiles.json")
+_packaged: Optional[Dict[str, dict]] = None
+
+
+def _packaged_tiles() -> Dict[str, dict]:
+    """Read-only tuning table shipped WITH the package
+    (``ops/tuned_tiles.json``): winners measured on known device kinds
+    (key includes ``dev=``, so a different chip never matches).  The
+    user cache always wins over it — this is the fallback for fresh
+    machines/homes where no ``autotune_*`` run has populated
+    ``~/.cache`` yet."""
+    global _packaged
+    if _packaged is None:
+        try:
+            with open(_PACKAGED_PATH) as f:
+                _packaged = json.load(f)
+        except (OSError, ValueError):
+            _packaged = {}
+    return _packaged
+
+
 def get_tuned(kernel: str, **params) -> Optional[tuple]:
     """Hot-path cache probe used by ``pick_tiles`` and the mlp kernels;
-    returns the tuned config tuple or None (never measures)."""
-    entry = _CACHE.get(make_key(kernel, **params))
+    returns the tuned config tuple or None (never measures).  Probes
+    the user cache first, then the packaged table."""
+    key = make_key(kernel, **params)
+    entry = _CACHE.get(key)
+    if entry is None:
+        entry = _packaged_tiles().get(key)
     if entry is None:
         return None
     return tuple(entry["tiles"])

@@ -121,3 +121,29 @@ def test_cache_survives_process_boundary_simulation(tile_cache):
     with open(tile_cache.path, "w") as f:
         f.write("{corrupt")
     assert TileCache(tile_cache.path).get(key) is None
+
+
+def test_packaged_table_fallback(tile_cache, monkeypatch, tmp_path):
+    """A miss in the user cache falls through to the packaged
+    ``ops/tuned_tiles.json`` table; a user-cache entry for the same key
+    wins over it; a foreign device kind never matches."""
+    key = make_key("linear", B=96, K=96, O=96, save_z=0, dtype="float32")
+    pkg = tmp_path / "tuned_tiles.json"
+    pkg.write_text(json.dumps({key: {"tiles": [96, 128, 128], "us": 1.0,
+                                     "candidates": 1}}))
+    monkeypatch.setattr(autotune, "_PACKAGED_PATH", str(pkg))
+    monkeypatch.setattr(autotune, "_packaged", None)
+    assert autotune.get_tuned("linear", B=96, K=96, O=96, save_z=0,
+                              dtype="float32") == (96, 128, 128)
+    # user cache shadows the packaged entry
+    tile_cache.put(key, {"tiles": [8, 128, 128], "us": 0.5, "candidates": 1})
+    assert autotune.get_tuned("linear", B=96, K=96, O=96, save_z=0,
+                              dtype="float32") == (8, 128, 128)
+    # the shipped table's real entries are keyed by device kind, so a
+    # CPU test run never consumes the v5e winners
+    monkeypatch.setattr(autotune, "_PACKAGED_PATH",
+                        autotune.__file__.replace("autotune.py",
+                                                  "tuned_tiles.json"))
+    monkeypatch.setattr(autotune, "_packaged", None)
+    for k in autotune._packaged_tiles():
+        assert "dev=" in k
