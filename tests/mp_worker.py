@@ -65,13 +65,15 @@ mesh = make_mesh(len(jax.devices()))  # global (data=2, model=4)
 ck = os.environ["TOPS_MP_CKPT"]
 kw = dict(batch_size=16, lr=0.05, optimizer=adam(), log_every=1,
           verbose=False, seed=0, checkpoint_path=ck, checkpoint_every=2,
-          # ZeRO-1 with the data axis CROSSING the process boundary:
-          # moment placement takes the compiled-identity reshard
-          # (_reshard_leaf's non-addressable branch), checkpoints gather
-          # the process-spanning moments, resume re-places them — and
-          # the run must STILL equal the replicated single-process
-          # reference at 1e-9 (ZeRO is exact)
-          shard_opt_state=True)
+          # the FULL ZeRO-3 ladder with the data axis CROSSING the
+          # process boundary: params+grads+moments all shard over a
+          # host-spanning axis, placement takes the compiled-identity
+          # reshard (_reshard_leaf's non-addressable branch), the step
+          # gathers params at use across hosts, checkpoints gather the
+          # process-spanning shards, resume re-places them onto the
+          # extended shardings — and the run must STILL equal the
+          # replicated single-process reference at 1e-9 (ZeRO is exact)
+          zero_stage=3)
 
 # leg 1: train 1 epoch (4 steps), checkpointing from rank 0
 res1 = fit(build_net(be), loss, be, X, Y, epochs=1, mesh=mesh, **kw)

@@ -231,10 +231,12 @@ def test_two_process_distributed_fit_equals_single_process(tmp_path):
     ref_losses, ref_params = _single_process_reference()
     # the 2-process loss curve (including the crash/resume seam after
     # step 4) equals the uninterrupted single-process semantics at 1e-9.
-    # The worker runs scenario 1 with shard_opt_state=True — ZeRO-1
-    # moments sharded over the PROCESS-CROSSING data axis — while this
-    # reference keeps replicated moments: equality also proves ZeRO's
-    # exactness through the multi-host placement/checkpoint/resume path
+    # The worker runs scenario 1 with zero_stage=3 — params, gradients,
+    # AND moments sharded over the PROCESS-CROSSING data axis (params
+    # gathered at use inside the step, across hosts) — while this
+    # reference keeps everything replicated: equality also proves the
+    # full ZeRO ladder's exactness through the multi-host
+    # placement/checkpoint/resume path
     for a, b in zip(ranks[0]["losses"], ref_losses):
         assert abs(a - b) < 1e-9, (ranks[0]["losses"], ref_losses)
     for a, b in zip(ranks[0]["params"], ref_params):
