@@ -456,5 +456,40 @@ def main():
     print(json.dumps(result))
 
 
+def autotune_main():
+    """``bench.py --autotune``: re-derive the tile cache for this
+    device — sweep the three bench kernels (fused matmul roofline,
+    deep-sweep save_z layer, flagship megakernel), persist winners to
+    ``~/.cache/tensor_ops_tpu/tiles.json``, and print the entries.  Run
+    once per device generation; subsequent bench/train runs consume the
+    winners through ``pick_tiles``' trace-time cache probe."""
+    import jax.numpy as jnp
+
+    from tensor_ops_tpu.ops.autotune import (
+        autotune_linear,
+        autotune_mlp_train_step,
+        default_cache_path,
+    )
+
+    print("tuning fused matmul 4096^3 bf16 (no z)...")
+    w0 = autotune_linear(4096, 4096, 4096, save_z=False,
+                         dtype=jnp.bfloat16, act="relu", verbose=True)
+    print("tuning deep-sweep layer 4096^3 bf16 (save_z)...")
+    w1 = autotune_linear(4096, 4096, 4096, save_z=True,
+                         dtype=jnp.bfloat16, act="relu", verbose=True)
+    print("tuning megakernel 784/300/100/10 @ 8192...")
+    w2 = autotune_mlp_train_step(
+        8192, [784, 300, 100, 10],
+        ["logistic", "logistic", "logistic"], verbose=True)
+    print(json.dumps({"cache": default_cache_path(),
+                      "linear": list(w0), "linear_save_z": list(w1),
+                      "megakernel_block_b": w2}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--autotune" in sys.argv[1:]:
+        autotune_main()
+    else:
+        main()

@@ -93,6 +93,11 @@ class CustomDistribution(Distribution):
         f = self.samplers.get(backend_name)
         if f is not None:
             return f(rng, shape)
+        if self.icdf is None:
+            raise ValueError(
+                f"CustomDistribution({self.label}): no sampler "
+                f"registered for backend {backend_name!r} (have "
+                f"{sorted(self.samplers)}) and no icdf= fallback")
         return self.icdf(uniform01(shape))
 
     def __repr__(self):

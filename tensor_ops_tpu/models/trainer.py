@@ -205,6 +205,10 @@ def _normalize_mp(mixed_precision) -> str:
         return "auto"
     if mixed_precision == "bf16":
         return "bf16"
+    if not isinstance(mixed_precision, str):
+        # pre-router callers passed any truthy/falsy value (ints,
+        # numpy bools) — keep accepting them with the same semantics
+        return "auto" if mixed_precision else "off"
     raise ValueError(
         f"mixed_precision must be False, True/'auto' (measure f32 vs "
         f"bf16 once and take the faster), or 'bf16' (force the bf16 "
@@ -298,6 +302,55 @@ def _decide_mp_route(build_step, make_args, n_proc: int,
             np.asarray(use_bf16)))
     return use_bf16, {"mp_f32_us": round(f32_us, 2),
                       "mp_bf16_us": round(bf16_us, 2)}
+
+
+def _resolve_mp_route(net, build_step, dummy_args, route_key, *,
+                      resume, state_path, n_proc, carry_from, verbose):
+    """The one auto-routing ladder both fit loops share.  Priority:
+    route recorded in the checkpoint being resumed (the resumed chain
+    must re-take the saving run's numerics exactly — a re-measure
+    could flip on timing noise and break bit-exact resume) >
+    LEGACY-resume adoption (a checkpoint with no ``mp_route`` was
+    saved by a build where ``mixed_precision=True`` FORCED bf16, so
+    resuming it under ``True`` adopts bf16 with a warning rather than
+    silently re-measuring into a mid-chain dtype flip) > in-process
+    measured cache > measure both compiled steps now.  Returns
+    ``(mp_active, mp_rec)``."""
+    mp_rec = None
+    stored = legacy = None
+    if resume and state_path and os.path.exists(state_path):
+        from ..utils.checkpoint import load_meta
+
+        stored = load_meta(state_path).get("mp_route")
+        legacy = stored is None
+    if stored in ("f32", "bf16"):
+        mp_active = stored == "bf16"
+        mp_src = f"route recorded in {state_path}"
+    elif legacy:
+        import warnings
+
+        warnings.warn(
+            f"resuming {state_path} which records no mp_route (saved "
+            "by a pre-auto-routing build, where mixed_precision=True "
+            "forced bf16) — adopting bf16 to preserve the saving "
+            "run's numerics; pass mixed_precision='bf16' or False to "
+            "choose explicitly", stacklevel=3)
+        mp_active = True
+        mp_src = "legacy checkpoint (no recorded route): bf16 adopted"
+    elif route_key in net.op._compiled:
+        mp_active, mp_rec = net.op._compiled[route_key]
+        mp_src = (f"cached measurement: f32 {mp_rec['mp_f32_us']}us "
+                  f"vs bf16 {mp_rec['mp_bf16_us']}us")
+    else:
+        mp_active, mp_rec = _decide_mp_route(build_step, dummy_args,
+                                             n_proc, carry_from=carry_from)
+        net.op._compiled[route_key] = (mp_active, mp_rec)
+        mp_src = (f"measured f32 {mp_rec['mp_f32_us']}us vs "
+                  f"bf16 {mp_rec['mp_bf16_us']}us")
+    if verbose:
+        print(f"mixed_precision auto-routed to "
+              f"{'bf16' if mp_active else 'f32'} ({mp_src})")
+    return mp_active, mp_rec
 
 
 def _zero2_grads(leaves, mesh):
@@ -1096,35 +1149,21 @@ def fit(
                         jax.device_put(be.asarray(yb), data_sh))
             return be.asarray(xb), be.asarray(yb)
 
+        # ZeRO knobs change the step's collective traffic (bf16 halves
+        # the all-gather/reduce-scatter bytes), so a verdict measured
+        # at one stage must not be reused at another
         route_key = ("mproute", loss.struct_key(), opt.struct_key(),
                      clip_norm, mesh, int(accum_steps), int(batch_size),
                      pipeline_mode,
                      pipeline_schedule if pipeline_mode else None,
+                     zstage, zero_cons is not None, grad_cons is not None,
+                     p_unshard is not None,
                      tuple(X.shape[1:]), tuple(Y.shape[1:])) + be.cache_key()
-        stored = None
-        if resume and state_path and os.path.exists(state_path):
-            from ..utils.checkpoint import load_meta
-
-            stored = load_meta(state_path).get("mp_route")
-        if stored in ("f32", "bf16"):
-            mp_active = stored == "bf16"
-            mp_src = f"route recorded in {state_path}"
-        elif route_key in net.op._compiled:
-            mp_active, mp_rec = net.op._compiled[route_key]
-            mp_src = (f"cached measurement: f32 {mp_rec['mp_f32_us']}us "
-                      f"vs bf16 {mp_rec['mp_bf16_us']}us")
-        else:
-            mp_active, mp_rec = _decide_mp_route(
-                build_step,
-                lambda: (lr,) + _dummy_batch() + (opt_state,
-                                                  tuple(params)),
-                n_proc)
-            net.op._compiled[route_key] = (mp_active, mp_rec)
-            mp_src = (f"measured f32 {mp_rec['mp_f32_us']}us vs "
-                      f"bf16 {mp_rec['mp_bf16_us']}us")
-        if verbose:
-            print(f"mixed_precision auto-routed to "
-                  f"{'bf16' if mp_active else 'f32'} ({mp_src})")
+        mp_active, mp_rec = _resolve_mp_route(
+            net, build_step,
+            lambda: (lr,) + _dummy_batch() + (opt_state, tuple(params)),
+            route_key, resume=resume, state_path=state_path,
+            n_proc=n_proc, carry_from=3, verbose=verbose)
     step_fn = build_step(mp_active)
     # the route travels with every .state checkpoint so resume re-takes
     # it without re-measuring (and so operators can see what ran)
@@ -1989,29 +2028,15 @@ def fit_sequences(
         route_key = ("mproute_seq", loss.struct_key(),
                      opt.struct_key() if opt is not None else None,
                      clip_norm, mesh, int(accum_steps), int(batch_size),
-                     remat_every, tuple(XS.shape[1:]),
+                     remat_every,
+                     zstage, zero_cons is not None, grad_cons is not None,
+                     p_unshard is not None,
+                     tuple(XS.shape[1:]),
                      tuple(TS.shape[1:])) + be.cache_key()
-        stored = None
-        if resume and state_path and os.path.exists(state_path):
-            from ..utils.checkpoint import load_meta
-
-            stored = load_meta(state_path).get("mp_route")
-        if stored in ("f32", "bf16"):
-            mp_active = stored == "bf16"
-            mp_src = f"route recorded in {state_path}"
-        elif route_key in net.op._compiled:
-            mp_active, mp_rec = net.op._compiled[route_key]
-            mp_src = (f"cached measurement: f32 {mp_rec['mp_f32_us']}us "
-                      f"vs bf16 {mp_rec['mp_bf16_us']}us")
-        else:
-            mp_active, mp_rec = _decide_mp_route(build_step, _dummy_args,
-                                                 n_proc, carry_from=4)
-            net.op._compiled[route_key] = (mp_active, mp_rec)
-            mp_src = (f"measured f32 {mp_rec['mp_f32_us']}us vs "
-                      f"bf16 {mp_rec['mp_bf16_us']}us")
-        if verbose:
-            print(f"mixed_precision auto-routed to "
-                  f"{'bf16' if mp_active else 'f32'} ({mp_src})")
+        mp_active, mp_rec = _resolve_mp_route(
+            net, build_step, _dummy_args, route_key,
+            resume=resume, state_path=state_path,
+            n_proc=n_proc, carry_from=4, verbose=verbose)
     step_fn = build_step(mp_active)
     state_meta = ({"mp_route": "bf16" if mp_active else "f32"}
                   if mp_mode != "off" else None)

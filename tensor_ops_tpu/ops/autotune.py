@@ -329,7 +329,7 @@ def autotune_mlp_train_step(B: int, dims: Sequence[int],
                     block_b=_bb, precision=precision)
                 return tuple(nw), tuple(nb)
 
-            return lax.fori_loop(0, n, body, (tuple(ws), tuple(bs)))
+            return lax.fori_loop(0, n, body, (tuple(ws0), tuple(bs0)))
 
         def loop_fn(n, _run=run):
             out = _run(x, y, tuple(ws), tuple(bs), n)
@@ -380,9 +380,9 @@ def autotune_mlp_forward(B: int, dims: Sequence[int], acts: Sequence[str],
     for bb in cands:
 
         @jax.jit
-        def run(x, n, _bb=bb):
+        def run(x, ws0, bs0, n, _bb=bb):
             def body(i, xc):
-                y = fused_mlp_forward(xc, ws, bs, list(acts),
+                y = fused_mlp_forward(xc, list(ws0), list(bs0), list(acts),
                                       softmax_out=softmax_out,
                                       block_b=_bb, precision=precision)
                 return _fold(y, xc.shape[1], xc)
@@ -390,7 +390,8 @@ def autotune_mlp_forward(B: int, dims: Sequence[int], acts: Sequence[str],
             return lax.fori_loop(0, n, body, x)
 
         def loop_fn(n, _run=run):
-            return float(_run(x, n)[0, 0])  # scalar fetch = true sync
+            # scalar fetch = true sync
+            return float(_run(x, tuple(ws), tuple(bs), n)[0, 0])
 
         try:
             us = _diff_time_us(loop_fn)

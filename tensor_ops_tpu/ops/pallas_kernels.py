@@ -134,7 +134,7 @@ def _linear_act_kernel(x_ref, w_ref, b_ref, y_ref, *rest,
 
 
 def pick_tiles(B: int, K: int, O: int, save_z: bool = False,
-               dtype=None) -> Tuple[int, int, int]:
+               dtype=None, kernel: str = "linear") -> Tuple[int, int, int]:
     """Measured-cache lookup, then the static heuristic.
 
     A prior ``autotune.autotune_linear`` run for this exact
@@ -151,7 +151,10 @@ def pick_tiles(B: int, K: int, O: int, save_z: bool = False,
     from .autotune import get_tuned
 
     dname = jnp.dtype(dtype).name if dtype is not None else "float32"
-    tuned = get_tuned("linear", B=B, K=K, O=O, save_z=int(save_z),
+    # ``kernel`` keys variants with different VMEM/arithmetic profiles
+    # (e.g. the int8-dequant "linear_w8") so a winner tuned on the f32
+    # kernel is never silently adopted by a different kernel body
+    tuned = get_tuned(kernel, B=B, K=K, O=O, save_z=int(save_z),
                       dtype=dname)
     if tuned is not None:
         return tuned
@@ -657,7 +660,7 @@ def fused_linear_w8(x, wq, scale, b, act: str = "identity",
     in-kernel.  x: (B, i), wq: (o, i) int8, scale: (o, 1) f32, b: (o,)."""
     B, i = x.shape
     o = wq.shape[0]
-    block_b, block_o, block_k = pick_tiles(B, i, o)
+    block_b, block_o, block_k = pick_tiles(B, i, o, kernel="linear_w8")
     xp = _pad2(x.astype(jnp.float32), block_b, block_k)
     wqp = _pad2(wq, block_o, block_k)
     sp = jnp.pad(scale.astype(jnp.float32), ((0, wqp.shape[0] - o), (0, 0)),

@@ -31,14 +31,17 @@ from tensor_ops_tpu.ops.pallas_kernels import (  # noqa: E402
 
 @pytest.fixture
 def tile_cache(tmp_path, monkeypatch):
-    """Point the module singleton at a fresh per-test cache file."""
+    """Point the module singleton at a fresh per-test cache file (and
+    mask the packaged table) so no test outcome depends on this
+    machine's real ``~/.cache`` contents."""
     path = str(tmp_path / "tiles.json")
     cache = TileCache(path)
     monkeypatch.setattr(autotune, "_CACHE", cache)
+    monkeypatch.setattr(autotune, "_packaged", {})
     return cache
 
 
-def test_linear_candidates_vmem_legal_and_contain_heuristic():
+def test_linear_candidates_vmem_legal_and_contain_heuristic(tile_cache):
     cands = linear_candidates(4096, 4096, 4096, save_z=False)
     assert pick_tiles(4096, 4096, 4096) in cands
     for tb, to, tk in cands:

@@ -231,6 +231,55 @@ def test_mixed_precision_auto_routes_and_caches(jb, tmp_path, monkeypatch):
         checkpoint_every=2, resume=True)
 
 
+def test_mixed_precision_legacy_resume_adopts_bf16(jb, tmp_path,
+                                                   monkeypatch):
+    """Resuming a checkpoint that records NO mp_route (saved by a
+    pre-auto-routing build, where True forced bf16, or by a False run)
+    under mixed_precision=True adopts bf16 with a warning instead of
+    silently re-measuring into a mid-chain dtype flip."""
+    import warnings
+
+    import tensor_ops_tpu.models.trainer as TR
+
+    X, Y, _ = toy_data(80, seed=13)
+    loss = cross_entropy(2)
+    ck = str(tmp_path / "legacy.npz")
+    # the saving run used mixed_precision=False -> no mp_route in meta
+    fit(make_net(jb, seed=22), loss, jb, X, Y, epochs=2, batch_size=40,
+        lr=0.3, verbose=False, checkpoint_path=ck, checkpoint_every=2)
+    from tensor_ops_tpu.utils.checkpoint import load_meta
+
+    assert "mp_route" not in load_meta(ck + ".state")
+
+    def boom(*a, **k):
+        raise AssertionError("legacy resume must not measure")
+
+    monkeypatch.setattr(TR, "_decide_mp_route", boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = fit(make_net(jb, seed=22), loss, jb, X, Y, epochs=3,
+                  batch_size=40, lr=0.3, mixed_precision=True,
+                  verbose=False, checkpoint_path=ck, checkpoint_every=2,
+                  resume=True)
+    assert any("no mp_route" in str(x.message) for x in w)
+    # the adopted route is recorded going forward
+    assert load_meta(ck + ".state")["mp_route"] == "bf16"
+    assert all(np.isfinite(h["loss"]) for h in res.history)
+
+
+def test_normalize_mp_accepts_truthy_legacy_values():
+    """Pre-router callers passed ints / numpy bools; they keep working
+    with truthiness semantics, while unknown strings stay rejected."""
+    from tensor_ops_tpu.models.trainer import _normalize_mp
+
+    assert _normalize_mp(1) == "auto"
+    assert _normalize_mp(0) == "off"
+    assert _normalize_mp(np.True_) == "auto"
+    assert _normalize_mp(np.False_) == "off"
+    with pytest.raises(ValueError, match="mixed_precision"):
+        _normalize_mp("yes")
+
+
 def test_mixed_precision_auto_picks_bf16_when_clearly_faster(jb, monkeypatch):
     """A >3% bf16 win routes to bf16 — and the bf16 step actually runs
     (the batched-graph key lands in the compile cache)."""
