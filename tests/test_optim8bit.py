@@ -250,3 +250,44 @@ def test_adam8bit_sr_resume_bit_exact_and_footprint(jb, tmp_path):
     for a, b in zip(resumed.net.params, straight.net.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=0, rtol=0)
+
+
+@multi
+def test_adam8bit_zero23_quantization_amplifies_reduction_order(jb):
+    """adam8bit composed with zero_stage>=2 is APPROXIMATELY equal to
+    the replicated run, not bit-equal: the reduce-scattered batch
+    gradient differs from the all-reduced one by summation-order
+    epsilon, and the int8 block quantization's decision thresholds
+    amplify an epsilon flip to ~1e-2 relative moment error (measured
+    ~1e-5 on the params after 8 steps).  ZeRO-1 (same all-reduce as
+    replicated) stays bit-exact; full-precision optimizers stay at
+    1e-9 under every stage.  This is a quantization property, not a
+    sharding bug — the test pins the honest tolerance band."""
+    from tensor_ops_tpu.models import cross_entropy
+    from tensor_ops_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, shape=(8, 1))
+    r = np.random.default_rng(7)
+    X = r.normal(size=(256, 16))
+    W = r.normal(size=(16, 4))
+    Y = np.eye(4)[np.argmax(X @ W, axis=1)]
+    loss = cross_entropy(4)
+
+    def mknet():
+        return gen_net(jb, 16, 4, [(32, act_logistic())], act_logistic(),
+                       Rng(jb, seed=3))
+
+    kw = dict(epochs=2, batch_size=64, lr=0.05, mesh=mesh, verbose=False)
+    rep = fit(mknet(), loss, jb, X, Y, optimizer=adam8bit(), **kw)
+    z1 = fit(mknet(), loss, jb, X, Y, optimizer=adam8bit(),
+             shard_opt_state=True, **kw)
+    for a, b in zip(z1.net.params, rep.net.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0, rtol=0)  # zero1: bit-exact
+    for stage in (2, 3):
+        z = fit(mknet(), loss, jb, X, Y, optimizer=adam8bit(),
+                zero_stage=stage, **kw)
+        for a, b in zip(z.net.params, rep.net.params):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=0)
+        assert all(np.isfinite(h["loss"]) for h in z.history)
