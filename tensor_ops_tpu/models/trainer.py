@@ -119,7 +119,12 @@ def _global_host_tree(tree, mesh):
     reshard = _RESHARD_CACHE.get(mesh)
     if reshard is None:
         rep = NamedSharding(mesh, PSpec())
-        reshard = jax.jit(lambda a: a, out_shardings=rep)
+        # the Space.Device transfer is a no-op for ordinary leaves and
+        # brings offload_opt_state's pinned-host moments back into
+        # device memory so the replicate collective can run on them
+        reshard = jax.jit(
+            lambda a: jax.device_put(a, jax.memory.Space.Device),
+            out_shardings=rep)
         _RESHARD_CACHE[mesh] = reshard
 
     def fetch(x):
@@ -430,6 +435,38 @@ def _zero1_init(opt, params, mesh):
     return _zero1_wrap(opt.init(params), mesh)
 
 
+def _offload_state(opt_state, label: str):
+    """Place every leaf of an optimizer state in pinned HOST DRAM
+    (``jax.memory.Space.Host``), keeping each leaf's sharding — the
+    between-steps residence for ``offload_opt_state=True``.  Warns
+    loudly when the state holds no array leaves (sgd: nothing to
+    offload) instead of silently doing nothing."""
+    import warnings
+
+    import jax
+
+    if not any(hasattr(x, "shape") and getattr(x, "ndim", 0) > 0
+               for x in jax.tree_util.tree_leaves(opt_state)):
+        warnings.warn(
+            f"{label}: offload_opt_state=True but the optimizer state "
+            f"holds no arrays (sgd is stateless) — nothing to offload",
+            stacklevel=3)
+        return opt_state
+
+    def host(x):
+        # keep each leaf's OWN sharding (replicated / ZeRO data-shards /
+        # Megatron-inherited) and flip only the memory kind; plain
+        # python scalars (adam's step counter at init) pass through —
+        # a bare Space.Host put would commit them to one device,
+        # conflicting with mesh-wide arguments
+        if isinstance(x, jax.Array):
+            return jax.device_put(
+                x, x.sharding.with_memory_kind("pinned_host"))
+        return x
+
+    return jax.tree_util.tree_map(host, opt_state)
+
+
 def _make_ema_update(cache: dict, decay: float, mesh, be: Backend,
                      tag: str):
     """The tiny jitted Polyak update ``e' = d*e + (1-d)*p`` shared by
@@ -485,7 +522,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   mixed_precision: bool = False,
                   mesh=None, zero_constrain=None,
                   grad_constrain=None, param_unshard=None,
-                  param_constrain=None, param_shardings=None) -> Callable:
+                  param_constrain=None, param_shardings=None,
+                  offload: bool = False) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     With ``accum_steps > 1`` the batch is split into that many
@@ -526,7 +564,20 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     differentiates w.r.t. the gathered copy, so no cotangent flows
     through the constraint itself), and pins the updated masters back
     onto their shards (``param_constrain``) — params, gradients, and
-    moments are all 1/dp resident between steps."""
+    moments are all 1/dp resident between steps.
+
+    ``offload=True`` (jax only) keeps the optimizer state resident in
+    pinned HOST DRAM between steps (the ZeRO-Offload placement, done
+    the TPU-native way: ``jax.memory.Space`` transfers inside the
+    jitted step, so XLA schedules the HBM<->host DMAs itself): the step
+    receives host-resident moments, copies them into HBM at the top
+    (``Space.Device``), updates, and writes them back
+    (``Space.Host``) — steady-state optimizer HBM is ZERO, the update
+    math is bit-identical (placement changes nothing numerically), and
+    the transient in-step copy is the only HBM the moments ever hold.
+    Composes with every ZeRO stage (the host leaves keep their
+    data-axis shards).  The caller places the initial state with
+    ``jax.device_put(state, jax.memory.Space.Host)``."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -540,12 +591,17 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
            int(accum_steps), clip_norm, mixed_precision, mesh,
            zero_constrain is not None,
            grad_constrain is not None,
-           param_unshard is not None) + be.cache_key()
+           param_unshard is not None, bool(offload)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
     if mesh is not None and be.name != "jax":
         raise ValueError("mesh sharding requires the jax backend")
+    if offload and be.name != "jax":
+        raise ValueError(
+            "offload keeps optimizer state in pinned host DRAM via "
+            "jax memory-space transfers and requires the jax backend "
+            "(numpy state already lives on the host)")
 
     if be.name == "jax":
         import jax
@@ -633,9 +689,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                     opt_state = zero_constrain(opt_state)
                 return v, opt_state, _pin_params(new_params)
 
-        if mesh is None:
-            fn = jax.jit(step)
-        else:
+        param_sh = repl = data_sh = None
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
             from ..parallel.mesh import DATA_AXIS, param_specs
@@ -649,13 +704,57 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                                  in zip(param_shardings, param_sh))
             repl = NamedSharding(mesh, PSpec())
             data_sh = NamedSharding(mesh, PSpec(DATA_AXIS, None))
+
+        if offload:
+            # host-resident moments: HBM copy at the top of the step,
+            # write-back at the bottom — XLA lowers both to DMAs it can
+            # overlap with compute; everything in between (update math,
+            # ZeRO constraints) sees ordinary device arrays, so the
+            # result is bit-identical to the non-offloaded step
+            inner_step = step
+
+            def step(lr, xb, yb, opt_state, params):  # noqa: F811
+                opt_state = jax.device_put(opt_state,
+                                           jax.memory.Space.Device)
+                v, opt_state, params = inner_step(lr, xb, yb, opt_state,
+                                                  params)
+                if mesh is not None:
+                    # the offload jit has no out_shardings (the SPMD
+                    # partitioner rejects output placement annotations
+                    # mixed with the memory-space transfers), so pin the
+                    # loss and params IN-GRAPH — otherwise propagation
+                    # can bleed the moments' ZeRO data-axis shard onto
+                    # the param outputs and step 2's in_shardings check
+                    # rejects them
+                    v = jax.lax.with_sharding_constraint(v, repl)
+                    params = jax.lax.with_sharding_constraint(
+                        params, param_sh)
+                return (v,
+                        jax.device_put(opt_state, jax.memory.Space.Host),
+                        params)
+
+        if mesh is None:
+            fn = jax.jit(step)
+        else:
             # opt_state shardings are left None (inferred from the arrays
             # the caller built via opt.init on the sharded params)
-            fn = jax.jit(
-                step,
-                in_shardings=(repl, data_sh, data_sh, None, param_sh),
-                out_shardings=(repl, None, param_sh),
-            )
+            if offload:
+                # no out_shardings: XLA's SPMD partitioner rejects
+                # output placement annotations mixed with the step's
+                # memory-space transfers (annotate_device_placement
+                # custom-calls without shardings); propagation keeps
+                # the param shards (pinned in-step by _pin_params for
+                # ZeRO-3) and the moments' host placement
+                fn = jax.jit(
+                    step,
+                    in_shardings=(repl, data_sh, data_sh, None, param_sh),
+                )
+            else:
+                fn = jax.jit(
+                    step,
+                    in_shardings=(repl, data_sh, data_sh, None, param_sh),
+                    out_shardings=(repl, None, param_sh),
+                )
     else:
 
         def step(lr, xb, yb, opt_state, params):
@@ -692,6 +791,7 @@ def fit(
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
     zero_stage: Optional[int] = None,
+    offload_opt_state: bool = False,
     ema_decay: Optional[float] = None,
     early_stop_patience: int = 0,
     val_metric: str = "accuracy",
@@ -799,7 +899,19 @@ def fit(
     params + grads + moments all 1/dp resident, the full ladder.
     Every stage stays bit-identical to the
     replicated run; exact crash/resume.  Works on every mesh
-    kind with a data axis (dp, dp x tp, dp x pipeline).  Under
+    kind with a data axis (dp, dp x tp, dp x pipeline).
+    ``offload_opt_state=True`` (jax only; orthogonal to the ZeRO
+    ladder, composes with every stage) keeps the optimizer moments
+    resident in pinned HOST DRAM between steps — the ZeRO-Offload
+    placement done the TPU-native way, ``jax.memory.Space`` transfers
+    inside the jitted step so XLA schedules the HBM<->host DMAs: the
+    step copies the moments into HBM, updates, writes them back, so
+    steady-state optimizer HBM is ZERO (big-optimizer regimes: adam's
+    2x-param f32 moments dwarfing bf16-servable params) at the price
+    of a per-step host round-trip.  The update math is bit-identical
+    to the on-device run; checkpoints/resume keep working (moments
+    save from and restore to their host placement).  Under
+    multi-process jax each host offloads only its own shards.  Under
     multi-process jax each host loads only its own disjoint shard via
     ``NativeLoader(shard=(process_index, process_count))`` and the global
     batch is assembled with ``make_array_from_process_local_data``.
@@ -831,6 +943,11 @@ def fit(
         raise ValueError(
             f"ZeRO-{zstage} (shard_opt_state/zero_stage) shards over "
             f"the mesh's data axis — pass mesh=make_mesh(...)")
+    if offload_opt_state and be.name != "jax":
+        raise ValueError(
+            "offload_opt_state keeps optimizer state in pinned host "
+            "DRAM via jax memory-space transfers and requires the jax "
+            "backend (numpy state already lives on the host)")
     if ema_decay is not None and not (0.0 < ema_decay < 1.0):
         raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
     if early_stop_patience and val is None:
@@ -954,7 +1071,8 @@ def fit(
                    pipeline_schedule, pipeline_chunks,
                    zero_cons is not None,
                    grad_cons is not None,
-                   p_unshard is not None) + be.cache_key()
+                   p_unshard is not None,
+                   bool(offload_opt_state)) + be.cache_key()
             step_fn = net.op._compiled.get(key)
             if step_fn is not None:
                 return step_fn
@@ -1013,6 +1131,22 @@ def fit(
                     params = p_cons(params)
                 return v, opt_state, params
 
+            if offload_opt_state:
+                # host-resident moments (see make_opt_step): HBM copy
+                # at the top, write-back at the bottom, bit-identical
+                # math in between
+                _pl_inner = _pl_step
+
+                def _pl_step(lr, xb, yb, opt_state, params):  # noqa: F811
+                    opt_state = jax.device_put(opt_state,
+                                               jax.memory.Space.Device)
+                    v, opt_state, params = _pl_inner(lr, xb, yb,
+                                                     opt_state, params)
+                    return (v,
+                            jax.device_put(opt_state,
+                                           jax.memory.Space.Host),
+                            params)
+
             step_fn = jax.jit(_pl_step)
             net.op._compiled[key] = step_fn
             return step_fn
@@ -1061,7 +1195,8 @@ def fit(
                                  grad_constrain=grad_cons,
                                  param_unshard=p_unshard,
                                  param_constrain=p_cons,
-                                 param_shardings=z3_shs)
+                                 param_shardings=z3_shs,
+                                 offload=offload_opt_state)
 
     if pipeline_mode and X.shape[0] < batch_size:
         raise ValueError(
@@ -1091,6 +1226,8 @@ def fit(
         steps_per_epoch = (X.shape[0] + batch_size - 1) // batch_size
     total_steps = epochs * steps_per_epoch
     opt_state = opt_state0 if shard_opt_state else opt.init(params)
+    if offload_opt_state:
+        opt_state = _offload_state(opt_state, "fit")
     history = []
     step = 0
     # layout identity of the flat .state leaves: pipeline schedules
@@ -1157,7 +1294,7 @@ def fit(
                      pipeline_mode,
                      pipeline_schedule if pipeline_mode else None,
                      zstage, zero_cons is not None, grad_cons is not None,
-                     p_unshard is not None,
+                     p_unshard is not None, bool(offload_opt_state),
                      tuple(X.shape[1:]), tuple(Y.shape[1:])) + be.cache_key()
         mp_active, mp_rec = _resolve_mp_route(
             net, build_step,
@@ -1257,12 +1394,15 @@ def fit(
         rep = training_memory_report(
             net, optimizer=opt, batch_size=batch_size, mesh=mesh,
             shard_opt_state=shard_opt_state, zero_stage=zstage,
-            mixed_precision=mp_active)["per_device"]
+            mixed_precision=mp_active,
+            offload_opt_state=offload_opt_state)["per_device"]
         print(f"training state/device: "
               f"params {rep['params_bytes'] / 1e6:.2f} MB + "
               f"grads {rep['grads_bytes'] / 1e6:.2f} MB + "
               f"moments {rep['optimizer_bytes'] / 1e6:.2f} MB"
               + (f" (zero{zstage})" if shard_opt_state else "")
+              + (f" (+{rep['optimizer_host_bytes'] / 1e6:.2f} MB "
+                 f"host-offloaded)" if offload_opt_state else "")
               + f" + batch {rep['batch_bytes'] / 1e6:.2f} MB")
 
     def _as_network(cur_params) -> Network:
@@ -1453,7 +1593,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     remat_every=None, mesh=None, accum_steps: int = 1,
                     mixed_precision: bool = False, zero_constrain=None,
                     grad_constrain=None, param_unshard=None,
-                    param_constrain=None, leaf_shardings=None):
+                    param_constrain=None, leaf_shardings=None,
+                    offload: bool = False):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -1484,7 +1625,9 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
     activation memory.  ``mixed_precision`` runs the scan-BPTT
     forward/backward in bfloat16 with f32/f64 master states+params
     (grads upcast before the batch mean), the same recipe as
-    ``make_opt_step``."""
+    ``make_opt_step``.  ``offload`` keeps the optimizer state resident
+    in pinned host DRAM between steps (see ``make_opt_step``); requires
+    ``opt``."""
     g = net._seq_graph(loss, n, remat_every=remat_every)
     k = len(net.states)
     key = ("seq_fit_step", loss.struct_key(), n,
@@ -1492,7 +1635,7 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
            remat_every, mesh, int(accum_steps),
            mixed_precision, zero_constrain is not None,
            grad_constrain is not None,
-           param_unshard is not None) + be.cache_key()
+           param_unshard is not None, bool(offload)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -1580,9 +1723,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                 return (v, opt_state,
                         tuple(leaves[:k]), tuple(leaves[k:]))
 
-        if mesh is None:
-            fn = jax.jit(step)
-        else:
+        repl = data_sh = state_sh = param_sh = None
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
             from ..parallel.mesh import DATA_AXIS, param_specs
@@ -1598,12 +1740,54 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                 joint = tuple(z3 or sh for z3, sh
                               in zip(leaf_shardings, state_sh + param_sh))
                 state_sh, param_sh = joint[:k], joint[k:]
+
+        if offload:
+            if opt is None:
+                raise ValueError(
+                    "offload needs optimizer state to offload — "
+                    "dual-rate SGD is stateless")
+            # host-resident moments (see make_opt_step): HBM copy at
+            # the top, write-back at the bottom, bit-identical math
+            inner_step = step
+
+            def step(ratio, rp, xb, tb, opt_state, states,  # noqa: F811
+                     params):
+                opt_state = jax.device_put(opt_state,
+                                           jax.memory.Space.Device)
+                v, opt_state, states, params = inner_step(
+                    ratio, rp, xb, tb, opt_state, states, params)
+                if mesh is not None:
+                    # pin the non-offloaded outputs in-graph: the
+                    # offload jit has no out_shardings, and propagation
+                    # would otherwise bleed the moments' ZeRO data-axis
+                    # shard onto the state/param outputs (see
+                    # make_opt_step)
+                    v = jax.lax.with_sharding_constraint(v, repl)
+                    states = jax.lax.with_sharding_constraint(
+                        states, state_sh)
+                    params = jax.lax.with_sharding_constraint(
+                        params, param_sh)
+                return (v,
+                        jax.device_put(opt_state, jax.memory.Space.Host),
+                        states, params)
+
+        if mesh is None:
+            fn = jax.jit(step)
+        else:
             if opt is None:
                 fn = jax.jit(
                     step,
                     in_shardings=(repl, repl, data_sh, data_sh,
                                   state_sh, param_sh),
                     out_shardings=(repl, state_sh, param_sh))
+            elif offload:
+                # no out_shardings under offload (see make_opt_step):
+                # the partitioner rejects output placement annotations
+                # mixed with the step's memory-space transfers
+                fn = jax.jit(
+                    step,
+                    in_shardings=(repl, repl, data_sh, data_sh, None,
+                                  state_sh, param_sh))
             else:
                 # opt_state shardings inferred from its arrays (built by
                 # opt.init on the already-placed states + params)
@@ -1712,6 +1896,7 @@ def fit_sequences(
     mixed_precision: bool = False,
     shard_opt_state: bool = False,
     zero_stage: Optional[int] = None,
+    offload_opt_state: bool = False,
     ema_decay: Optional[float] = None,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     early_stop_patience: int = 0,
@@ -1801,6 +1986,16 @@ def fit_sequences(
         raise ValueError(
             "shard_opt_state needs optimizer state to shard — dual-rate "
             "SGD is stateless; pass optimizer=adam() (or momentum())")
+    if offload_opt_state and be.name != "jax":
+        raise ValueError(
+            "offload_opt_state keeps optimizer state in pinned host "
+            "DRAM via jax memory-space transfers and requires the jax "
+            "backend (numpy state already lives on the host)")
+    if offload_opt_state and opt is None:
+        raise ValueError(
+            "offload_opt_state needs optimizer state to offload — "
+            "dual-rate SGD is stateless; pass optimizer=adam() (or "
+            "momentum())")
     if ema_decay is not None and not (0.0 < ema_decay < 1.0):
         raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
     if early_stop_patience and val is None:
@@ -1911,6 +2106,10 @@ def fit_sequences(
                 # the ZeRO-2 constraint from the same placed leaf order
                 grad_cons = _zero2_grads(
                     tuple(net.states) + tuple(net.params), mesh)
+    if offload_opt_state and opt is not None:
+        # BEFORE resume: the host placement becomes the template
+        # sharding restored moments re-place onto
+        opt_state = _offload_state(opt_state, "fit_sequences")
     opt_key = (opt.struct_key()
                if opt is not None and opt.hyper is not None else None)
     r_ema = None
@@ -1992,7 +2191,8 @@ def fit_sequences(
                                grad_constrain=grad_cons,
                                param_unshard=p_unshard,
                                param_constrain=p_cons,
-                               leaf_shardings=z3_shs)
+                               leaf_shardings=z3_shs,
+                               offload=offload_opt_state)
 
     # mixed-precision routing — same ladder as fit's: force > recorded
     # in the checkpoint being resumed > in-process cache > measure now
@@ -2030,7 +2230,7 @@ def fit_sequences(
                      clip_norm, mesh, int(accum_steps), int(batch_size),
                      remat_every,
                      zstage, zero_cons is not None, grad_cons is not None,
-                     p_unshard is not None,
+                     p_unshard is not None, bool(offload_opt_state),
                      tuple(XS.shape[1:]),
                      tuple(TS.shape[1:])) + be.cache_key()
         mp_active, mp_rec = _resolve_mp_route(

@@ -195,7 +195,8 @@ def memory_analysis(fn, *args) -> dict:
 def training_memory_report(net, optimizer=None, batch_size: int = 128,
                            mesh=None, shard_opt_state: bool = False,
                            zero_stage: int = None,
-                           mixed_precision: bool = False) -> dict:
+                           mixed_precision: bool = False,
+                           offload_opt_state: bool = False) -> dict:
     """Analytic PER-DEVICE training-state bytes for ``fit``'s
     configuration knobs — the operator-facing answer to "what does this
     mesh/optimizer/ZeRO choice buy me?" before committing hardware.
@@ -209,7 +210,12 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
     masters live sharded between steps and gather at use, so the
     transient gathered copy is compute-scoped, not resident),
     and the bf16 compute copies under ``mixed_precision`` (always full:
-    the bf16 copy is made of the gathered params inside the step).  Activation
+    the bf16 copy is made of the gathered params inside the step).
+    ``offload_opt_state=True`` moves the (possibly ZeRO-divided) moment
+    bytes out of the per-device HBM account into an explicit
+    ``optimizer_host_bytes`` row — steady-state optimizer HBM is zero;
+    the in-step working copy is compute-scoped (like ZeRO-3's gathered
+    params) and bounded by the host row.  Activation
     memory is workload-shaped; measure it with
     :func:`memory_analysis` on the real step instead.  Sizes follow the
     same placement rules ``fit`` uses (``param_specs`` +
@@ -285,12 +291,19 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
     compute_b = (params_b // dtype_bytes) * 2 if mixed_precision else 0
     in_elems = int(np.prod(net.op.in_stack[0], dtype=np.int64))
     batch_b = (batch_size // max(dp, 1)) * in_elems * dtype_bytes
+    moments_host_b = 0
+    if offload_opt_state:
+        # host-resident between steps: zero steady-state HBM; the
+        # per-device host row keeps any ZeRO division (each host holds
+        # only its own ranks' shards)
+        moments_host_b, moments_b = moments_b, 0
     total = params_b + grads_b + moments_b + compute_b + batch_b
     return {
         "per_device": {
             "params_bytes": params_b,
             "grads_bytes": grads_b,
             "optimizer_bytes": moments_b,
+            "optimizer_host_bytes": moments_host_b,
             "bf16_compute_copy_bytes": compute_b,
             "batch_bytes": batch_b,
             "training_state_total_bytes": total,
@@ -298,5 +311,6 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
         "mesh": {"dp": dp, "tp": tp},
         "zero1": bool(shard_opt_state and dp > 1),
         "zero_stage": zero_stage if dp > 1 else 0,
+        "offload_opt_state": bool(offload_opt_state),
         "n_moment_buffers": n_moments,
     }
