@@ -146,19 +146,21 @@ class RecurrentNetwork:
         return self.post_op(P.map_op(self.out_shape, f))
 
     # -- sequence gradients & training ------------------------------------
-    def _seq_graph(self, loss: TOp, n: int, remat_every=None) -> TOp:
+    def _seq_graph(self, loss: TOp, n: int, remat_every=None,
+                   offload_tape: bool = False) -> TOp:
         """(xs, ss, ps, targets) -> scalar: scan the step op over n steps,
         pair each output with its target through ``loss``, and sum —
         semantically the reference's ``unroll >>> rollup``
         (``Recurrent.hs:296-308``) built on ScanOp/MappedOp.
         ``remat_every`` checkpoints the scan's backward carries
-        (``ScanOp``) for long sequences."""
-        key = ("seq", loss.struct_key(), n, remat_every)
+        (``ScanOp``) for long sequences; ``offload_tape`` streams them
+        through pinned host DRAM (see :class:`ScanOp`)."""
+        key = ("seq", loss.struct_key(), n, remat_every, offload_tape)
         g = self.op._compiled.get(key)
         if g is not None:
             return g
         k = len(self.states)
-        scan = seq_scan_op(self.op, n, k, remat_every)
+        scan = seq_scan_op(self.op, n, k, remat_every, offload_tape)
         tgt_shape = (n,) + self.out_shape
         after = scan.out_stack + (tgt_shape,)          # ys, ss_final, tgts
         pick = Shuffle(after, (0, len(after) - 1))     # ys, tgts (final states dropped)
@@ -270,18 +272,22 @@ class RecurrentNetwork:
                                 self.arch)
 
 
-def seq_scan_op(op: TOp, n: int, n_state: int, remat_every=None):
+def seq_scan_op(op: TOp, n: int, n_state: int, remat_every=None,
+                offload_tape: bool = False):
     """The cached length-``n`` ScanOp over a recurrent step op — the one
     construction (and cache-key convention) shared by the training seq
     graph (``_seq_graph``), ``run_seq`` and the serving
     ``SequencePredictor``, so the scan is built and compiled once per
     (op, n).  ``remat_every`` checkpoints the backward's carries (see
     :class:`~tensor_ops_tpu.ops.loops.ScanOp`) — long sequences train in
-    O(n/k + k) residual memory at identical gradients."""
-    key = ("seq_scan", n, n_state, remat_every)
+    O(n/k + k) residual memory at identical gradients; ``offload_tape``
+    streams the taped carries through pinned host DRAM (O(state)
+    resident, bit-identical gradients)."""
+    key = ("seq_scan", n, n_state, remat_every, offload_tape)
     scan = op._compiled.get(key)
     if scan is None:
-        scan = ScanOp(op, n, n_state, remat_every=remat_every)
+        scan = ScanOp(op, n, n_state, remat_every=remat_every,
+                      offload_tape=offload_tape)
         op._compiled[key] = scan
     return scan
 

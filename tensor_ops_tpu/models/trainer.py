@@ -1594,7 +1594,7 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     mixed_precision: bool = False, zero_constrain=None,
                     grad_constrain=None, param_unshard=None,
                     param_constrain=None, leaf_shardings=None,
-                    offload: bool = False):
+                    offload: bool = False, offload_tape: bool = False):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -1627,15 +1627,19 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
     (grads upcast before the batch mean), the same recipe as
     ``make_opt_step``.  ``offload`` keeps the optimizer state resident
     in pinned host DRAM between steps (see ``make_opt_step``); requires
-    ``opt``."""
-    g = net._seq_graph(loss, n, remat_every=remat_every)
+    ``opt``.  ``offload_tape`` streams the scan-BPTT carry tape through
+    pinned host DRAM (``ScanOp(offload_tape=True)``): residual HBM per
+    sequence drops to O(state), gradients bit-identical."""
+    g = net._seq_graph(loss, n, remat_every=remat_every,
+                       offload_tape=offload_tape)
     k = len(net.states)
     key = ("seq_fit_step", loss.struct_key(), n,
            opt.struct_key() if opt is not None else None, clip_norm,
            remat_every, mesh, int(accum_steps),
            mixed_precision, zero_constrain is not None,
            grad_constrain is not None,
-           param_unshard is not None, bool(offload)) + be.cache_key()
+           param_unshard is not None, bool(offload),
+           bool(offload_tape)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -1897,6 +1901,7 @@ def fit_sequences(
     shard_opt_state: bool = False,
     zero_stage: Optional[int] = None,
     offload_opt_state: bool = False,
+    offload_activations: bool = False,
     ema_decay: Optional[float] = None,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     early_stop_patience: int = 0,
@@ -1937,7 +1942,14 @@ def fit_sequences(
     global L2 norm; ``lr_schedule`` maps the global step to the param
     rate (the state rate keeps its ratio); ``remat_every`` checkpoints
     the scan-BPTT backward for long sequences
-    (O(n/k + k) residual state, see ``ScanOp``).
+    (O(n/k + k) residual state, see ``ScanOp``);
+    ``offload_activations=True`` (jax only) streams the scan-BPTT carry
+    tape through pinned host DRAM instead
+    (``ScanOp(offload_tape=True)``: the forward scan writes each taped
+    carry to host as it goes, the backward copies each slice back right
+    before use — O(state) residual HBM per sequence, gradients
+    BIT-identical, composes with ``remat_every`` so only block-entry
+    carries ever travel).
 
     ``mesh`` (jax only) trains multi-chip, exactly as in ``fit``: the
     sequence batch shards over ``data`` (XLA inserts one gradient psum),
@@ -1996,6 +2008,12 @@ def fit_sequences(
             "offload_opt_state needs optimizer state to offload — "
             "dual-rate SGD is stateless; pass optimizer=adam() (or "
             "momentum())")
+    if offload_activations and be.name != "jax":
+        raise ValueError(
+            "offload_activations streams the scan-BPTT carry tape "
+            "through pinned host DRAM via jax memory-space transfers "
+            "and requires the jax backend (the numpy oracle's tape is "
+            "host-resident already)")
     if ema_decay is not None and not (0.0 < ema_decay < 1.0):
         raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
     if early_stop_patience and val is None:
@@ -2192,7 +2210,8 @@ def fit_sequences(
                                param_unshard=p_unshard,
                                param_constrain=p_cons,
                                leaf_shardings=z3_shs,
-                               offload=offload_opt_state)
+                               offload=offload_opt_state,
+                               offload_tape=offload_activations)
 
     # mixed-precision routing — same ladder as fit's: force > recorded
     # in the checkpoint being resumed > in-process cache > measure now
@@ -2231,6 +2250,7 @@ def fit_sequences(
                      remat_every,
                      zstage, zero_cons is not None, grad_cons is not None,
                      p_unshard is not None, bool(offload_opt_state),
+                     bool(offload_activations),
                      tuple(XS.shape[1:]),
                      tuple(TS.shape[1:])) + be.cache_key()
         mp_active, mp_rec = _resolve_mp_route(

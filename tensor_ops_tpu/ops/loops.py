@@ -56,11 +56,25 @@ class ScanOp(TOp):
     ``remat_every="sqrt"`` picks the divisor of ``n`` nearest sqrt(n)
     (the minimizing schedule).  Gradients are bit-identical to the plain
     scan (the same ops run in the same order, just recomputed).
+
+    ``offload_tape=True`` (jax path; the numpy oracle is host-resident
+    already) STREAMS the taped carries through pinned host DRAM — the
+    activation-offload analog of the trainer's ``offload_opt_state``,
+    done the TPU-native way: the forward scan body emits each taped
+    carry via ``jax.device_put(..., Space.Host)`` (XLA lowers the
+    per-step writes to HBM->host DMAs it overlaps with the next steps),
+    so the stacked residual buffer lives in host DRAM, and the backward
+    scan body copies each step's slice back to device right before use.
+    Residual HBM for the scan drops from O(n·state) (or O(n/k·state)
+    with ``remat_every``) to O(state): one in-flight slice.  Gradients
+    are bit-identical — placement changes nothing numerically.  Composes
+    with ``remat_every`` (only the block-entry carries ever travel).
     """
 
-    __slots__ = ("step", "n", "n_state", "remat_every")
+    __slots__ = ("step", "n", "n_state", "remat_every", "offload_tape")
 
-    def __init__(self, step: TOp, n: int, n_state: int, remat_every=None):
+    def __init__(self, step: TOp, n: int, n_state: int, remat_every=None,
+                 offload_tape: bool = False):
         if n < 1:
             raise ShapeError("scan needs n >= 1 steps")
         if remat_every == "sqrt":
@@ -75,6 +89,7 @@ class ScanOp(TOp):
             if remat_every == 1:
                 remat_every = None  # every carry saved == the plain scan
         self.remat_every = remat_every
+        self.offload_tape = bool(offload_tape)
         if len(step.out_stack) != 1 + n_state:
             raise ShapeError(
                 f"scan step must output [y] + {n_state} states, got "
@@ -99,7 +114,7 @@ class ScanOp(TOp):
 
     def _skey_parts(self):
         return (self.step.struct_key(), self.n, self.n_state,
-                self.remat_every)
+                self.remat_every, self.offload_tape)
 
     def _split(self, xs):
         k = self.n_state
@@ -111,11 +126,20 @@ class ScanOp(TOp):
         if be.name == "jax":
             import jax
 
+            def _host(carry):
+                # offload_tape: the taped carry leaves the device as it
+                # is written — the scan's stacked residual buffer lives
+                # in pinned host DRAM, one HBM->host DMA per step
+                if not self.offload_tape:
+                    return carry
+                return tuple(jax.device_put(c, jax.memory.Space.Host)
+                             for c in carry)
+
             def f(carry, x_t):
                 outs = self.step.apply(be, (x_t,) + carry + params)
                 y_t, s_new = outs[0], tuple(outs[1:])
                 if with_tape and k is None:
-                    return s_new, (y_t, carry)
+                    return s_new, (y_t, _host(carry))
                 return s_new, y_t
 
             if with_tape and k is not None:
@@ -127,7 +151,7 @@ class ScanOp(TOp):
 
                 def blk(carry, x_blk):
                     c_end, ys_blk = jax.lax.scan(f, carry, x_blk)
-                    return c_end, (ys_blk, carry)
+                    return c_end, (ys_blk, _host(carry))
 
                 s_final, (ys_b, s_blk_ins) = jax.lax.scan(blk, s0, xb)
                 ys = ys_b.reshape((self.n,) + ys_b.shape[2:])
@@ -173,10 +197,19 @@ class ScanOp(TOp):
             import jax
             import jax.numpy as jnp
 
+            def _dev(s_in):
+                # offload_tape: the scanned-in slice of the host-resident
+                # tape comes back to HBM right before use — one
+                # host->HBM DMA per step, O(state) resident
+                if not self.offload_tape:
+                    return s_in
+                return tuple(jax.device_put(c, jax.memory.Space.Device)
+                             for c in s_in)
+
             def f(carry, scanned):
                 s_ct, p_acc = carry
                 x_t, s_in, y_ct = scanned
-                ds_in, dx_t, dp = backstep(s_ct, x_t, s_in, y_ct)
+                ds_in, dx_t, dp = backstep(s_ct, x_t, _dev(s_in), y_ct)
                 p_acc = tuple(a + d for a, d in zip(p_acc, dp))
                 return (ds_in, p_acc), dx_t
 
@@ -195,7 +228,7 @@ class ScanOp(TOp):
 
                 def blk(carry, scanned):
                     x_blk, s_blk_in, y_ct_blk = scanned
-                    _, s_in_blk = jax.lax.scan(fwd, s_blk_in, x_blk)
+                    _, s_in_blk = jax.lax.scan(fwd, _dev(s_blk_in), x_blk)
                     carry, dx_blk = jax.lax.scan(
                         f, carry, (x_blk, s_in_blk, y_ct_blk), reverse=True)
                     return carry, dx_blk
