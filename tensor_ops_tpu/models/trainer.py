@@ -467,6 +467,101 @@ def _offload_state(opt_state, label: str):
     return jax.tree_util.tree_map(host, opt_state)
 
 
+def _fresh_leaves(leaves, be: Backend):
+    """Donation-safe working copies of training-state leaves (jax only;
+    the numpy oracle never mutates its inputs).  The jitted train steps
+    donate their state arguments so XLA updates params/moments in place
+    (no double-buffered copy of the whole training state per step) — the
+    price is that the donated buffers die at the call, so the loop must
+    never feed it arrays the caller still owns (``net.params`` of the
+    user's network, EMA templates).  ``jnp.copy`` preserves each leaf's
+    sharding (incl. mesh/ZeRO placements) while making the buffer ours."""
+    if be.name != "jax":
+        return tuple(leaves)
+    import jax.numpy as jnp
+
+    return tuple(jnp.copy(p) if hasattr(p, "shape") else p
+                 for p in leaves)
+
+
+def _dedupe_donated(tree, be: Backend):
+    """Copy any jax leaf appearing more than once (by identity) in a
+    donated pytree: XLA rejects donating the same buffer twice
+    (``f(donate(a), donate(a))``) — adam8bit's init, for example, shares
+    the zero-quantized code/scale arrays between both moments."""
+    if be.name != "jax":
+        return tree
+    import jax
+    import jax.numpy as jnp
+
+    seen = set()
+
+    def f(x):
+        if isinstance(x, jax.Array):
+            if id(x) in seen:
+                return jnp.copy(x)
+            seen.add(id(x))
+        return x
+
+    return jax.tree_util.tree_map(f, tree)
+
+
+def _leaves_alive(tree) -> bool:
+    """False when any jax leaf was donated-and-deleted — the Ctrl-C
+    handler checks this before checkpointing a snapshot whose buffers a
+    double-press interrupt may have invalidated mid-step."""
+    import jax
+
+    return not any(isinstance(x, jax.Array) and x.is_deleted()
+                   for x in jax.tree_util.tree_leaves(tree))
+
+
+class _sigint_shield:
+    """Defer Ctrl-C across the donation window of one training step.
+
+    The jitted step donates the previous (params, opt_state) buffers, so
+    a KeyboardInterrupt landing between the step call and the snapshot
+    rebind would leave the handler a snapshot of deleted arrays.  Inside
+    ``with _sigint_shield():`` the first SIGINT only sets a flag; the
+    shield re-raises it at ``__exit__``, after the snapshot points at the
+    new (live) state — the exact-resume guarantee survives donation.  A
+    SECOND press while shielded restores the previous handler and raises
+    immediately (the user insists; the handler then skips the save via
+    ``_leaves_alive``).  No-op off the main thread, where CPython never
+    delivers signals anyway."""
+
+    _disabled = False  # set once if signal handling is unavailable
+
+    def __enter__(self):
+        self._armed = False
+        self.pending = False
+        if _sigint_shield._disabled:
+            return self
+        import signal
+
+        def h(signum, frame):
+            if self.pending:
+                signal.signal(signal.SIGINT, self._prev)
+                raise KeyboardInterrupt
+            self.pending = True
+
+        try:
+            self._prev = signal.signal(signal.SIGINT, h)
+            self._armed = True
+        except ValueError:  # not the main thread
+            _sigint_shield._disabled = True
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if self._armed:
+            import signal
+
+            signal.signal(signal.SIGINT, self._prev)
+            if self.pending and et is None:
+                raise KeyboardInterrupt
+        return False
+
+
 def _make_ema_update(cache: dict, decay: float, mesh, be: Backend,
                      tag: str):
     """The tiny jitted Polyak update ``e' = d*e + (1-d)*p`` shared by
@@ -481,8 +576,11 @@ def _make_ema_update(cache: dict, decay: float, mesh, be: Backend,
     key = (tag, d, mesh) + be.cache_key()
     fn = cache.get(key)
     if fn is None:
+        # the previous EMA is donated: the average updates in place
+        # (the loop rebinds to the output immediately)
         fn = jax.jit(lambda e, p: tuple(d * ei + (1 - d) * pi
-                                        for ei, pi in zip(e, p)))
+                                        for ei, pi in zip(e, p)),
+                     donate_argnums=(0,))
         cache[key] = fn
     return fn
 
@@ -513,7 +611,10 @@ def _ema_init(r_ema, templates, be: Backend, resumed_step: int,
             f"saving run had ema_decay off) — the Polyak average "
             f"restarts from the restored params at step {resumed_step}",
             stacklevel=3)
-    return tuple(templates)
+    # fresh copies, NOT aliases: the train step donates the params and
+    # the EMA update donates the previous average — starting the EMA on
+    # the very buffers the first step deletes would read dead arrays
+    return _fresh_leaves(templates, be)
 
 
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
@@ -523,8 +624,17 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   mesh=None, zero_constrain=None,
                   grad_constrain=None, param_unshard=None,
                   param_constrain=None, param_shardings=None,
-                  offload: bool = False) -> Callable:
+                  offload: bool = False,
+                  donate: bool = False) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
+
+    ``donate=True`` (jax only; what ``fit`` uses) donates the
+    (opt_state, params) arguments to XLA — the update aliases the old
+    buffers in place instead of double-buffering the whole training
+    state for the duration of the step.  The caller must rebind to the
+    outputs and NEVER touch the passed-in arrays again (they are
+    deleted at the call); the default keeps the builder's inputs alive
+    for interactive use.
 
     With ``accum_steps > 1`` the batch is split into that many
     micro-batches whose gradients are accumulated sequentially inside a
@@ -591,7 +701,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
            int(accum_steps), clip_norm, mixed_precision, mesh,
            zero_constrain is not None,
            grad_constrain is not None,
-           param_unshard is not None, bool(offload)) + be.cache_key()
+           param_unshard is not None, bool(offload),
+           bool(donate)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -733,8 +844,17 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                         jax.device_put(opt_state, jax.memory.Space.Host),
                         params)
 
+        # donate=True: the previous training state is donated — XLA
+        # aliases the update in place instead of double-buffering every
+        # param and moment for the duration of the step (the memory
+        # ladder's free rung; fit rebinds to the outputs immediately
+        # and works on copies so caller-owned arrays never die).
+        # Under offload the moments are pinned-host between steps; only
+        # the params are donated (conservative: host-buffer aliasing
+        # through memory-space transfers is not worth the libtpu risk)
+        dargs = (() if not donate else ((4,) if offload else (3, 4)))
         if mesh is None:
-            fn = jax.jit(step)
+            fn = jax.jit(step, donate_argnums=dargs)
         else:
             # opt_state shardings are left None (inferred from the arrays
             # the caller built via opt.init on the sharded params)
@@ -748,12 +868,14 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                 fn = jax.jit(
                     step,
                     in_shardings=(repl, data_sh, data_sh, None, param_sh),
+                    donate_argnums=dargs,
                 )
             else:
                 fn = jax.jit(
                     step,
                     in_shardings=(repl, data_sh, data_sh, None, param_sh),
                     out_shardings=(repl, None, param_sh),
+                    donate_argnums=dargs,
                 )
     else:
 
@@ -1147,7 +1269,11 @@ def fit(
                                            jax.memory.Space.Host),
                             params)
 
-            step_fn = jax.jit(_pl_step)
+            # donate the previous training state (see make_opt_step);
+            # params only under offload
+            step_fn = jax.jit(
+                _pl_step,
+                donate_argnums=(4,) if offload_opt_state else (3, 4))
             net.op._compiled[key] = step_fn
             return step_fn
     elif mesh is not None:
@@ -1196,7 +1322,8 @@ def fit(
                                  param_unshard=p_unshard,
                                  param_constrain=p_cons,
                                  param_shardings=z3_shs,
-                                 offload=offload_opt_state)
+                                 offload=offload_opt_state,
+                                 donate=True)
 
     if pipeline_mode and X.shape[0] < batch_size:
         raise ValueError(
@@ -1358,6 +1485,17 @@ def fit(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
+    # the jitted step donates its state arguments; train on working
+    # copies so the caller's ``net.params`` (and any checkpoint
+    # template) survive the first step (mesh/pipeline/resume paths
+    # already placed fresh arrays — one extra copy at entry is cheap
+    # and uniform).  The donated opt_state must not hold the same
+    # buffer twice (offload keeps the moments out of the donation, and
+    # copying pinned-host leaves would disturb their placement)
+    params = _fresh_leaves(params, be)
+    if not offload_opt_state:
+        opt_state = _dedupe_donated(opt_state, be)
+
     # Polyak averaging: the EMA copy lives in the TRAINING layout (flat
     # pipelined or param-stack) with the params' shardings, rides a
     # tiny separate jitted update so every fit mode gets it unchanged,
@@ -1471,13 +1609,19 @@ def fit(
             else:
                 xb, yb = loader.next()
                 xb, yb = be.asarray(xb), be.asarray(yb)
-            v, new_opt, new_params = step_fn(cur_lr, xb, yb, opt_state,
-                                             params)
-            new_ema = (_ema_step(ema_params, tuple(new_params))
-                       if ema_params is not None else None)
-            snap = (new_params, new_opt, new_ema, step + 1)
-            params, opt_state, ema_params = new_params, new_opt, new_ema
-            step += 1
+            # the step donates (opt_state, params) and the EMA update
+            # donates the previous average: a Ctrl-C inside this window
+            # would catch `snap` pointing at deleted buffers, so SIGINT
+            # is deferred to the end of the block (double-press escapes)
+            with _sigint_shield():
+                v, new_opt, new_params = step_fn(cur_lr, xb, yb,
+                                                 opt_state, params)
+                new_ema = (_ema_step(ema_params, tuple(new_params))
+                           if ema_params is not None else None)
+                snap = (new_params, new_opt, new_ema, step + 1)
+                params, opt_state, ema_params = (new_params, new_opt,
+                                                 new_ema)
+                step += 1
             stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
                 rec = {"epoch": epoch, "loss": float(v)}
@@ -1562,6 +1706,15 @@ def fit(
         # rank's handler would deadlock the mesh.
         s_params, s_opt, s_ema, s_step = snap
         if checkpoint_path and s_step > 0 and n_proc == 1:
+            if not _leaves_alive((s_params, s_opt, s_ema)):
+                # a double-press escaped the shield mid-step: the
+                # snapshot's buffers were donated to the in-flight step
+                # and are gone — the last periodic checkpoint stands
+                if verbose:
+                    print("interrupt landed inside a training step "
+                          "(double Ctrl-C): the in-flight step is lost; "
+                          "no checkpoint written")
+                raise
             from ..utils.checkpoint import save_network, save_train_state
 
             saves.join()  # in-flight async writes first (ordering)
@@ -1594,7 +1747,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     mixed_precision: bool = False, zero_constrain=None,
                     grad_constrain=None, param_unshard=None,
                     param_constrain=None, leaf_shardings=None,
-                    offload: bool = False, offload_tape: bool = False):
+                    offload: bool = False, offload_tape: bool = False,
+                    donate: bool = False):
     """Jitted fused sequence-batch step — the vmapped scan-BPTT
     ``value_and_grad`` plus the update in ONE program, so the logged
     batch loss costs no extra forward pass.
@@ -1639,7 +1793,7 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
            mixed_precision, zero_constrain is not None,
            grad_constrain is not None,
            param_unshard is not None, bool(offload),
-           bool(offload_tape)) + be.cache_key()
+           bool(offload_tape), bool(donate)) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
@@ -1775,15 +1929,28 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                         jax.device_put(opt_state, jax.memory.Space.Host),
                         states, params)
 
+        # donate=True: the previous (opt_state, states, params) are
+        # donated — in-place update, no double-buffered training state
+        # (see make_opt_step); offload keeps the pinned-host moments
+        # out of the donation
+        if not donate:
+            dargs = ()
+        elif opt is None:
+            dargs = (4, 5)            # (rs, rp, xb, tb, states, params)
+        elif offload:
+            dargs = (5, 6)            # moments are host-resident
+        else:
+            dargs = (4, 5, 6)   # (ratio, rp, xb, tb, opt, states, params)
         if mesh is None:
-            fn = jax.jit(step)
+            fn = jax.jit(step, donate_argnums=dargs)
         else:
             if opt is None:
                 fn = jax.jit(
                     step,
                     in_shardings=(repl, repl, data_sh, data_sh,
                                   state_sh, param_sh),
-                    out_shardings=(repl, state_sh, param_sh))
+                    out_shardings=(repl, state_sh, param_sh),
+                    donate_argnums=dargs)
             elif offload:
                 # no out_shardings under offload (see make_opt_step):
                 # the partitioner rejects output placement annotations
@@ -1791,7 +1958,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                 fn = jax.jit(
                     step,
                     in_shardings=(repl, repl, data_sh, data_sh, None,
-                                  state_sh, param_sh))
+                                  state_sh, param_sh),
+                    donate_argnums=dargs)
             else:
                 # opt_state shardings inferred from its arrays (built by
                 # opt.init on the already-placed states + params)
@@ -1799,7 +1967,8 @@ def _seq_train_step(net, loss: TOp, be: Backend, n: int,
                     step,
                     in_shardings=(repl, repl, data_sh, data_sh, None,
                                   state_sh, param_sh),
-                    out_shardings=(repl, None, state_sh, param_sh))
+                    out_shardings=(repl, None, state_sh, param_sh),
+                    donate_argnums=dargs)
     else:
         if mesh is not None:
             raise ValueError("mesh sharding requires the jax backend")
@@ -2166,6 +2335,14 @@ def fit_sequences(
                   f"({max(total_steps - step, 0)} of {total_steps} steps "
                   f"remaining)")
 
+    # the jitted step donates (states, params); train on working copies
+    # so the caller's network survives the first step (see fit)
+    if be.name == "jax":
+        net = RecurrentNetwork(net.op, _fresh_leaves(net.states, be),
+                               _fresh_leaves(net.params, be), net.arch)
+        if opt is not None and not offload_opt_state:
+            opt_state = _dedupe_donated(opt_state, be)
+
     # Polyak averaging over states + params (the same recipe as fit's:
     # EMA stored inside the .state file, shared helpers)
     ema_leaves = None
@@ -2211,7 +2388,8 @@ def fit_sequences(
                                param_constrain=p_cons,
                                leaf_shardings=z3_shs,
                                offload=offload_opt_state,
-                               offload_tape=offload_activations)
+                               offload_tape=offload_activations,
+                               donate=True)
 
     # mixed-precision routing — same ladder as fit's: force > recorded
     # in the checkpoint being resumed > in-process cache > measure now
@@ -2296,28 +2474,33 @@ def fit_sequences(
                         tb = jax.device_put(be.asarray(tb), data_sh)
                 else:
                     xb, tb = be.asarray(xb), be.asarray(tb)
-            if opt is None:
-                v, new_s, new_p = step_fn(rs, rp, xb, tb,
-                                          tuple(net.states),
-                                          tuple(net.params))
-                new_opt = opt_state
-            else:
-                # the dual-rate ratio is schedule-invariant (rs and rp
-                # scale together); passing it explicitly keeps a
-                # warmup rp == 0 step finite (rs/rp would be 0/0)
-                v, new_opt, new_s, new_p = step_fn(
-                    rate_state / rate_param, rp, xb, tb, opt_state,
-                    tuple(net.states), tuple(net.params))
-            new_net = RecurrentNetwork(net.op, tuple(new_s), tuple(new_p),
-                                       net.arch)
-            new_ema = (_ema_step(ema_leaves, tuple(new_s) + tuple(new_p))
-                       if ema_leaves is not None else None)
-            # single-assignment snapshot: the Ctrl-C handler reads only
-            # this, so an interrupt mid-update can't checkpoint new
-            # leaves under the old step (batch replay on resume)
-            snap = (new_net, new_opt, new_ema, step + 1)
-            net, opt_state, ema_leaves = new_net, new_opt, new_ema
-            step += 1
+            # SIGINT deferred across the donation window (see fit): the
+            # step donates the previous (opt_state, states, params) and
+            # the EMA update donates the previous average
+            with _sigint_shield():
+                if opt is None:
+                    v, new_s, new_p = step_fn(rs, rp, xb, tb,
+                                              tuple(net.states),
+                                              tuple(net.params))
+                    new_opt = opt_state
+                else:
+                    # the dual-rate ratio is schedule-invariant (rs and
+                    # rp scale together); passing it explicitly keeps a
+                    # warmup rp == 0 step finite (rs/rp would be 0/0)
+                    v, new_opt, new_s, new_p = step_fn(
+                        rate_state / rate_param, rp, xb, tb, opt_state,
+                        tuple(net.states), tuple(net.params))
+                new_net = RecurrentNetwork(net.op, tuple(new_s),
+                                           tuple(new_p), net.arch)
+                new_ema = (_ema_step(ema_leaves,
+                                     tuple(new_s) + tuple(new_p))
+                           if ema_leaves is not None else None)
+                # single-assignment snapshot: the Ctrl-C handler reads
+                # only this, so an interrupt mid-update can't checkpoint
+                # new leaves under the old step (batch replay on resume)
+                snap = (new_net, new_opt, new_ema, step + 1)
+                net, opt_state, ema_leaves = new_net, new_opt, new_ema
+                step += 1
             stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
                 v = float(np.asarray(v))
@@ -2381,6 +2564,14 @@ def fit_sequences(
         # a collective no lone rank may enter)
         s_net, s_opt, s_ema, s_step = snap
         if checkpoint_path and s_step > 0 and n_proc == 1:
+            if not _leaves_alive(((tuple(s_net.states), tuple(
+                    s_net.params)), s_opt, s_ema)):
+                # double-press escaped the shield mid-step (see fit)
+                if verbose:
+                    print("interrupt landed inside a training step "
+                          "(double Ctrl-C): the in-flight step is lost; "
+                          "no checkpoint written")
+                raise
             from ..utils.checkpoint import save_recurrent, save_train_state
 
             saves.join()

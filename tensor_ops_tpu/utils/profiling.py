@@ -217,8 +217,11 @@ def training_memory_report(net, optimizer=None, batch_size: int = 128,
     the in-step working copy is compute-scoped (like ZeRO-3's gathered
     params) and bounded by the host row.  Activation
     memory is workload-shaped; measure it with
-    :func:`memory_analysis` on the real step instead.  Sizes follow the
-    same placement rules ``fit`` uses (``param_specs`` +
+    :func:`memory_analysis` on the real step instead.  Each row counts
+    ONE resident copy: ``fit``'s steps donate the previous training
+    state, so the update aliases in place — there is no second
+    input+output copy of params/moments at the step boundary.  Sizes
+    follow the same placement rules ``fit`` uses (``param_specs`` +
     ``zero1_shardings``), so the report matches what actually ships."""
     import numpy as np
 
