@@ -26,12 +26,20 @@ for donate in (False, True):
     lowered = step.lower(0.05, xb, yb, o0, p0)
     ma = lowered.compile().memory_analysis()
     print(f"donate={donate}:")
+    vals = {}
     for f in ("argument_size_in_bytes", "output_size_in_bytes",
               "temp_size_in_bytes", "alias_size_in_bytes",
               "generated_code_size_in_bytes"):
         v = getattr(ma, f, None)
+        vals[f] = v
         if v is not None:
             print(f"  {f}: {v/1e6:.1f} MB")
-    tot = (ma.argument_size_in_bytes + ma.output_size_in_bytes
-           + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
-    print(f"  peak program footprint (arg+out+temp-alias): {tot/1e6:.1f} MB")
+    need = ("argument_size_in_bytes", "output_size_in_bytes",
+            "temp_size_in_bytes", "alias_size_in_bytes")
+    if all(vals[f] is not None for f in need):
+        tot = (vals["argument_size_in_bytes"] + vals["output_size_in_bytes"]
+               + vals["temp_size_in_bytes"] - vals["alias_size_in_bytes"])
+        print(f"  peak program footprint (arg+out+temp-alias): "
+              f"{tot/1e6:.1f} MB")
+    else:
+        print("  (total skipped: backend memory_analysis lacks some fields)")

@@ -509,8 +509,14 @@ def _dedupe_donated(tree, be: Backend):
 def _leaves_alive(tree) -> bool:
     """False when any jax leaf was donated-and-deleted — the Ctrl-C
     handler checks this before checkpointing a snapshot whose buffers a
-    double-press interrupt may have invalidated mid-step."""
-    import jax
+    double-press interrupt may have invalidated mid-step.  On installs
+    without jax (the numpy-backend-only configuration checkpoint.py
+    supports) there is no donation and nothing can be deleted, so the
+    snapshot is always safe to save."""
+    try:
+        import jax
+    except ImportError:
+        return True
 
     return not any(isinstance(x, jax.Array) and x.is_deleted()
                    for x in jax.tree_util.tree_leaves(tree))
@@ -528,15 +534,18 @@ class _sigint_shield:
     SECOND press while shielded restores the previous handler and raises
     immediately (the user insists; the handler then skips the save via
     ``_leaves_alive``).  No-op off the main thread, where CPython never
-    delivers signals anyway."""
-
-    _disabled = False  # set once if signal handling is unavailable
+    delivers signals anyway.  If the shielded step itself raises while a
+    Ctrl-C is pending, the interrupt is re-raised chained onto that
+    exception (``raise KeyboardInterrupt from ev``) so the user's intent
+    to stop is never silently dropped by retry-style callers."""
 
     def __enter__(self):
         self._armed = False
         self.pending = False
-        if _sigint_shield._disabled:
-            return self
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self  # signals never delivered here; shield per-call
         import signal
 
         def h(signum, frame):
@@ -548,8 +557,8 @@ class _sigint_shield:
         try:
             self._prev = signal.signal(signal.SIGINT, h)
             self._armed = True
-        except ValueError:  # not the main thread
-            _sigint_shield._disabled = True
+        except ValueError:  # main-thread check raced an interpreter edge
+            pass
         return self
 
     def __exit__(self, et, ev, tb):
@@ -557,8 +566,12 @@ class _sigint_shield:
             import signal
 
             signal.signal(signal.SIGINT, self._prev)
-            if self.pending and et is None:
-                raise KeyboardInterrupt
+            if self.pending:
+                if et is None:
+                    raise KeyboardInterrupt
+                # the step failed while a Ctrl-C was pending: surface
+                # the interrupt chained onto the step's own exception
+                raise KeyboardInterrupt from ev
         return False
 
 
