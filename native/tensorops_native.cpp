@@ -127,6 +127,7 @@ double top_dot(const double* x, const double* y, int64_t n) {
 
 struct Batch {
   std::vector<float> x, y;
+  std::vector<int64_t> idx;
 };
 
 struct Loader {
@@ -135,6 +136,11 @@ struct Loader {
   int64_t n, xdim, ydim, batch;
   uint64_t seed;
   bool drop_last;
+  // index-only mode: fill() records the permutation slice and skips the
+  // row memcpys entirely — the consumer gathers rows itself (on-device
+  // for the chained training path, where assembling 13 MB batches on
+  // one host thread could never feed a ~30k steps/s device)
+  bool idx_only = false;
 
   std::vector<int64_t> perm;
   int64_t cursor = 0;
@@ -148,9 +154,10 @@ struct Loader {
   std::atomic<bool> stop{false};
 
   Loader(const float* X_, const float* Y_, int64_t n_, int64_t xdim_,
-         int64_t ydim_, int64_t batch_, uint64_t seed_, bool drop_last_)
+         int64_t ydim_, int64_t batch_, uint64_t seed_, bool drop_last_,
+         bool idx_only_ = false)
       : X(X_), Y(Y_), n(n_), xdim(xdim_), ydim(ydim_), batch(batch_),
-        seed(seed_), drop_last(drop_last_) {
+        seed(seed_), drop_last(drop_last_), idx_only(idx_only_) {
     perm.resize(n);
     for (int64_t i = 0; i < n; ++i) perm[i] = i;
     reshuffle();
@@ -170,12 +177,15 @@ struct Loader {
       reshuffle();
       take = std::min(batch, n);
     }
-    b.x.resize(take * xdim);
-    b.y.resize(take * ydim);
-    for (int64_t i = 0; i < take; ++i) {
-      const int64_t src = perm[cursor + i];
-      std::memcpy(&b.x[i * xdim], X + src * xdim, sizeof(float) * xdim);
-      std::memcpy(&b.y[i * ydim], Y + src * ydim, sizeof(float) * ydim);
+    b.idx.assign(perm.begin() + cursor, perm.begin() + cursor + take);
+    if (!idx_only) {
+      b.x.resize(take * xdim);
+      b.y.resize(take * ydim);
+      for (int64_t i = 0; i < take; ++i) {
+        const int64_t src = perm[cursor + i];
+        std::memcpy(&b.x[i * xdim], X + src * xdim, sizeof(float) * xdim);
+        std::memcpy(&b.y[i * ydim], Y + src * ydim, sizeof(float) * ydim);
+      }
     }
     cursor += take;
     return true;
@@ -193,20 +203,33 @@ struct Loader {
     }
   }
 
+  bool pop(Batch& b) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_empty.wait(lk, [this] { return !queue.empty() || stop.load(); });
+    if (queue.empty()) return false;
+    b = std::move(queue.front());
+    queue.pop_front();
+    cv_full.notify_one();
+    return true;
+  }
+
   int64_t next(float* xout, float* yout) {
     Batch b;
-    {
-      std::unique_lock<std::mutex> lk(mu);
-      cv_empty.wait(lk, [this] { return !queue.empty() || stop.load(); });
-      if (queue.empty()) return 0;
-      b = std::move(queue.front());
-      queue.pop_front();
-      cv_full.notify_one();
-    }
+    if (!pop(b)) return 0;
     const int64_t took = static_cast<int64_t>(b.x.size() / xdim);
     std::memcpy(xout, b.x.data(), sizeof(float) * b.x.size());
     std::memcpy(yout, b.y.data(), sizeof(float) * b.y.size());
     return took;
+  }
+
+  // indices of the next batch (same perm/cursor stream as next(), so
+  // index-mode and gathered-mode loaders with one seed agree batch for
+  // batch); idxout must hold `batch` int64s
+  int64_t next_idx(int64_t* idxout) {
+    Batch b;
+    if (!pop(b)) return 0;
+    std::memcpy(idxout, b.idx.data(), sizeof(int64_t) * b.idx.size());
+    return static_cast<int64_t>(b.idx.size());
   }
 
   ~Loader() {
@@ -219,16 +242,21 @@ struct Loader {
 
 void* top_loader_create(const float* X, const float* Y, int64_t n,
                         int64_t xdim, int64_t ydim, int64_t batch,
-                        uint64_t seed, int drop_last) {
-  return new Loader(X, Y, n, xdim, ydim, batch, seed, drop_last != 0);
+                        uint64_t seed, int drop_last, int idx_only) {
+  return new Loader(X, Y, n, xdim, ydim, batch, seed, drop_last != 0,
+                    idx_only != 0);
 }
 
 int64_t top_loader_next(void* handle, float* xout, float* yout) {
   return static_cast<Loader*>(handle)->next(xout, yout);
 }
 
+int64_t top_loader_next_idx(void* handle, int64_t* idxout) {
+  return static_cast<Loader*>(handle)->next_idx(idxout);
+}
+
 void top_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
-int top_abi_version() { return 1; }
+int top_abi_version() { return 2; }
 
 }  // extern "C"

@@ -638,7 +638,9 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   grad_constrain=None, param_unshard=None,
                   param_constrain=None, param_shardings=None,
                   offload: bool = False,
-                  donate: bool = False) -> Callable:
+                  donate: bool = False,
+                  chain: bool = False,
+                  ema_decay: Optional[float] = None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
     ``donate=True`` (jax only; what ``fit`` uses) donates the
@@ -700,7 +702,22 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     the transient in-step copy is the only HBM the moments ever hold.
     Composes with every ZeRO stage (the host leaves keep their
     data-axis shards).  The caller places the initial state with
-    ``jax.device_put(state, jax.memory.Space.Host)``."""
+    ``jax.device_put(state, jax.memory.Space.Host)``.
+
+    ``chain=True`` (jax only; what ``fit(chain_steps=...)`` uses)
+    returns a CHAINED step
+    ``(lrs, idxw, Xd, Yd, opt_state, params, ema) ->
+    (loss_last, opt_state, params, ema)`` that runs ``k = len(lrs)``
+    optimizer steps in ONE dispatch via ``lax.scan``: step ``i``
+    gathers its batch from the HBM-resident dataset ``(Xd, Yd)`` by
+    the precomputed loader indices ``idxw[i]`` and steps with
+    ``lrs[i]``; the EMA (``ema_decay``) updates in-chain with the
+    identical ``d*e + (1-d)*p`` recurrence.  Per-step math is the same
+    traced ``step`` closure, so a chained run equals the step-at-a-time
+    run exactly; the win is dispatch amortization — one tunnel/host
+    round-trip per observation window instead of per step (measured in
+    BENCH.md "fit() realized throughput").  The previous
+    (opt_state, params, ema) are donated; the dataset is not."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -715,12 +732,18 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
            zero_constrain is not None,
            grad_constrain is not None,
            param_unshard is not None, bool(offload),
-           bool(donate)) + be.cache_key()
+           bool(donate), bool(chain),
+           float(ema_decay) if ema_decay is not None else None,
+           ) + be.cache_key()
     fn = net.op._compiled.get(key)
     if fn is not None:
         return fn
     if mesh is not None and be.name != "jax":
         raise ValueError("mesh sharding requires the jax backend")
+    if chain and (be.name != "jax" or mesh is not None):
+        raise ValueError(
+            "chain=True (single-dispatch step chaining) requires the "
+            "jax backend without a mesh — fit gates this itself")
     if offload and be.name != "jax":
         raise ValueError(
             "offload keeps optimizer state in pinned host DRAM via "
@@ -865,10 +888,39 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
         # Under offload the moments are pinned-host between steps; only
         # the params are donated (conservative: host-buffer aliasing
         # through memory-space transfers is not worth the libtpu risk)
-        dargs = (() if not donate else ((4,) if offload else (3, 4)))
-        if mesh is None:
+        if chain:
+            inner = step
+
+            def chain_step(lrs, idxw, Xd, Yd, opt_state, params, ema):
+                # lrs come in as exact f64 schedule values; casting to
+                # the param dtype inside the trace reproduces the
+                # unchained path's weak-scalar cast bit for bit
+                pdt = params[0].dtype
+
+                def body(carry, per_step):
+                    o, p, e = carry
+                    lr_i, idx = per_step
+                    xb = jnp.take(Xd, idx, axis=0)
+                    yb = jnp.take(Yd, idx, axis=0)
+                    v, o, p = inner(jnp.asarray(lr_i, dtype=pdt),
+                                    xb, yb, o, p)
+                    if ema_decay is not None:
+                        d = float(ema_decay)
+                        e = tuple(d * ei + (1 - d) * pi
+                                  for ei, pi in zip(e, p))
+                    return (o, p, e), v
+
+                (o, p, e), vs = jax.lax.scan(
+                    body, (opt_state, params, ema), (lrs, idxw))
+                return vs[-1], o, p, e
+
+            cdargs = ((5, 6) if offload else (4, 5, 6)) if donate else ()
+            fn = jax.jit(chain_step, donate_argnums=cdargs)
+        elif mesh is None:
+            dargs = (() if not donate else ((4,) if offload else (3, 4)))
             fn = jax.jit(step, donate_argnums=dargs)
         else:
+            dargs = (() if not donate else ((4,) if offload else (3, 4)))
             # opt_state shardings are left None (inferred from the arrays
             # the caller built via opt.init on the sharded params)
             if offload:
@@ -936,6 +988,7 @@ def fit(
     pipeline_schedule: str = "gpipe",
     pipeline_chunks: int = 2,
     prefetch: int = 2,
+    chain_steps="auto",
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -946,6 +999,23 @@ def fit(
     verbose: bool = True,
 ) -> FitResult:
     """Minibatch-train ``net`` on (X, Y) arrays.
+
+    ``chain_steps`` closes the dispatch-rate gap between the benched
+    step rate and the realized production rate: between observation
+    boundaries (``log_every`` / ``checkpoint_every`` / the final step —
+    the points where the host must SEE the loss or the state) the loop
+    runs the whole window of steps in ONE jitted dispatch (a
+    ``lax.scan`` over the donated step), gathering each step's batch
+    on-device by loader indices from the HBM-resident dataset.  The
+    math is the identical traced step, so results, EMA, exact resume,
+    and Ctrl-C semantics are unchanged (an interrupt defers to the
+    window edge — the same granularity checkpoints already have).
+    ``"auto"`` (default) chains whenever it applies: jax backend, no
+    mesh, no ``profile_dir`` (per-step traces), no
+    ``offload_opt_state`` (host DMAs inside scan), and the f32 dataset
+    fits the on-device cap (1 GiB); an int >= 2 forces chaining with
+    that window-length cap (dataset size becomes your responsibility);
+    ``1`` disables — one dispatch per step, the pre-round-5 behavior.
 
     Data flows through the native threaded loader (C++ shuffle/batch
     assembly when available, NumPy fallback otherwise); each step is one
@@ -1097,6 +1167,17 @@ def fit(
             f"regression/reconstruction objectives), got {val_metric!r}")
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if chain_steps != "auto" and (not isinstance(chain_steps, int)
+                                  or chain_steps < 1):
+        raise ValueError(
+            f"chain_steps must be 'auto' or an int >= 1, got "
+            f"{chain_steps!r}")
+    if (isinstance(chain_steps, int) and chain_steps > 1
+            and offload_opt_state):
+        raise ValueError(
+            "chain_steps > 1 cannot combine with offload_opt_state: the "
+            "moments' host DMAs cannot ride inside the chained scan — "
+            "use chain_steps='auto' (which backs off) or chain_steps=1")
     if accum_steps > 1 and batch_size % accum_steps != 0:
         raise ValueError(
             f"batch_size ({batch_size}) must be divisible by accum_steps "
@@ -1343,6 +1424,20 @@ def fit(
             f"pipeline training drops ragged batches (the microbatch "
             f"grid needs full ones): dataset ({X.shape[0]} rows) must "
             f"hold at least one batch ({batch_size})")
+    # --- step chaining: one dispatch per observation window ---
+    # applies when there is nothing the host must observe between
+    # boundaries: jax, no mesh (single-process by the guard above), no
+    # per-step profiler trace, no host-DMA offload, and (in auto mode)
+    # a dataset small enough to live in HBM for on-device batch gathers
+    use_chain = False
+    if (be.name == "jax" and not pipeline_mode and mesh is None
+            and not offload_opt_state and not profile_dir
+            and chain_steps != 1):
+        if chain_steps == "auto":
+            ds_bytes = (X.size + Y.size) * be.dtype.itemsize
+            use_chain = ds_bytes <= (1 << 30)
+        else:
+            use_chain = True
     if mp_replicated:
         # stage-only multi-process mesh: every rank loads the identical
         # full stream (same seed) — batches replicate over the mesh
@@ -1356,7 +1451,8 @@ def fit(
                               drop_last=pipeline_mode)
     else:
         loader = NativeLoader(X, Y, batch=batch_size, seed=seed,
-                              drop_last=pipeline_mode)
+                              drop_last=pipeline_mode,
+                              index_mode=use_chain)
 
     if pipeline_mode:
         # ragged final batches cannot flow through the fixed (M, B//M)
@@ -1442,6 +1538,19 @@ def fit(
             route_key, resume=resume, state_path=state_path,
             n_proc=n_proc, carry_from=3, verbose=verbose)
     step_fn = build_step(mp_active)
+    chain_fn = X_dev = Y_dev = None
+    if use_chain:
+        # the loader's own f32 copies are the chained path's source of
+        # truth: gathering X_dev[idx] on-device yields bitwise the rows
+        # the gathered-mode loader would have assembled on the host
+        X_dev = be.asarray(loader.X)
+        Y_dev = be.asarray(loader.Y)
+        chain_fn = make_opt_step(net, loss, be, opt,
+                                 accum_steps=accum_steps,
+                                 clip_norm=clip_norm,
+                                 mixed_precision=mp_active,
+                                 donate=True, chain=True,
+                                 ema_decay=ema_decay)
     # the route travels with every .state checkpoint so resume re-takes
     # it without re-measuring (and so operators can see what ran)
     state_meta = {"layout": layout}
@@ -1523,7 +1632,8 @@ def fit(
                                      be, "emastep")
 
     source = None
-    if prefetch > 1 and be.name == "jax" and n_proc == 1 and step < total_steps:
+    if (prefetch > 1 and be.name == "jax" and n_proc == 1
+            and not use_chain and step < total_steps):
         from ..utils.native import DevicePrefetcher
 
         if data_sh is not None:
@@ -1539,6 +1649,38 @@ def fit(
         source = DevicePrefetcher(loader, _put, depth=prefetch)
 
     first_step_of_run = step + 1  # resumed runs log their first step too
+
+    if use_chain:
+        _ragged = X.shape[0] % batch_size != 0
+        # the index window is tiny (k*batch*4B) but bound it anyway so a
+        # no-logging run can't build a multi-GB index array in one shot
+        _kcap = max(1, (1 << 25) // max(batch_size, 1))
+        if isinstance(chain_steps, int):
+            _kcap = min(_kcap, chain_steps)
+
+        def _window_len(s: int) -> int:
+            """Steps until the next observation boundary from step s —
+            the chained dispatch's window.  Boundaries are absolute step
+            positions (multiples of log_every / checkpoint_every, the
+            run's first logged step, epoch-final ragged batches, the
+            budget), so a resumed run re-derives the identical window
+            sequence and stays bit-exact."""
+            nb = total_steps
+            if s < first_step_of_run:
+                nb = min(nb, first_step_of_run)
+            nb = min(nb, (s // log_every + 1) * log_every)
+            if checkpoint_path and checkpoint_every:
+                nb = min(nb, (s // checkpoint_every + 1) * checkpoint_every)
+            if _ragged:
+                # the epoch's final batch has fewer rows — it cannot ride
+                # the fixed-shape (k, batch) index window; run it alone
+                rag = ((s // steps_per_epoch) * steps_per_epoch
+                       + steps_per_epoch - 1)
+                if s == rag:
+                    return 1
+                nb = min(nb, rag)
+            return max(1, min(nb - s, _kcap))
+
     if verbose and mesh is not None and not pipeline_mode:
         from ..utils.profiling import training_memory_report
 
@@ -1597,44 +1739,77 @@ def fit(
                     _jprof.stop_trace()
                     prof_on = False
                     prof_stop = None
-            epoch = step // steps_per_epoch
-            cur_lr = lr_schedule(step) if lr_schedule is not None else lr
-            if source is not None:
-                # already transferred (+sharded), k+1 in flight
-                xb, yb = source.next()
-            elif data_sh is not None:
-                import jax
-
-                xb, yb = loader.next()
-                if mp_replicated:
-                    xb = _place(np.asarray(be.asarray(xb)), data_sh)
-                    yb = _place(np.asarray(be.asarray(yb)), data_sh)
-                elif n_proc > 1:
-                    gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
-                    gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
-                    xb = jax.make_array_from_process_local_data(
-                        data_sh, np.asarray(be.asarray(xb)), gshape_x)
-                    yb = jax.make_array_from_process_local_data(
-                        data_sh, np.asarray(be.asarray(yb)), gshape_y)
+            k = _window_len(step) if use_chain else 1
+            if k > 1:
+                # chained window: k steps in one dispatch.  Batch
+                # indices come from the same loader stream the
+                # unchained path would consume; rows gather on-device.
+                idxw = np.empty((k, batch_size), dtype=np.int32)
+                for i in range(k):
+                    idxw[i] = loader.next_indices()
+                if lr_schedule is not None:
+                    lrs = np.asarray([lr_schedule(s)
+                                      for s in range(step, step + k)],
+                                     dtype=np.float64)
                 else:
-                    xb = jax.device_put(be.asarray(xb), data_sh)
-                    yb = jax.device_put(be.asarray(yb), data_sh)
+                    lrs = np.full(k, lr, dtype=np.float64)
+                epoch = (step + k - 1) // steps_per_epoch
+                # the chain donates (opt_state, params, ema); a Ctrl-C
+                # inside the window defers to its edge (double-press
+                # escapes), same as the single-step shield below
+                with _sigint_shield():
+                    v, new_opt, new_params, new_ema = chain_fn(
+                        lrs, idxw, X_dev, Y_dev, opt_state, params,
+                        ema_params if ema_params is not None else ())
+                    if ema_params is None:
+                        new_ema = None
+                    snap = (new_params, new_opt, new_ema, step + k)
+                    params, opt_state, ema_params = (new_params, new_opt,
+                                                     new_ema)
+                    step += k
+                # the shared post-step block below handles logging,
+                # val/early-stop, and checkpoints — the window ended on
+                # a boundary by construction
             else:
-                xb, yb = loader.next()
-                xb, yb = be.asarray(xb), be.asarray(yb)
-            # the step donates (opt_state, params) and the EMA update
-            # donates the previous average: a Ctrl-C inside this window
-            # would catch `snap` pointing at deleted buffers, so SIGINT
-            # is deferred to the end of the block (double-press escapes)
-            with _sigint_shield():
-                v, new_opt, new_params = step_fn(cur_lr, xb, yb,
-                                                 opt_state, params)
-                new_ema = (_ema_step(ema_params, tuple(new_params))
-                           if ema_params is not None else None)
-                snap = (new_params, new_opt, new_ema, step + 1)
-                params, opt_state, ema_params = (new_params, new_opt,
-                                                 new_ema)
-                step += 1
+                epoch = step // steps_per_epoch
+                cur_lr = (lr_schedule(step) if lr_schedule is not None
+                          else lr)
+                if source is not None:
+                    # already transferred (+sharded), k+1 in flight
+                    xb, yb = source.next()
+                elif data_sh is not None:
+                    import jax
+
+                    xb, yb = loader.next()
+                    if mp_replicated:
+                        xb = _place(np.asarray(be.asarray(xb)), data_sh)
+                        yb = _place(np.asarray(be.asarray(yb)), data_sh)
+                    elif n_proc > 1:
+                        gshape_x = (xb.shape[0] * n_proc,) + xb.shape[1:]
+                        gshape_y = (yb.shape[0] * n_proc,) + yb.shape[1:]
+                        xb = jax.make_array_from_process_local_data(
+                            data_sh, np.asarray(be.asarray(xb)), gshape_x)
+                        yb = jax.make_array_from_process_local_data(
+                            data_sh, np.asarray(be.asarray(yb)), gshape_y)
+                    else:
+                        xb = jax.device_put(be.asarray(xb), data_sh)
+                        yb = jax.device_put(be.asarray(yb), data_sh)
+                else:
+                    xb, yb = loader.next()
+                    xb, yb = be.asarray(xb), be.asarray(yb)
+                # the step donates (opt_state, params) and the EMA update
+                # donates the previous average: a Ctrl-C inside this window
+                # would catch `snap` pointing at deleted buffers, so SIGINT
+                # is deferred to the end of the block (double-press escapes)
+                with _sigint_shield():
+                    v, new_opt, new_params = step_fn(cur_lr, xb, yb,
+                                                     opt_state, params)
+                    new_ema = (_ema_step(ema_params, tuple(new_params))
+                               if ema_params is not None else None)
+                    snap = (new_params, new_opt, new_ema, step + 1)
+                    params, opt_state, ema_params = (new_params, new_opt,
+                                                     new_ema)
+                    step += 1
             stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
                 rec = {"epoch": epoch, "loss": float(v)}

@@ -82,12 +82,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.top_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
         ]
         lib.top_loader_next.restype = ctypes.c_int64
         lib.top_loader_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.top_loader_next_idx.restype = ctypes.c_int64
+        lib.top_loader_next_idx.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.top_loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -171,12 +175,22 @@ class NativeLoader:
 
     def __init__(self, X: np.ndarray, Y: np.ndarray, batch: int,
                  seed: int = 0, drop_last: bool = False,
-                 shard: Optional[Tuple[int, int]] = None):
+                 shard: Optional[Tuple[int, int]] = None,
+                 index_mode: bool = False):
         """``shard=(index, count)`` keeps only every count-th row starting
         at index — the data-parallel per-host partition (each dp rank
         constructs its own loader with its rank; shards are disjoint and
         cover the set).  The shuffle stays per-shard and seeded, so runs
-        are reproducible per rank."""
+        are reproducible per rank.
+
+        ``index_mode=True`` makes the loader emit batch INDICES
+        (``next_indices()``) instead of assembling rows — the chained
+        training path gathers rows on-device from the HBM-resident
+        dataset, and a single host thread copying 13 MB batches could
+        never feed a ~30k steps/s device.  The index stream uses the
+        SAME shuffle machinery (identical seed => identical batches to
+        a gathered-mode loader); ``next()`` still works, gathering on
+        the host from the indices (bitwise-identical rows)."""
         if shard is not None:
             idx, n = shard
             if not (0 <= idx < n):
@@ -197,13 +211,14 @@ class NativeLoader:
         self.batch = int(batch)
         self.seed = int(seed)
         self.drop_last = drop_last
+        self.index_mode = bool(index_mode)
         self._lib = get_lib()
         self._handle = None
         if self._lib is not None:
             self._handle = self._lib.top_loader_create(
                 _fp(self.X), _fp(self.Y), self.X.shape[0],
                 self.X.shape[1], self.Y.shape[1], self.batch,
-                self.seed, int(drop_last),
+                self.seed, int(drop_last), int(self.index_mode),
             )
         else:
             self._rng = np.random.default_rng(seed)
@@ -215,6 +230,11 @@ class NativeLoader:
         return self._handle is not None
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.index_mode:
+            # host gather from the index stream: the float rows are
+            # bitwise the rows the gathered mode would have memcpy'd
+            idx = self.next_indices()
+            return self.X[idx], self.Y[idx]
         if self._handle is not None:
             xout = np.empty((self.batch, self.X.shape[1]), dtype=np.float32)
             yout = np.empty((self.batch, self.Y.shape[1]), dtype=np.float32)
@@ -234,6 +254,38 @@ class NativeLoader:
         self._cursor += take
         return self.X[idx], self.Y[idx]
 
+    def next_indices(self) -> np.ndarray:
+        """Row indices of the next batch (``index_mode=True`` only).
+
+        Same perm/cursor stream as ``next()``: an index-mode loader and
+        a gathered-mode loader built with one seed agree batch for
+        batch — ``X[loader.next_indices()] == other.next()[0]``
+        bitwise.  The chained fit consumes these and gathers on-device
+        from the HBM-resident dataset."""
+        if not self.index_mode:
+            raise ValueError(
+                "next_indices() requires NativeLoader(index_mode=True) "
+                "— the gathered-mode worker consumes the permutation as "
+                "assembled rows, so the two streams cannot be mixed")
+        if self._handle is not None:
+            iout = np.empty(self.batch, dtype=np.int64)
+            took = self._lib.top_loader_next_idx(
+                self._handle, iout.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)))
+            return iout[:took]
+        n = self.X.shape[0]
+        if self._cursor >= n:
+            self._perm = self._rng.permutation(n)
+            self._cursor = 0
+        take = min(self.batch, n - self._cursor)
+        if self.drop_last and take < self.batch:
+            self._perm = self._rng.permutation(n)
+            self._cursor = 0
+            take = self.batch
+        idx = self._perm[self._cursor : self._cursor + take]
+        self._cursor += take
+        return np.asarray(idx, dtype=np.int64)
+
     def skip(self, n: int) -> None:
         """Advance the stream by ``n`` batches without using their data.
 
@@ -245,6 +297,12 @@ class NativeLoader:
         if n <= 0:
             return
         if self._handle is not None:
+            if self.index_mode:
+                iout = np.empty(self.batch, dtype=np.int64)
+                ip = iout.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+                for _ in range(n):
+                    self._lib.top_loader_next_idx(self._handle, ip)
+                return
             xout = np.empty((self.batch, self.X.shape[1]), dtype=np.float32)
             yout = np.empty((self.batch, self.Y.shape[1]), dtype=np.float32)
             for _ in range(n):
