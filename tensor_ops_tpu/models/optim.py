@@ -27,6 +27,13 @@ class Optimizer(NamedTuple):
     update: Callable[[Any, Params, Grads, float], Tuple[Any, Params]]
     name: str = "optimizer"
     hyper: Optional[tuple] = None
+    # keep the batch gradients on the replicated run's layout under
+    # ZeRO stages >= 2 (identical all-reduce summation order, at
+    # all-reduce-instead-of-reduce-scatter cost and no gradient memory
+    # sharding) — what quantized-moment optimizers set, whose block
+    # thresholds amplify reduction-order epsilon
+    # (adam8bit(exact_reduction=True))
+    exact_reduction: bool = False
 
     def struct_key(self) -> tuple:
         if self.hyper is not None:
@@ -112,7 +119,8 @@ def adamw(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 
 def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
              block: int = 256,
-             stochastic_rounding: bool = False) -> Optimizer:
+             stochastic_rounding: bool = False,
+             exact_reduction: bool = False) -> Optimizer:
     """Adam with BLOCK-WISE 8-BIT moments (the bitsandbytes recipe,
     simplified to symmetric per-block absmax): m and v are stored as
     int8 with one f32 scale per ``block`` elements — 4x less optimizer
@@ -140,6 +148,21 @@ def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     ``moment_footprint``, and crash/resume BIT-exactness are all
     unchanged: the same step at the same index rounds identically in
     any resume chain.  Off by default (nearest rounding).
+
+    ``exact_reduction=True`` makes the optimizer equal the REPLICATED
+    run bit-for-bit under ZeRO stages >= 2 as well: the trainer then
+    leaves the gradients on the replicated run's layout, so the
+    batch-gradient reduction is the replicated run's own all-reduce
+    (identical summation order) instead of a reduce-scatter whose
+    different partial-sum grouping perturbs gradients by epsilon — a
+    perturbation the int8 block-quantization thresholds amplify to
+    ~1e-3 (the measured default band, ``test_optim8bit.py``; sharding
+    annotations alone CANNOT pin the order — measured, the partitioned
+    programs differ in value-dependent ulps either way).  The
+    documented cost: all-reduce bytes (2x the reduce-scatter) and no
+    gradient memory sharding — stage-2-exact has ZeRO-1's memory
+    profile; stage-3-exact keeps the dominant param+moment sharding.
+    The fast ~1e-3 default stays the default.
 
     State: ``(t, ((mq, ms, vq, vs), ...))`` with ``mq/vq``
     ``(n_blocks, block)`` int8 and ``ms/vs`` ``(n_blocks, 1)`` f32 —
@@ -235,10 +258,16 @@ def adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         return (t, tuple(new_qs)), tuple(new_params)
 
     # hyper keeps its historical 4-tuple shape for the default (so
-    # struct_key-validated checkpoints stay loadable); SR appends a flag
+    # struct_key-validated checkpoints stay loadable); SR appends a
+    # flag, exact_reduction a marker (it changes the GRADIENT values
+    # the update sees under ZeRO>=2, so it must key jit caches and
+    # checkpoint validation even though the update rule is unchanged)
     hyper = ((b1, b2, eps, block, True) if stochastic_rounding
              else (b1, b2, eps, block))
-    return Optimizer(init, update, "adam8bit", hyper=hyper)
+    if exact_reduction:
+        hyper = hyper + ("exact",)
+    return Optimizer(init, update, "adam8bit", hyper=hyper,
+                     exact_reduction=exact_reduction)
 
 
 def moment_footprint(opt: Optional[Optimizer], dtype_bytes: int) -> float:

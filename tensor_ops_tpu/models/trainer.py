@@ -358,10 +358,22 @@ def _resolve_mp_route(net, build_step, dummy_args, route_key, *,
     return mp_active, mp_rec
 
 
-def _zero2_grads(leaves, mesh):
+def _zero2_grads(leaves, mesh, exact: bool = False):
     """ZeRO-2 gradient constraint over the placed training leaves
     (``parallel.mesh.zero2_grad_constrain``), warning loudly when
-    nothing can shard — the run continues as ZeRO-1, never silently."""
+    nothing can shard — the run continues as ZeRO-1, never silently.
+
+    ``exact=True`` (``adam8bit(exact_reduction=True)``) returns None
+    WITHOUT the warning: exact mode deliberately keeps the gradients
+    on the replicated run's layout, so the batch-gradient reduction is
+    the replicated run's own all-reduce — bit-identical summation
+    order — instead of a reduce-scatter whose different partial-sum
+    grouping perturbs gradients by epsilon (which int8 block
+    quantization amplifies to ~1e-3).  The cost is the documented
+    trade: all-reduce bytes (2x the reduce-scatter) and no gradient
+    memory sharding; moment (and, at stage 3, param) sharding is kept."""
+    if exact:
+        return None
     from ..parallel.mesh import zero2_grad_constrain
 
     cons = zero2_grad_constrain(leaves, mesh)
@@ -1274,12 +1286,16 @@ def fit(
                     params, mesh)
             if zstage >= 3 and p_unshard is not None:
                 opt_state0, zero_cons = _zero3_opt_init(opt, params, mesh)
-                grad_cons = pin_shardings(
-                    z3_shs, what="zero_stage=3 gradient shards")
+                # exact_reduction: leave the gradients on the replicated
+                # run's layout (all-reduce, not reduce-scatter) — see
+                # _zero2_grads; params/moments stay sharded
+                grad_cons = (None if opt.exact_reduction else pin_shardings(
+                    z3_shs, what="zero_stage=3 gradient shards"))
             else:
                 opt_state0, zero_cons = _zero1_init(opt, params, mesh)
                 if zstage >= 2:
-                    grad_cons = _zero2_grads(params, mesh)
+                    grad_cons = _zero2_grads(
+                        params, mesh, exact=opt.exact_reduction)
 
         def build_step(mp_active: bool):
             key = ("plstep", loss.struct_key(), opt.struct_key(), clip_norm,
@@ -1399,12 +1415,15 @@ def fit(
                 from ..parallel.mesh import pin_shardings
 
                 opt_state0, zero_cons = _zero3_opt_init(opt, params, mesh)
-                grad_cons = pin_shardings(
-                    z3_shs, what="zero_stage=3 gradient shards")
+                # exact_reduction: see _zero2_grads — gradients keep the
+                # replicated run's all-reduce; params/moments stay sharded
+                grad_cons = (None if opt.exact_reduction else pin_shardings(
+                    z3_shs, what="zero_stage=3 gradient shards"))
             else:
                 opt_state0, zero_cons = _zero1_init(opt, params, mesh)
                 if zstage >= 2:
-                    grad_cons = _zero2_grads(params, mesh)
+                    grad_cons = _zero2_grads(
+                        params, mesh, exact=opt.exact_reduction)
     if not pipeline_mode:
         def build_step(mp_active: bool):
             return make_opt_step(net, loss, be, opt,
@@ -2472,15 +2491,19 @@ def fit_sequences(
             from ..parallel.mesh import pin_inherited, pin_shardings
 
             zero_cons = pin_inherited(opt_state, what="optimizer state")
-            grad_cons = pin_shardings(
-                z3_shs, what="zero_stage=3 gradient shards")
+            # exact_reduction: see _zero2_grads — gradients keep the
+            # replicated run's all-reduce; params/moments stay sharded
+            grad_cons = (None if getattr(opt, "exact_reduction", False)
+                         else pin_shardings(
+                             z3_shs, what="zero_stage=3 gradient shards"))
         else:
             opt_state, zero_cons = _zero1_wrap(opt_state, mesh)
             if zstage >= 2:
                 # the joint gradient covers states THEN params — build
                 # the ZeRO-2 constraint from the same placed leaf order
                 grad_cons = _zero2_grads(
-                    tuple(net.states) + tuple(net.params), mesh)
+                    tuple(net.states) + tuple(net.params), mesh,
+                    exact=getattr(opt, "exact_reduction", False))
     if offload_opt_state and opt is not None:
         # BEFORE resume: the host placement becomes the template
         # sharding restored moments re-place onto

@@ -238,19 +238,7 @@ def zero2_grad_constrain(leaves, mesh: Mesh):
     ``None`` when nothing can shard (no data axis, dp == 1, or no
     divisible dimension), which callers must treat as a loud no-op."""
     shs = zero2_grad_shardings(leaves, mesh)
-    if not any(sh is not None for sh in shs):
-        return None
-
-    def constrain(grads):
-        if len(grads) != len(shs):
-            raise ValueError(
-                f"zero_stage=2: expected {len(shs)} gradient leaves, "
-                f"got {len(grads)}")
-        return tuple(g if sh is None
-                     else jax.lax.with_sharding_constraint(g, sh)
-                     for g, sh in zip(grads, shs))
-
-    return constrain
+    return pin_shardings(shs, what="zero_stage=2 gradient shards")
 
 
 def pin_shardings(shs, what: str = "leaves"):

@@ -291,3 +291,43 @@ def test_adam8bit_zero23_quantization_amplifies_reduction_order(jb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=0)
         assert all(np.isfinite(h["loss"]) for h in z.history)
+
+
+@multi
+def test_adam8bit_exact_reduction_matches_replicated(jb):
+    """adam8bit(exact_reduction=True) under zero_stage 2 and 3 equals
+    the replicated run at 1e-9 (measured exactly equal here): the
+    trainer pins each mean gradient replicated-then-sharded, so the
+    partitioner emits the replicated run's all-reduce followed by a
+    free local slice instead of a differently-ordered reduce-scatter —
+    the opt-in exactness mode for the ~1e-3 default band pinned by
+    the test above.  Costs all-reduce bytes (2x) — the default stays
+    fast."""
+    from tensor_ops_tpu.models import cross_entropy
+    from tensor_ops_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, shape=(4, 2))  # dp x tp, per the VERDICT ask
+    r = np.random.default_rng(7)
+    X = r.normal(size=(256, 16))
+    W = r.normal(size=(16, 4))
+    Y = np.eye(4)[np.argmax(X @ W, axis=1)]
+    loss = cross_entropy(4)
+
+    def mknet():
+        return gen_net(jb, 16, 4, [(32, act_logistic())], act_logistic(),
+                       Rng(jb, seed=3))
+
+    kw = dict(epochs=2, batch_size=64, lr=0.05, mesh=mesh, verbose=False)
+    rep = fit(mknet(), loss, jb, X, Y, optimizer=adam8bit(), **kw)
+    for stage in (2, 3):
+        z = fit(mknet(), loss, jb, X, Y,
+                optimizer=adam8bit(exact_reduction=True),
+                zero_stage=stage, **kw)
+        for a, b in zip(z.net.params, rep.net.params):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-9, rtol=0)
+    # the flag is structural: caches and checkpoint validation must
+    # distinguish it, and plain construction defaults to off
+    assert adam8bit(exact_reduction=True).struct_key() \
+        != adam8bit().struct_key()
+    assert not adam8bit().exact_reduction
