@@ -401,7 +401,66 @@ def bench_cpu_blas_baseline(n_samples=3000):
     return (n_samples - 1) / dt
 
 
+def _provenance(timeout_s: float = 240.0) -> dict:
+    """Device + client version stamp for the bench JSON — and a LOUD
+    preflight.  A libtpu client/terminal version mismatch (or a wedged
+    tunnel) can make the device silently unreachable mid-session
+    (observed round 4: every call hung); a bench that half-runs or
+    reports stale numbers in that state is worse than one that fails.
+    The probe runs a real tiny computation under a watchdog: no device
+    within ``timeout_s`` => exit(2) with a diagnostic, never a partial
+    JSON line."""
+    import sys
+    import threading
+
+    info: dict = {}
+    err: list = []
+    done = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            import jax.extend.backend
+            import jax.numpy as jnp
+            import jaxlib
+
+            d = jax.devices()[0]
+            assert float(jnp.ones((8,)).sum()) == 8.0  # real round-trip
+            backend = jax.extend.backend.get_backend()
+            info.update(
+                device_kind=d.device_kind,
+                platform=d.platform,
+                n_devices=jax.device_count(),
+                jax_version=jax.__version__,
+                jaxlib_version=jaxlib.__version__,
+                # for TPU this carries the libtpu build the runtime
+                # actually loaded — the mismatch detector
+                platform_version=str(
+                    getattr(backend, "platform_version", "unknown")),
+            )
+        except Exception as e:  # noqa: BLE001 — reported below
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench.py: device preflight TIMED OUT after {timeout_s:.0f}s "
+            f"— the accelerator is unreachable (wedged tunnel or libtpu "
+            f"client/runtime version mismatch).  Refusing to emit "
+            f"numbers.", file=sys.stderr)
+        os._exit(2)
+    if err:
+        print(f"bench.py: device preflight FAILED: {err[0]!r} — refusing "
+              f"to emit numbers.", file=sys.stderr)
+        raise SystemExit(2)
+    return info
+
+
 def main():
+    provenance = _provenance()
     steps_per_sec, samples_per_sec = bench_mnist_train()
     steps4k, samples4k = bench_mnist_train(batch=4096, steps=500)
     steps_bf16, samples_bf16 = bench_mnist_train_mixed()
@@ -451,6 +510,7 @@ def main():
             "fused_matmul_pct_of_v5e_bf16_peak": round(100 * mm_roofline, 1),
             "serving_w8a8_megakernel_us_per_fwd_4x4096": round(int8_us, 1),
             "serving_w8a8_weight_stream_gbps": round(int8_gbps, 0),
+            "provenance": provenance,
         },
     }
     print(json.dumps(result))

@@ -88,8 +88,11 @@ def test_different_hyperparams_do_not_collide(jb):
 
 
 def test_fit_loop_cache_stable(jb):
-    """End-to-end: two fit() calls with fresh loss/optimizer objects leave
-    exactly one optstep cache entry."""
+    """End-to-end: two fit() calls with fresh loss/optimizer objects reuse
+    the SAME optstep cache entries — a chained fit compiles exactly one
+    chained window step plus one single step (for k==1 boundary windows:
+    the always-logged first step and ragged epoch tails), and a second
+    identical fit adds nothing."""
     net = _net(jb)
     r = np.random.default_rng(0)
     X = r.uniform(0, 1, size=(16, 6))
@@ -102,7 +105,19 @@ def test_fit_loop_cache_stable(jb):
         optimizer=sgd(), verbose=False)
     keys2 = {k for k in net.op._compiled if isinstance(k, tuple)
              and k and k[0] == "optstep"}
-    assert keys1 == keys2 and len(keys1) == 1
+    assert keys1 == keys2 and len(keys1) == 2
+    # ... and the pair differs ONLY in the chain flag of the key
+    a, b = sorted(keys1, key=repr)
+    assert sum(x != y for x, y in zip(a, b)) == 1
+
+    # chaining disabled => the single unchained entry, still stable
+    net2 = _net(jb)
+    for _ in range(2):
+        fit(net2, cross_entropy(4), jb, X, Y, epochs=1, batch_size=8,
+            optimizer=sgd(), verbose=False, chain_steps=1)
+    keys3 = {k for k in net2.op._compiled if isinstance(k, tuple)
+             and k and k[0] == "optstep"}
+    assert len(keys3) == 1
 
 
 def test_accum_steps_divisibility_validated(jb):
