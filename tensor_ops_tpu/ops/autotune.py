@@ -352,6 +352,261 @@ def autotune_mlp_train_step(B: int, dims: Sequence[int],
     return best
 
 
+def _sweep_and_persist(key: str, results: List[Tuple[float, tuple]],
+                       cache: TileCache) -> tuple:
+    """Shared tail of every autotune entry: pick the fastest measured
+    config, persist it with provenance, return it."""
+    if not results:
+        raise RuntimeError(f"no candidate compiled for {key}")
+    best_us, best = min(results)
+    cache.put(key, {"tiles": list(best), "us": round(best_us, 2),
+                    "candidates": len(results)})
+    return best
+
+
+def int8_linear_candidates(B: int, K: int, O: int, *, x_bytes: int,
+                           vmem_budget: int = 48 * 1024 * 1024
+                           ) -> List[Tuple[int, int, int]]:
+    """(block_b, block_o, block_k) sweep for the int8-weight linears.
+    int8 blocks tile (32, 128) minimum, so the batch tile is a
+    32-multiple when the activations are int8 too (``x_bytes == 1``,
+    the w8a8 kernel); the f32-activation w8 kernel keeps the 8-sublane
+    rule.  Weight blocks are 1 byte/elem — the VMEM bound admits much
+    deeper K than the f32 sweep."""
+    b_step = 32 if x_bytes == 1 else SUBLANE
+    Bp = _round_up(B, b_step)
+    Kp, Op = _round_up(K, LANE), _round_up(O, LANE)
+    tbs = sorted({min(t, Bp) for t in (32, 64, 128, 256, 512)})
+    tos = sorted({min(t, Op) for t in (256, 512, 1024, 2048, 4096)})
+    tks = sorted({min(t, Kp) for t in (256, 512, 1024, 2048)}
+                 | ({Kp} if Kp <= 8192 else set()))
+    out = []
+    for tb in tbs:
+        if tb % b_step:
+            continue
+        for to in tos:
+            for tk in tks:
+                if Op % to or Kp % tk:
+                    continue
+                vmem = (2 * (tb * tk * x_bytes + to * tk)   # in blocks
+                        + tb * to * 4                       # accumulator
+                        + 2 * tb * to * 4)                  # y out (f32)
+                if vmem > vmem_budget:
+                    continue
+                out.append((tb, to, tk))
+    return out
+
+
+def autotune_linear_w8(B: int, K: int, O: int, *, act: str = "identity",
+                       precision: str = "default",
+                       cache: Optional[TileCache] = None,
+                       verbose: bool = False) -> Tuple[int, int, int]:
+    """Measure tile configs for ``fused_linear_w8`` (int8 weights
+    dequantized in-kernel, f32 activations) and persist the winner
+    under the ``linear_w8`` key ``pick_tiles(kernel='linear_w8')``
+    probes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .pallas_kernels import fused_linear_w8, pick_tiles
+
+    cache = cache or _CACHE
+    key = make_key("linear_w8", B=B, K=K, O=O, save_z=0, dtype="float32")
+    cands = int8_linear_candidates(B, K, O, x_bytes=4)
+    heur = pick_tiles(B, K, O, kernel="linear_w8")
+    if heur not in cands:
+        cands.append(heur)
+    x = jnp.zeros((B, K), jnp.float32)
+    wq = jnp.zeros((O, K), jnp.int8)
+    sc = jnp.ones((O, 1), jnp.float32)
+    b = jnp.zeros((O,), jnp.float32)
+    results = []
+    for tiles in cands:
+
+        @jax.jit
+        def run(x, wq, sc, b, n, _t=tiles):
+            def body(i, xc):
+                y = fused_linear_w8(xc, wq, sc, b, act, precision, tiles=_t)
+                return _fold(y, K, xc)
+
+            return lax.fori_loop(0, n, body, x)
+
+        def loop_fn(n, _run=run):
+            return float(_run(x, wq, sc, b, n)[0, 0])  # scalar fetch sync
+
+        try:
+            us = _diff_time_us(loop_fn)
+        except Exception as e:  # Mosaic can reject extreme configs
+            if verbose:
+                print(f"  tiles {tiles}: rejected ({type(e).__name__})")
+            continue
+        results.append((us, tiles))
+        if verbose:
+            print(f"  tiles {tiles}: {us:.1f}us")
+    return _sweep_and_persist(key, results, cache)
+
+
+def autotune_linear_w8a8(B: int, K: int, O: int, *, act: str = "identity",
+                         cache: Optional[TileCache] = None,
+                         verbose: bool = False) -> Tuple[int, int, int]:
+    """Measure tile configs for ``fused_linear_w8a8`` (int8 x int8 on
+    the MXU; activations quantized per call, the serving recipe) and
+    persist under the key its trace-time probe reads."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .pallas_kernels import fused_linear_w8a8
+
+    cache = cache or _CACHE
+    key = make_key("linear_w8a8", B=B, K=K, O=O)
+    cands = int8_linear_candidates(B, K, O, x_bytes=1)
+    heur = (min(_round_up(B, 32), 512), min(_round_up(O, LANE), 2048),
+            min(_round_up(K, LANE), 1024))
+    if heur not in cands:
+        cands.append(heur)
+    x = jnp.zeros((B, K), jnp.float32)
+    wq = jnp.zeros((O, K), jnp.int8)
+    sc = jnp.ones((O, 1), jnp.float32)
+    b = jnp.zeros((O,), jnp.float32)
+    results = []
+    for tiles in cands:
+
+        @jax.jit
+        def run(x, wq, sc, b, n, _t=tiles):
+            def body(i, xc):
+                y = fused_linear_w8a8(xc, wq, sc, b, act, tiles=_t)
+                return _fold(y, K, xc)
+
+            return lax.fori_loop(0, n, body, x)
+
+        def loop_fn(n, _run=run):
+            return float(_run(x, wq, sc, b, n)[0, 0])
+
+        try:
+            us = _diff_time_us(loop_fn)
+        except Exception as e:
+            if verbose:
+                print(f"  tiles {tiles}: rejected ({type(e).__name__})")
+            continue
+        results.append((us, tiles))
+        if verbose:
+            print(f"  tiles {tiles}: {us:.1f}us")
+    return _sweep_and_persist(key, results, cache)
+
+
+def autotune_mlp_w8a8(B: int, N: int, L: int, *, hidden_act: str = "relu",
+                      cache: Optional[TileCache] = None,
+                      verbose: bool = False) -> Tuple[int, int]:
+    """Sweep the w8a8 serving megakernel's weight-block tiles
+    (block_o, block_k) — the contested serving kernel (BENCH.md int8
+    section).  The batch never tiles (VMEM-resident whole), so these
+    two dims set the HBM weight-stream pattern, the only thing that
+    matters at the weight-bound serving shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .pallas_kernels import fused_mlp_w8a8_forward
+
+    cache = cache or _CACHE
+    key = make_key("mlp_w8a8", B=B, N=N, L=L)
+    Bp = _round_up(max(B, 1), 32)
+    cands = []
+    for to in (512, 1024, 2048, 4096):
+        for tk in (256, 512, 1024, 2048, 4096):
+            if to > N or tk > N or N % to or N % tk:
+                continue
+            vmem = (Bp * N * 5          # resident h_i8 + h_f32
+                    + 2 * to * tk       # double-buffered weight block
+                    + Bp * to * 8       # int32 acc + f32 out block
+                    + Bp * 16)
+            if vmem > 48 * 1024 * 1024:
+                continue
+            cands.append((to, tk))
+    heur = (min(N, 2048), min(N, 1024))
+    if heur not in cands:
+        cands.append(heur)
+    wqs = jnp.zeros((L, N, N), jnp.int8)
+    sws = jnp.ones((L, N), jnp.float32)
+    bs = jnp.zeros((L, N), jnp.float32)
+    x = jnp.zeros((B, N), jnp.float32)
+    results = []
+    for tiles in cands:
+
+        @jax.jit
+        def run(x, wqs, sws, bs, n, _t=tiles):
+            def body(i, xc):
+                y = fused_mlp_w8a8_forward(xc, wqs, sws, bs, hidden_act,
+                                           tiles=_t)
+                return _fold(y, N, xc)
+
+            return lax.fori_loop(0, n, body, x)
+
+        def loop_fn(n, _run=run):
+            return float(_run(x, wqs, sws, bs, n)[0, 0])
+
+        try:
+            us = _diff_time_us(loop_fn)
+        except Exception as e:
+            if verbose:
+                print(f"  tiles {tiles}: rejected ({type(e).__name__})")
+            continue
+        results.append((us, tiles))
+        if verbose:
+            print(f"  tiles {tiles}: {us:.1f}us")
+    return _sweep_and_persist(key, results, cache)
+
+
+def autotune_rnn_step(B: int, I: int, O: int, *, act: str = "logistic",
+                      precision: str = "default",
+                      cache: Optional[TileCache] = None,
+                      verbose: bool = False) -> Tuple[int]:
+    """Sweep the fused Elman step's batch tile (its only free
+    parameter: both weight matrices are VMEM-resident whole)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .pallas_kernels import _rnn_step_impl
+
+    cache = cache or _CACHE
+    key = make_key("rnn_step", B=B, I=I, O=O)
+    Bp = _round_up(B, SUBLANE)
+    cands = sorted({min(t, Bp) for t in (64, 128, 256, 512, 1024)})
+    x = jnp.zeros((B, I), jnp.float32)
+    s0 = jnp.zeros((B, O), jnp.float32)
+    wx = jnp.zeros((O, I), jnp.float32)
+    ws = jnp.zeros((O, O), jnp.float32)
+    b = jnp.zeros((O,), jnp.float32)
+    results = []
+    for bb in cands:
+
+        @jax.jit
+        def run(x, s0, wx, ws, b, n, _bb=bb):
+            def body(i, s):
+                _, snew, _ = _rnn_step_impl(x, s, wx, ws, b, act,
+                                            precision, block_b=_bb)
+                return snew
+
+            return lax.fori_loop(0, n, body, s0)
+
+        def loop_fn(n, _run=run):
+            return float(_run(x, s0, wx, ws, b, n)[0, 0])
+
+        try:
+            us = _diff_time_us(loop_fn)
+        except Exception as e:
+            if verbose:
+                print(f"  block_b {bb}: rejected ({type(e).__name__})")
+            continue
+        results.append((us, (bb,)))
+        if verbose:
+            print(f"  block_b {bb}: {us:.1f}us")
+    return _sweep_and_persist(key, results, cache)
+
+
 def autotune_mlp_forward(B: int, dims: Sequence[int], acts: Sequence[str],
                          *, softmax_out: bool = True,
                          precision: str = "default",

@@ -655,12 +655,16 @@ def _linear_w8_kernel(x_ref, wq_ref, scale_ref, b_ref, y_ref, acc_ref, *,
 
 @_f32_kernel_scope
 def fused_linear_w8(x, wq, scale, b, act: str = "identity",
-                    precision: str = "default"):
+                    precision: str = "default", tiles=None):
     """``act(x @ (wq * scale).T + b)`` with int8 weights dequantized
-    in-kernel.  x: (B, i), wq: (o, i) int8, scale: (o, 1) f32, b: (o,)."""
+    in-kernel.  x: (B, i), wq: (o, i) int8, scale: (o, 1) f32, b: (o,).
+    ``tiles`` overrides the tuned/heuristic (block_b, block_o, block_k)
+    — the autotuner's sweep hook (``autotune.autotune_linear_w8``)."""
     B, i = x.shape
     o = wq.shape[0]
-    block_b, block_o, block_k = pick_tiles(B, i, o, kernel="linear_w8")
+    if tiles is None:
+        tiles = pick_tiles(B, i, o, kernel="linear_w8")
+    block_b, block_o, block_k = tiles
     xp = _pad2(x.astype(jnp.float32), block_b, block_k)
     wqp = _pad2(wq, block_o, block_k)
     sp = jnp.pad(scale.astype(jnp.float32), ((0, wqp.shape[0] - o), (0, 0)),
@@ -744,7 +748,7 @@ def _linear_w8a8_kernel(xq_ref, wq_ref, sx_ref, sw_ref, b_ref, y_ref,
 
 
 @_f32_kernel_scope
-def fused_linear_w8a8(x, wq, scale, b, act: str = "identity"):
+def fused_linear_w8a8(x, wq, scale, b, act: str = "identity", tiles=None):
     """``act((xq @ wq.T) * sx * sw.T + b)`` with BOTH operands int8 on the
     MXU (``int8 x int8 -> int32``) — the serving path VERDICT item 5 asked
     for, replacing the dequantize-to-bf16 detour of ``fused_linear_w8``.
@@ -756,13 +760,21 @@ def fused_linear_w8a8(x, wq, scale, b, act: str = "identity"):
     small batch) run at HBM speed-of-light on a quarter of the bytes."""
     B, i = x.shape
     o = wq.shape[0]
-    # int8 tile heuristic from the on-device sweep (BENCH.md int8 table):
-    # 2048x1024 weight blocks stream at ~990 GB/s (vs ~820 for the f32
-    # heuristic's 512 x full-K); int8 minimum sublane tile is 32, so the
-    # batch tile rounds UP to a 32-multiple (not just clamps at 32)
-    block_b = min(_round_up(B, 32), 512)
-    block_o = min(_round_up(o, LANE), 2048)
-    block_k = min(_round_up(i, LANE), 1024)
+    if tiles is None:
+        from .autotune import get_tuned
+
+        tiles = get_tuned("linear_w8a8", B=B, K=i, O=o)
+    if tiles is not None:
+        block_b, block_o, block_k = tiles
+    else:
+        # int8 tile heuristic from the on-device sweep (BENCH.md int8
+        # table): 2048x1024 weight blocks stream at ~990 GB/s (vs ~820
+        # for the f32 heuristic's 512 x full-K); int8 minimum sublane
+        # tile is 32, so the batch tile rounds UP to a 32-multiple
+        # (not just clamps at 32)
+        block_b = min(_round_up(B, 32), 512)
+        block_o = min(_round_up(o, LANE), 2048)
+        block_k = min(_round_up(i, LANE), 1024)
     xq, sx = quantize_acts_int8(x)
     xqp = _pad2(xq, block_b, block_k)
     sxp = jnp.pad(sx, ((0, xqp.shape[0] - B), (0, 0)), constant_values=1.0)
@@ -864,7 +876,8 @@ def _mlp_w8a8_kernel(xq_ref, sx_ref, wq_ref, sw_ref, b_ref, y_ref,
 
 
 @_f32_kernel_scope
-def fused_mlp_w8a8_forward(x, wqs, sws, bs, hidden_act: str = "relu"):
+def fused_mlp_w8a8_forward(x, wqs, sws, bs, hidden_act: str = "relu",
+                           tiles=None):
     """Whole-MLP int8 serving megakernel for a uniform-width stack.
 
     x: (B, N) float; wqs: (L, N, N) int8 (per-channel quantized, layer-
@@ -879,8 +892,18 @@ def fused_mlp_w8a8_forward(x, wqs, sws, bs, hidden_act: str = "relu"):
             f"fused_mlp_w8a8_forward needs uniform 128-multiple dims, got "
             f"x {x.shape}, wqs {wqs.shape}")
     block_b = min(_round_up(B, 32), 512)  # int8 sublane tile is 32
-    block_o = min(N, 2048)
-    block_k = min(N, 1024)
+    if tiles is None:
+        from .autotune import get_tuned
+
+        # the megakernel's real tunables are the weight-block tiles
+        # (``tiles`` = (block_o, block_k)): the batch is VMEM-resident
+        # whole (the grid never tiles it), so block_b is just padding
+        tiles = get_tuned("mlp_w8a8", B=B, N=N, L=int(wqs.shape[0]))
+    if tiles is not None:
+        block_o, block_k = tiles
+    else:
+        block_o = min(N, 2048)
+        block_k = min(N, 1024)
     nj, nk = N // block_o, N // block_k
     xq, sx = quantize_acts_int8(x)
     xqp = _pad2(xq, block_b, LANE)
@@ -964,10 +987,15 @@ def fused_rnn_step(x, s, wx, ws, b, act: str = "logistic",
 
 
 @_f32_kernel_scope
-def _rnn_step_impl(x, s, wx, ws, b, act, precision):
+def _rnn_step_impl(x, s, wx, ws, b, act, precision, block_b=None):
     B, i = x.shape
     o = wx.shape[0]
-    block_b = min(_round_up(B, 8), 512)
+    if block_b is None:
+        from .autotune import get_tuned
+
+        tuned = get_tuned("rnn_step", B=B, I=i, O=o)
+        block_b = tuned[0] if tuned else min(_round_up(B, 8), 512)
+    block_b = min(_round_up(B, 8), block_b)
     I = _round_up(i, LANE)
     O = _round_up(o, LANE)
     xp = _pad2(x.astype(jnp.float32), block_b, LANE)          # (Bp, I)

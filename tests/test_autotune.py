@@ -150,3 +150,93 @@ def test_packaged_table_fallback(tile_cache, monkeypatch, tmp_path):
     monkeypatch.setattr(autotune, "_packaged", None)
     for k in autotune._packaged_tiles():
         assert "dev=" in k
+
+
+# ---- round-5 coverage: the contested serving + RNN kernels ----------
+# (VERDICT round-4 item 4: "point the autotuner at the contested
+# kernels" — these check the sweep MECHANICS on CPU interpret mode;
+# the speed numbers come from the on-device run recorded in BENCH.md.)
+
+
+def test_autotune_linear_w8_persists_and_kernel_consumes(tile_cache):
+    from tensor_ops_tpu.ops.autotune import autotune_linear_w8
+    from tensor_ops_tpu.ops.pallas_kernels import fused_linear_w8
+
+    r = np.random.default_rng(4)
+    x = jnp.asarray(r.normal(size=(32, 100)), jnp.float32)
+    wq = jnp.asarray(r.integers(-127, 128, size=(40, 100)), jnp.int8)
+    sc = jnp.asarray(r.uniform(0.01, 0.1, size=(40, 1)), jnp.float32)
+    b = jnp.asarray(r.normal(size=(40,)), jnp.float32)
+    before = np.asarray(fused_linear_w8(x, wq, sc, b, "logistic"))
+    best = autotune_linear_w8(32, 100, 40, act="logistic",
+                              cache=tile_cache)
+    key = make_key("linear_w8", B=32, K=100, O=40, save_z=0,
+                   dtype="float32")
+    on_disk = json.load(open(tile_cache.path))
+    assert on_disk[key]["tiles"] == list(best)
+    # tile choice is a schedule, not semantics — and the explicit
+    # tiles= override takes the same path the tuned default does
+    explicit = np.asarray(fused_linear_w8(x, wq, sc, b, "logistic",
+                                          tiles=best))
+    np.testing.assert_array_equal(before, explicit)
+
+
+def test_autotune_linear_w8a8_persists_and_kernel_consumes(tile_cache):
+    from tensor_ops_tpu.ops.autotune import autotune_linear_w8a8
+    from tensor_ops_tpu.ops.pallas_kernels import fused_linear_w8a8
+
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.normal(size=(32, 100)), jnp.float32)
+    wq = jnp.asarray(r.integers(-127, 128, size=(40, 100)), jnp.int8)
+    sc = jnp.asarray(r.uniform(0.01, 0.1, size=(40, 1)), jnp.float32)
+    b = jnp.asarray(r.normal(size=(40,)), jnp.float32)
+    before = np.asarray(fused_linear_w8a8(x, wq, sc, b, "identity"))
+    best = autotune_linear_w8a8(32, 100, 40, cache=tile_cache)
+    assert best[0] % 32 == 0  # int8 sublane tile rule
+    key = make_key("linear_w8a8", B=32, K=100, O=40)
+    assert json.load(open(tile_cache.path))[key]["tiles"] == list(best)
+    # the default (tiles=None) path consults get_tuned for this key
+    jax.clear_caches()
+    after = np.asarray(fused_linear_w8a8(x, wq, sc, b, "identity"))
+    np.testing.assert_array_equal(before, after)
+
+
+def test_autotune_mlp_w8a8_persists_and_kernel_consumes(tile_cache):
+    from tensor_ops_tpu.ops.autotune import autotune_mlp_w8a8
+    from tensor_ops_tpu.ops.pallas_kernels import fused_mlp_w8a8_forward
+
+    r = np.random.default_rng(6)
+    B, N, L = 8, 128, 2
+    x = jnp.asarray(r.normal(size=(B, N)), jnp.float32)
+    wqs = jnp.asarray(r.integers(-127, 128, size=(L, N, N)), jnp.int8)
+    sws = jnp.asarray(r.uniform(0.01, 0.1, size=(L, N)), jnp.float32)
+    bs = jnp.asarray(r.normal(size=(L, N)) * 0.1, jnp.float32)
+    before = np.asarray(fused_mlp_w8a8_forward(x, wqs, sws, bs, "relu"))
+    best = autotune_mlp_w8a8(B, N, L, cache=tile_cache)
+    assert N % best[0] == 0 and N % best[1] == 0
+    key = make_key("mlp_w8a8", B=B, N=N, L=L)
+    assert json.load(open(tile_cache.path))[key]["tiles"] == list(best)
+    jax.clear_caches()
+    after = np.asarray(fused_mlp_w8a8_forward(x, wqs, sws, bs, "relu"))
+    np.testing.assert_array_equal(before, after)
+
+
+def test_autotune_rnn_step_persists_and_impl_consumes(tile_cache):
+    from tensor_ops_tpu.ops.autotune import autotune_rnn_step
+    from tensor_ops_tpu.ops.pallas_kernels import _rnn_step_impl
+
+    r = np.random.default_rng(7)
+    B, I, O = 16, 20, 12
+    x = jnp.asarray(r.normal(size=(B, I)), jnp.float32)
+    s = jnp.asarray(r.normal(size=(B, O)), jnp.float32)
+    wx = jnp.asarray(r.normal(size=(O, I)) * 0.3, jnp.float32)
+    ws = jnp.asarray(r.normal(size=(O, O)) * 0.3, jnp.float32)
+    b = jnp.asarray(r.normal(size=(O,)) * 0.1, jnp.float32)
+    y0, s0, _ = _rnn_step_impl(x, s, wx, ws, b, "logistic", "default")
+    best = autotune_rnn_step(B, I, O, cache=tile_cache)
+    key = make_key("rnn_step", B=B, I=I, O=O)
+    assert json.load(open(tile_cache.path))[key]["tiles"] == list(best)
+    jax.clear_caches()
+    y1, s1, _ = _rnn_step_impl(x, s, wx, ws, b, "logistic", "default")
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
