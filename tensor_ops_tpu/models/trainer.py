@@ -642,6 +642,41 @@ def _ema_init(r_ema, templates, be: Backend, resumed_step: int,
     return _fresh_leaves(templates, be)
 
 
+def _device_window_indices(seed: int, n_rows: int, batch: int, spe: int,
+                           step0, k: int):
+    """``(k, batch)`` batch indices for global steps ``step0 ..
+    step0+k-1``, computed entirely in-graph (jittable; ``step0`` may be
+    traced): epoch ``e``'s batches are consecutive ``batch``-sized
+    slices of ``jax.random.permutation(fold_in(key(seed), e), n_rows)``.
+
+    A pure function of ``(seed, absolute step)``: every window
+    partition of a run — and every crash/resume chain — replays the
+    identical batch sequence, and each epoch visits every row exactly
+    once (a true permutation).  Counter-based (threefry), so no RNG
+    state is carried between windows and the host streams zero index
+    bytes.  Requires ``n_rows % batch == 0`` (``spe = n_rows //
+    batch``)."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jax.random.key(seed)
+    e0 = step0 // spe
+    # upper bound on distinct epochs the k steps can touch, any step0
+    E = (k - 1) // spe + 2
+    perms = jax.vmap(
+        lambda j: jax.random.permutation(
+            jax.random.fold_in(base, e0 + j), n_rows)
+    )(jnp.arange(E))
+
+    def one(i):
+        s = step0 + i
+        erel = s // spe - e0
+        slot = (s % spe) * batch
+        return jax.lax.dynamic_slice(perms, (erel, slot), (1, batch))[0]
+
+    return jax.vmap(one)(jnp.arange(k))
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
@@ -652,6 +687,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   offload: bool = False,
                   donate: bool = False,
                   chain: bool = False,
+                  chain_spec: Optional[Tuple[int, int, int, int]] = None,
                   ema_decay: Optional[float] = None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
@@ -729,7 +765,23 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     run exactly; the win is dispatch amortization — one tunnel/host
     round-trip per observation window instead of per step (measured in
     BENCH.md "fit() realized throughput").  The previous
-    (opt_state, params, ema) are donated; the dataset is not."""
+    (opt_state, params, ema) are donated; the dataset is not.
+
+    ``chain_spec=(n_rows, batch, steps_per_epoch, seed)`` switches the
+    chained step to DEVICE-SIDE shuffling: the signature becomes
+    ``(lrs, step0, Xd, Yd, opt_state, params, ema)`` and step
+    ``step0 + i`` gathers batch ``(step0+i) % spe`` of the epoch
+    permutation ``jax.random.permutation(fold_in(key(seed), epoch),
+    n_rows)`` — all computed IN-GRAPH, so the host streams ZERO index
+    bytes per step (the host-index path uploads batch*4 B/step, which
+    is PCIe traffic on a real host and the realized-rate bottleneck
+    through a tunnel).  Indices are a pure function of (seed, absolute
+    step): any window partition of the same run — and any crash/resume
+    chain — replays the identical batch sequence bit for bit.  Each
+    epoch still visits every row exactly once (threefry permutation);
+    only the ORDER differs from the host loader's numpy-PCG stream, so
+    a device-shuffled run is statistically, not bitwise, equal to the
+    host-shuffled one.  Requires ``n_rows % batch == 0``."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -744,7 +796,7 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
            zero_constrain is not None,
            grad_constrain is not None,
            param_unshard is not None, bool(offload),
-           bool(donate), bool(chain),
+           bool(donate), bool(chain), chain_spec,
            float(ema_decay) if ema_decay is not None else None,
            ) + be.cache_key()
     fn = net.op._compiled.get(key)
@@ -926,8 +978,26 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                     body, (opt_state, params, ema), (lrs, idxw))
                 return vs[-1], o, p, e
 
-            cdargs = ((5, 6) if offload else (4, 5, 6)) if donate else ()
-            fn = jax.jit(chain_step, donate_argnums=cdargs)
+            if chain_spec is not None:
+                # device-side shuffle: batch indices computed in-graph
+                # from (seed, absolute step) — zero host index traffic
+                n_rows, cbatch, spe, cseed = chain_spec
+
+                def chain_step_dev(lrs, step0, Xd, Yd, opt_state,
+                                   params, ema):
+                    idxw = _device_window_indices(
+                        cseed, n_rows, cbatch, spe, step0,
+                        int(lrs.shape[0]))
+                    return chain_step(lrs, idxw, Xd, Yd, opt_state,
+                                      params, ema)
+
+                cdargs = ((5, 6) if offload else (4, 5, 6)) \
+                    if donate else ()
+                fn = jax.jit(chain_step_dev, donate_argnums=cdargs)
+            else:
+                cdargs = ((5, 6) if offload else (4, 5, 6)) \
+                    if donate else ()
+                fn = jax.jit(chain_step, donate_argnums=cdargs)
         elif mesh is None:
             dargs = (() if not donate else ((4,) if offload else (3, 4)))
             fn = jax.jit(step, donate_argnums=dargs)
@@ -1001,6 +1071,7 @@ def fit(
     pipeline_chunks: int = 2,
     prefetch: int = 2,
     chain_steps="auto",
+    chain_shuffle: str = "host",
     seed: int = 0,
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     metrics_path: Optional[str] = None,
@@ -1028,6 +1099,23 @@ def fit(
     fits the on-device cap (1 GiB); an int >= 2 forces chaining with
     that window-length cap (dataset size becomes your responsibility);
     ``1`` disables — one dispatch per step, the pre-round-5 behavior.
+
+    ``chain_shuffle`` picks where a chained run's batch indices come
+    from.  ``"host"`` (default) streams the native loader's indices to
+    the device — bitwise the batches an unchained run consumes, at
+    ``batch*4`` bytes of host->device traffic per step.  ``"device"``
+    computes them IN-GRAPH (``_device_window_indices``: epoch
+    permutations from a counter-based threefry key of ``(seed,
+    epoch)``) — ZERO host index traffic, which is what the production
+    loop should do on any host and is the realized-rate bottleneck
+    through a slow link (measured in BENCH.md).  Device mode still
+    visits every row exactly once per epoch and is bit-reproducible
+    (same seed -> same run; indices depend only on the absolute step,
+    so ANY window partition — and any crash/resume chain — replays the
+    identical batch sequence), but its shuffle ORDER differs from the
+    host loader's numpy stream, so it equals a ``chain_steps=1`` run
+    statistically, not bitwise.  Requires chaining to engage and the
+    dataset to divide evenly into batches (no ragged tail).
 
     Data flows through the native threaded loader (C++ shuffle/batch
     assembly when available, NumPy fallback otherwise); each step is one
@@ -1190,6 +1278,17 @@ def fit(
             "chain_steps > 1 cannot combine with offload_opt_state: the "
             "moments' host DMAs cannot ride inside the chained scan — "
             "use chain_steps='auto' (which backs off) or chain_steps=1")
+    if chain_shuffle not in ("host", "device"):
+        raise ValueError(
+            f"chain_shuffle must be 'host' or 'device', got "
+            f"{chain_shuffle!r}")
+    if chain_shuffle == "device" and X.shape[0] % batch_size != 0:
+        raise ValueError(
+            f"chain_shuffle='device' computes epoch permutations "
+            f"in-graph and needs the dataset ({X.shape[0]} rows) to "
+            f"divide evenly into batches ({batch_size}): a ragged tail "
+            f"batch cannot ride the fixed-shape index window — trim "
+            f"the dataset or use chain_shuffle='host'")
     if accum_steps > 1 and batch_size % accum_steps != 0:
         raise ValueError(
             f"batch_size ({batch_size}) must be divisible by accum_steps "
@@ -1457,6 +1556,14 @@ def fit(
             use_chain = ds_bytes <= (1 << 30)
         else:
             use_chain = True
+    chain_dev = use_chain and chain_shuffle == "device"
+    if chain_shuffle == "device" and not use_chain:
+        raise ValueError(
+            "chain_shuffle='device' needs step chaining to engage: jax "
+            "backend, no mesh/offload/profile_dir, chain_steps != 1, "
+            "and (in auto mode) a dataset small enough for HBM "
+            "residency — this configuration fell back to unchained "
+            "dispatch, where the host loader already owns the shuffle")
     if mp_replicated:
         # stage-only multi-process mesh: every rank loads the identical
         # full stream (same seed) — batches replicate over the mesh
@@ -1471,7 +1578,7 @@ def fit(
     else:
         loader = NativeLoader(X, Y, batch=batch_size, seed=seed,
                               drop_last=pipeline_mode,
-                              index_mode=use_chain)
+                              index_mode=use_chain and not chain_dev)
 
     if pipeline_mode:
         # ragged final batches cannot flow through the fixed (M, B//M)
@@ -1569,6 +1676,9 @@ def fit(
                                  clip_norm=clip_norm,
                                  mixed_precision=mp_active,
                                  donate=True, chain=True,
+                                 chain_spec=((X.shape[0], batch_size,
+                                              steps_per_epoch, seed)
+                                             if chain_dev else None),
                                  ema_decay=ema_decay)
     # the route travels with every .state checkpoint so resume re-takes
     # it without re-measuring (and so operators can see what ran)
@@ -1619,7 +1729,9 @@ def fit(
         # skipped batches), invariant across repeated crash/resume.
         # Skipping is pointless when the budget is already met — zero
         # steps will run, so don't drain `step` batches for nothing.
-        if step < total_steps:
+        if step < total_steps and not chain_dev:
+            # (device-shuffled chains need no fast-forward: their
+            # indices are a pure function of the absolute step)
             loader.skip(step)
         if verbose:
             print(f"resumed from {state_path} at step {step} "
@@ -1727,6 +1839,24 @@ def fit(
         return Network(net.op, tuple(cur_params), net.act_names)
 
     logger = MetricsLogger(metrics_path)
+    # log-only boundaries defer the (blocking) loss fetch: the D2H copy
+    # starts immediately (copy_to_host_async) but float() happens a few
+    # windows later, so the round trip hides behind the NEXT windows'
+    # already-dispatched compute instead of stalling the loop once per
+    # log_every steps (measured in BENCH.md "fit() realized
+    # throughput").  val / checkpoint / early-stop boundaries still
+    # synchronize — they genuinely need the values or the state.
+    pending_logs = []  # (step, epoch, v_device) in step order
+    _flush_depth = 2 if verbose else 64
+
+    def _flush_logs():
+        for ps, pe, pv in pending_logs:
+            pl = float(pv)
+            history.append(logger.log(ps, epoch=pe, loss=pl))
+            if verbose:
+                print(f"[epoch {pe}] step {ps}: loss {pl:.4f}")
+        pending_logs.clear()
+
     if mp_mode != "off":
         # the routing decision lands in the metrics JSONL too — the
         # record an operator audits when asking "what precision ran?"
@@ -1759,13 +1889,20 @@ def fit(
                     prof_on = False
                     prof_stop = None
             k = _window_len(step) if use_chain else 1
-            if k > 1:
+            if k > 1 or (chain_dev and use_chain):
                 # chained window: k steps in one dispatch.  Batch
                 # indices come from the same loader stream the
-                # unchained path would consume; rows gather on-device.
-                idxw = np.empty((k, batch_size), dtype=np.int32)
-                for i in range(k):
-                    idxw[i] = loader.next_indices()
+                # unchained path would consume (host mode; rows gather
+                # on-device) or are computed in-graph (device mode —
+                # which also owns the k == 1 boundary windows, so the
+                # whole run consumes ONE index stream)
+                if chain_dev:
+                    idx_arg = np.int32(step)
+                else:
+                    idxw = np.empty((k, batch_size), dtype=np.int32)
+                    for i in range(k):
+                        idxw[i] = loader.next_indices()
+                    idx_arg = idxw
                 if lr_schedule is not None:
                     lrs = np.asarray([lr_schedule(s)
                                       for s in range(step, step + k)],
@@ -1778,7 +1915,7 @@ def fit(
                 # escapes), same as the single-step shield below
                 with _sigint_shield():
                     v, new_opt, new_params, new_ema = chain_fn(
-                        lrs, idxw, X_dev, Y_dev, opt_state, params,
+                        lrs, idx_arg, X_dev, Y_dev, opt_state, params,
                         ema_params if ema_params is not None else ())
                     if ema_params is None:
                         new_ema = None
@@ -1831,8 +1968,21 @@ def fit(
                     step += 1
             stop_early = False
             if step % log_every == 0 or step == first_step_of_run:
-                rec = {"epoch": epoch, "loss": float(v)}
-                if val is not None:
+                if val is None:
+                    # log-only boundary: start the D2H copy, defer the
+                    # blocking fetch past the next windows' dispatches
+                    try:
+                        v.copy_to_host_async()
+                    except AttributeError:
+                        pass  # numpy backend: already a host scalar
+                    pending_logs.append((step, epoch, v))
+                    if len(pending_logs) >= _flush_depth:
+                        _flush_logs()
+                    rec = None
+                else:
+                    _flush_logs()  # keep history/JSONL in step order
+                    rec = {"epoch": epoch, "loss": float(v)}
+                if rec is not None:  # val boundary (sync path)
                     cur = _as_network(params)
                     if val_metric == "accuracy":
                         from .training import accuracy
@@ -1854,14 +2004,16 @@ def fit(
                             evals_since_best += 1
                             stop_early = (evals_since_best
                                           >= early_stop_patience)
-                history.append(logger.log(step, **rec))
-                if verbose:
-                    msg = f"[epoch {epoch}] step {step}: loss {float(v):.4f}"
-                    if "val_acc" in rec:
-                        msg += f"  val_acc {rec['val_acc']:.3f}"
-                    if "val_loss" in rec:
-                        msg += f"  val_loss {rec['val_loss']:.4f}"
-                    print(msg)
+                if rec is not None:
+                    history.append(logger.log(step, **rec))
+                    if verbose:
+                        msg = (f"[epoch {epoch}] step {step}: "
+                               f"loss {float(v):.4f}")
+                        if "val_acc" in rec:
+                            msg += f"  val_acc {rec['val_acc']:.3f}"
+                        if "val_loss" in rec:
+                            msg += f"  val_loss {rec['val_loss']:.4f}"
+                        print(msg)
             if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
                 from ..utils.checkpoint import (save_network_async,
                                                 save_train_state_async)
@@ -1911,6 +2063,7 @@ def fit(
         # an interrupt hits ranks asynchronously and the multi-host
         # checkpoint gather is a collective, so entering it from one
         # rank's handler would deadlock the mesh.
+        _flush_logs()  # deferred losses are from completed windows
         s_params, s_opt, s_ema, s_step = snap
         if checkpoint_path and s_step > 0 and n_proc == 1:
             if not _leaves_alive((s_params, s_opt, s_ema)):
@@ -1937,6 +2090,10 @@ def fit(
     finally:
         if prof_on:
             _jprof.stop_trace()
+        try:
+            _flush_logs()  # idempotent; except-path flushes cleared it
+        except Exception:
+            pass  # never mask the propagating exception from cleanup
         save_err = saves.join()
         loader.close()
         logger.close()
