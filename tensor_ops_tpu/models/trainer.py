@@ -677,6 +677,52 @@ def _device_window_indices(seed: int, n_rows: int, batch: int, spe: int,
     return jax.vmap(one)(jnp.arange(k))
 
 
+def _device_window_offsets(seed: int, batch: int, spe: int, step0, k: int):
+    """``(k,)`` int32 ROW OFFSETS into a once-shuffled resident dataset
+    for global steps ``step0 .. step0+k-1`` — the in-graph index stream
+    of ``chain_shuffle='device_fixed'`` (shuffle-once).
+
+    Epoch ``e`` visits the dataset's ``spe`` fixed batch slots in the
+    order ``jax.random.permutation(fold_in(slot_key(seed), e), spe)``;
+    step ``s`` reads ``batch`` contiguous rows at ``slot * batch``.
+    Contiguous ``dynamic_slice`` loads instead of row gathers: measured
+    ~45 us/step marginal vs the true-reshuffle gather's ~112-176 us at
+    the flagship (TPU gathers sustain ~1/3 of stream bandwidth —
+    BENCH.md 'fit() realized throughput').  Same purity contract as
+    ``_device_window_indices``: a function of (seed, absolute step)
+    only, so window partitions and crash/resume chains replay
+    identically and every epoch still covers every row exactly once
+    (fixed slots x fresh slot order); only the ROW-to-slot assignment
+    is frozen after the initial shuffle — the statistical compromise a
+    user opts into for speed-of-light batch selection."""
+    import jax
+    import jax.numpy as jnp
+
+    _, slot_key = jax.random.split(jax.random.key(seed))
+    e0 = step0 // spe
+    E = (k - 1) // spe + 2
+    sperm = jax.vmap(
+        lambda j: jax.random.permutation(
+            jax.random.fold_in(slot_key, e0 + j), spe)
+    )(jnp.arange(E))
+
+    def one(i):
+        s = step0 + i
+        return sperm[s // spe - e0, s % spe] * batch
+
+    return jax.vmap(one)(jnp.arange(k))
+
+
+def _device_fixed_perm(seed: int, n_rows: int):
+    """The once-per-run row permutation ``chain_shuffle='device_fixed'``
+    applies to the resident dataset before training (its sibling key is
+    ``_device_window_offsets``' slot stream)."""
+    import jax
+
+    row_key, _ = jax.random.split(jax.random.key(seed))
+    return jax.random.permutation(row_key, n_rows)
+
+
 def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   accum_steps: int = 1,
                   clip_norm: Optional[float] = None,
@@ -687,7 +733,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                   offload: bool = False,
                   donate: bool = False,
                   chain: bool = False,
-                  chain_spec: Optional[Tuple[int, int, int, int]] = None,
+                  chain_spec: Optional[Tuple[int, int, int, int,
+                                             str]] = None,
                   ema_decay: Optional[float] = None) -> Callable:
     """Jitted ``(lr, xb, yb, opt_state, params) -> (loss, opt_state, params)``.
 
@@ -767,8 +814,9 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     BENCH.md "fit() realized throughput").  The previous
     (opt_state, params, ema) are donated; the dataset is not.
 
-    ``chain_spec=(n_rows, batch, steps_per_epoch, seed)`` switches the
-    chained step to DEVICE-SIDE shuffling: the signature becomes
+    ``chain_spec=(n_rows, batch, steps_per_epoch, seed, mode)``
+    switches the chained step to DEVICE-SIDE shuffling: the signature
+    becomes
     ``(lrs, step0, Xd, Yd, opt_state, params, ema)`` and step
     ``step0 + i`` gathers batch ``(step0+i) % spe`` of the epoch
     permutation ``jax.random.permutation(fold_in(key(seed), epoch),
@@ -781,7 +829,13 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
     epoch still visits every row exactly once (threefry permutation);
     only the ORDER differs from the host loader's numpy-PCG stream, so
     a device-shuffled run is statistically, not bitwise, equal to the
-    host-shuffled one.  Requires ``n_rows % batch == 0``."""
+    host-shuffled one.  Requires ``n_rows % batch == 0``.  ``mode``:
+    ``"perm"`` reshuffles rows every epoch (in-graph row gathers);
+    ``"fixed"`` (``chain_shuffle='device_fixed'``) shuffles rows ONCE —
+    the caller passes the pre-shuffled dataset — and per epoch only the
+    BATCH-SLOT order is re-randomized, so batches are contiguous
+    ``dynamic_slice`` loads at stream bandwidth instead of gathers
+    (measured ~45 vs ~176 us/step marginal at the flagship)."""
     composed = net._loss_op(loss)
     n_params = len(net.params)
 
@@ -978,10 +1032,45 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                     body, (opt_state, params, ema), (lrs, idxw))
                 return vs[-1], o, p, e
 
-            if chain_spec is not None:
+            cdargs = ((5, 6) if offload else (4, 5, 6)) if donate else ()
+            if chain_spec is not None and chain_spec[-1] == "fixed":
+                # shuffle-once: contiguous dynamic_slice batches off the
+                # once-shuffled resident dataset in a per-epoch random
+                # slot order — no per-step gather at all
+                n_rows, cbatch, spe, cseed, _ = chain_spec
+
+                def chain_step_fix(lrs, step0, Xs, Ys, opt_state,
+                                   params, ema):
+                    pdt = params[0].dtype
+                    offs = _device_window_offsets(
+                        cseed, cbatch, spe, step0, int(lrs.shape[0]))
+
+                    def body(carry, per_step):
+                        o, p, e = carry
+                        lr_i, off = per_step
+                        xb = jax.lax.dynamic_slice(
+                            Xs, (off,) + (0,) * (Xs.ndim - 1),
+                            (cbatch,) + Xs.shape[1:])
+                        yb = jax.lax.dynamic_slice(
+                            Ys, (off,) + (0,) * (Ys.ndim - 1),
+                            (cbatch,) + Ys.shape[1:])
+                        v, o, p = inner(jnp.asarray(lr_i, dtype=pdt),
+                                        xb, yb, o, p)
+                        if ema_decay is not None:
+                            d = float(ema_decay)
+                            e = tuple(d * ei + (1 - d) * pi
+                                      for ei, pi in zip(e, p))
+                        return (o, p, e), v
+
+                    (o, p, e), vs = jax.lax.scan(
+                        body, (opt_state, params, ema), (lrs, offs))
+                    return vs[-1], o, p, e
+
+                fn = jax.jit(chain_step_fix, donate_argnums=cdargs)
+            elif chain_spec is not None:
                 # device-side shuffle: batch indices computed in-graph
                 # from (seed, absolute step) — zero host index traffic
-                n_rows, cbatch, spe, cseed = chain_spec
+                n_rows, cbatch, spe, cseed, _ = chain_spec
 
                 def chain_step_dev(lrs, step0, Xd, Yd, opt_state,
                                    params, ema):
@@ -991,12 +1080,8 @@ def make_opt_step(net: Network, loss: TOp, be: Backend, opt: Optimizer,
                     return chain_step(lrs, idxw, Xd, Yd, opt_state,
                                       params, ema)
 
-                cdargs = ((5, 6) if offload else (4, 5, 6)) \
-                    if donate else ()
                 fn = jax.jit(chain_step_dev, donate_argnums=cdargs)
             else:
-                cdargs = ((5, 6) if offload else (4, 5, 6)) \
-                    if donate else ()
                 fn = jax.jit(chain_step, donate_argnums=cdargs)
         elif mesh is None:
             dargs = (() if not donate else ((4,) if offload else (3, 4)))
@@ -1278,17 +1363,17 @@ def fit(
             "chain_steps > 1 cannot combine with offload_opt_state: the "
             "moments' host DMAs cannot ride inside the chained scan — "
             "use chain_steps='auto' (which backs off) or chain_steps=1")
-    if chain_shuffle not in ("host", "device"):
+    if chain_shuffle not in ("host", "device", "device_fixed"):
         raise ValueError(
-            f"chain_shuffle must be 'host' or 'device', got "
-            f"{chain_shuffle!r}")
-    if chain_shuffle == "device" and X.shape[0] % batch_size != 0:
+            f"chain_shuffle must be 'host', 'device', or "
+            f"'device_fixed', got {chain_shuffle!r}")
+    if chain_shuffle != "host" and X.shape[0] % batch_size != 0:
         raise ValueError(
-            f"chain_shuffle='device' computes epoch permutations "
-            f"in-graph and needs the dataset ({X.shape[0]} rows) to "
-            f"divide evenly into batches ({batch_size}): a ragged tail "
-            f"batch cannot ride the fixed-shape index window — trim "
-            f"the dataset or use chain_shuffle='host'")
+            f"chain_shuffle={chain_shuffle!r} computes the batch "
+            f"stream in-graph and needs the dataset ({X.shape[0]} "
+            f"rows) to divide evenly into batches ({batch_size}): a "
+            f"ragged tail batch cannot ride the fixed-shape index "
+            f"window — trim the dataset or use chain_shuffle='host'")
     if accum_steps > 1 and batch_size % accum_steps != 0:
         raise ValueError(
             f"batch_size ({batch_size}) must be divisible by accum_steps "
@@ -1556,14 +1641,15 @@ def fit(
             use_chain = ds_bytes <= (1 << 30)
         else:
             use_chain = True
-    chain_dev = use_chain and chain_shuffle == "device"
-    if chain_shuffle == "device" and not use_chain:
+    chain_dev = use_chain and chain_shuffle != "host"
+    if chain_shuffle != "host" and not use_chain:
         raise ValueError(
-            "chain_shuffle='device' needs step chaining to engage: jax "
-            "backend, no mesh/offload/profile_dir, chain_steps != 1, "
-            "and (in auto mode) a dataset small enough for HBM "
-            "residency — this configuration fell back to unchained "
-            "dispatch, where the host loader already owns the shuffle")
+            f"chain_shuffle={chain_shuffle!r} needs step chaining to "
+            f"engage: jax backend, no mesh/offload/profile_dir, "
+            f"chain_steps != 1, and (in auto mode) a dataset small "
+            f"enough for HBM residency — this configuration fell back "
+            f"to unchained dispatch, where the host loader already "
+            f"owns the shuffle")
     if mp_replicated:
         # stage-only multi-process mesh: every rank loads the identical
         # full stream (same seed) — batches replicate over the mesh
@@ -1671,13 +1757,25 @@ def fit(
         # the gathered-mode loader would have assembled on the host
         X_dev = be.asarray(loader.X)
         Y_dev = be.asarray(loader.Y)
+        if chain_shuffle == "device_fixed":
+            # the once-per-run row shuffle, applied on-device (its
+            # sibling slot stream lives inside the chained program)
+            import jax
+
+            _p0 = _device_fixed_perm(seed, X.shape[0])
+            X_dev, Y_dev = jax.jit(
+                lambda x, y, p: (x[p], y[p]))(X_dev, Y_dev, _p0)
         chain_fn = make_opt_step(net, loss, be, opt,
                                  accum_steps=accum_steps,
                                  clip_norm=clip_norm,
                                  mixed_precision=mp_active,
                                  donate=True, chain=True,
                                  chain_spec=((X.shape[0], batch_size,
-                                              steps_per_epoch, seed)
+                                              steps_per_epoch, seed,
+                                              "fixed"
+                                              if chain_shuffle
+                                              == "device_fixed"
+                                              else "perm")
                                              if chain_dev else None),
                                  ema_decay=ema_decay)
     # the route travels with every .state checkpoint so resume re-takes

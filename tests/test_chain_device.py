@@ -17,7 +17,9 @@ from tensor_ops_tpu.backend.rng import Rng
 from tensor_ops_tpu.models import (act_logistic, act_softmax, cross_entropy,
                                    gen_net)
 from tensor_ops_tpu.models.optim import adam, cosine_schedule, sgd
-from tensor_ops_tpu.models.trainer import _device_window_indices, fit
+from tensor_ops_tpu.models.trainer import (_device_fixed_perm,
+                                           _device_window_indices,
+                                           _device_window_offsets, fit)
 
 
 def _mknet(be, seed=1):
@@ -72,6 +74,27 @@ def test_device_indices_seed_sensitivity():
     assert not np.array_equal(a, b)
 
 
+def test_device_fixed_offsets_cover_each_epoch_exactly_once():
+    """Shuffle-once mode: each epoch visits every batch SLOT exactly
+    once (fresh order per epoch), so composed with the fixed row
+    permutation every epoch still covers every row exactly once."""
+    spe, batch = 6, 16
+    offs = np.asarray(_device_window_offsets(3, batch, spe, 0, 3 * spe))
+    assert offs.shape == (3 * spe,)
+    for e in range(3):
+        slots = np.sort(offs[e * spe:(e + 1) * spe]) // batch
+        assert np.array_equal(slots, np.arange(spe))
+    assert not np.array_equal(offs[:spe], offs[spe:2 * spe])
+    # window-partition invariance, mid-epoch starts included
+    parts = [np.asarray(_device_window_offsets(3, batch, spe, s0, k))
+             for s0, k in [(0, 5), (5, 9), (14, 4)]]
+    assert np.array_equal(offs, np.concatenate(parts))
+    # the row permutation is a permutation and differs from the slot
+    # stream's key (split siblings)
+    p = np.asarray(_device_fixed_perm(3, 96))
+    assert np.array_equal(np.sort(p), np.arange(96))
+
+
 # ---------------------------------------------------------------------------
 # fit(chain_shuffle='device')
 # ---------------------------------------------------------------------------
@@ -119,6 +142,39 @@ def test_device_mode_trains_and_history_complete(jb):
             verbose=False)
     assert [h["step"] for h in r.history] == [1] + list(range(8, 49, 8))
     assert r.history[-1]["loss"] < r.history[0]["loss"]
+
+
+def test_device_fixed_mode_full_surface(jb, tmp_path):
+    """device_fixed: partition invariance, exact resume, training
+    sanity, epoch coverage via the loss trajectory."""
+    X, Y = _data(512)
+    kw = dict(epochs=3, batch_size=64, optimizer=adam(),
+              lr_schedule=cosine_schedule(0.01, 24), ema_decay=0.9,
+              chain_shuffle="device_fixed", verbose=False, seed=3)
+    r1 = fit(_mknet(jb), cross_entropy(4), jb, X, Y, chain_steps="auto",
+             log_every=7, **kw)
+    r2 = fit(_mknet(jb), cross_entropy(4), jb, X, Y, chain_steps=5,
+             log_every=3, **kw)
+    assert r1.steps == r2.steps == 24
+    assert _max_diff(r1.net.params, r2.net.params) == 0.0
+    assert _max_diff(r1.ema_net.params, r2.ema_net.params) == 0.0
+    # differs from the per-epoch-reshuffle stream (different batches)
+    r3 = fit(_mknet(jb), cross_entropy(4), jb, X, Y, chain_steps="auto",
+             log_every=7, epochs=3, batch_size=64, optimizer=adam(),
+             lr_schedule=cosine_schedule(0.01, 24), ema_decay=0.9,
+             chain_shuffle="device", verbose=False, seed=3)
+    assert _max_diff(r1.net.params, r3.net.params) > 0.0
+
+    ck = str(tmp_path / "fx.npz")
+    kw2 = dict(batch_size=64, optimizer=sgd(), lr=0.5, log_every=4,
+               chain_shuffle="device_fixed", verbose=False, seed=9)
+    r_full = fit(_mknet(jb), cross_entropy(4), jb, X, Y, epochs=4, **kw2)
+    fit(_mknet(jb), cross_entropy(4), jb, X, Y, epochs=2,
+        checkpoint_path=ck, checkpoint_every=8, **kw2)
+    r_res = fit(_mknet(jb, seed=99), cross_entropy(4), jb, X, Y, epochs=4,
+                checkpoint_path=ck, checkpoint_every=8, resume=True, **kw2)
+    assert _max_diff(r_full.net.params, r_res.net.params) == 0.0
+    assert r_full.history[-1]["loss"] < r_full.history[0]["loss"]
 
 
 def test_device_mode_validation(jb, nb):
