@@ -2,9 +2,18 @@
 Arms (all batch 4096, flagship 784/300/100/10 unless noted):
   A vmapped-f32      (the round-3 headline path)
   B batched-f32      (batched-graph lowering, f32)
-  C batched-bf16     (current mixed_precision recipe: per-step casts)
-  D batched-bf16-res (bf16 params carried across steps; f32 master update
-                      replaced by bf16-applied update — cast-free steady state)
+  C batched-bf16     (mixed_precision recipe: batch cast IN-GRAPH from
+                      the f32 argument, per-step param casts — exactly
+                      what make_opt_step(mixed_precision=True) compiles)
+  C_arg batched-bf16 with the batch PRE-CAST to bf16 and passed as a
+                      jit argument — the round-4 sweep's arm C.  XLA
+                      assigns the bf16[4096,784] ENTRY parameter a
+                      transposed {0,1} layout and every loop GEMM pays
+                      for it (~+12-14us/step at the flagship); kept as
+                      the artifact-control arm (BENCH.md round-5 MP
+                      reconciliation, scratch/mp_bisect.py).
+  D batched-bf16-res (bf16 params carried across steps — cast-free
+                      steady state; batch still cast in-graph)
 Interleaved min-of-N differential timing per BENCH.md.
 """
 import json, math, sys, time
@@ -58,6 +67,18 @@ def make_arms(dims, batch):
 
     def arm_C(n_steps):
         @jax.jit
+        def run(xf, yf, params):
+            def body(i_, params):
+                lp = tuple(p.astype(jnp.bfloat16) for p in params)
+                _, grads = ir.value_and_grad(
+                    g, be_c, (xf.astype(jnp.bfloat16),) + lp
+                    + (yf.astype(jnp.bfloat16),))
+                return tuple(p - 0.02 * gg.astype(jnp.float32) for p, gg in zip(params, grads[1:-1]))
+            return lax.fori_loop(0, n_steps, body, params)
+        return lambda: float(jnp.sum(run(xf, yf, pf)[0]))
+
+    def arm_C_arg(n_steps):
+        @jax.jit
         def run(xb, yb, params):
             def body(i_, params):
                 lp = tuple(p.astype(jnp.bfloat16) for p in params)
@@ -68,14 +89,16 @@ def make_arms(dims, batch):
 
     def arm_D(n_steps):
         @jax.jit
-        def run(xb, yb, params):
+        def run(xf, yf, params):
             def body(i_, params):
-                _, grads = ir.value_and_grad(g, be_c, (xb,) + params + (yb,))
+                _, grads = ir.value_and_grad(
+                    g, be_c, (xf.astype(jnp.bfloat16),) + params
+                    + (yf.astype(jnp.bfloat16),))
                 return tuple(p - 0.02 * gg for p, gg in zip(params, grads[1:-1]))
             return lax.fori_loop(0, n_steps, body, params)
-        return lambda: float(jnp.sum(run(xb, yb, pb)[0].astype(jnp.float32)))
+        return lambda: float(jnp.sum(run(xf, yf, pb)[0].astype(jnp.float32)))
 
-    return dict(A=arm_A, B=arm_B, C=arm_C, D=arm_D)
+    return dict(A=arm_A, B=arm_B, C=arm_C, C_arg=arm_C_arg, D=arm_D)
 
 def interleaved_diff(arms, small, big, rounds=8):
     made = {k: (f(small), f(big)) for k, f in arms.items()}
