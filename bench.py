@@ -131,7 +131,16 @@ def bench_mnist_train_mixed(batch=4096, steps=500):
     GEMMs by construction; the vmapped per-sample path materializes B
     stacked bf16 outer products that XLA-TPU only rewrites for f32,
     measured 70x slower), f32 master params updated from upcast
-    gradients."""
+    gradients.
+
+    The batch enters as f32 and is cast to bf16 IN-GRAPH — exactly
+    what fit()'s recipe compiles.  Rounds 3-4 pre-cast the batch and
+    passed a bf16 jit argument instead: XLA assigns that entry
+    parameter a transposed {0,1} layout and every loop iteration's
+    GEMMs pay ~14us/step reading it (BENCH.md round-5 "Mixed-precision
+    reconciliation", scratch/mp_bisect.py) — this row read 45.9us/step
+    (89.2M samples/s) under that artifact vs ~32us measured with the
+    cast in-graph."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -149,21 +158,23 @@ def bench_mnist_train_mixed(batch=4096, steps=500):
     assert g is not None
 
     x, y = make_data(batch)
-    xb = jnp.asarray(x, jnp.bfloat16)
-    yb = jnp.asarray(y, jnp.bfloat16)
+    xf = jnp.asarray(x, jnp.float32)
+    yf = jnp.asarray(y, jnp.float32)
     params = tuple(jnp.asarray(p, jnp.float32) for p in net.params)
 
     def make_loop(n_steps):
         @jax.jit
-        def run_steps(xb, yb, params):
+        def run_steps(xf, yf, params):
             def body(i, params):
                 lp = tuple(p.astype(jnp.bfloat16) for p in params)
-                _, grads = ir.value_and_grad(g, be_c, (xb,) + lp + (yb,))
+                _, grads = ir.value_and_grad(
+                    g, be_c, (xf.astype(jnp.bfloat16),) + lp
+                    + (yf.astype(jnp.bfloat16),))
                 return tuple(
                     p - 0.02 * gg.astype(jnp.float32)
                     for p, gg in zip(params, grads[1:-1]))
             return lax.fori_loop(0, n_steps, body, params)
-        return lambda: float(jnp.sum(run_steps(xb, yb, params)[0]))
+        return lambda: float(jnp.sum(run_steps(xf, yf, params)[0]))
 
     dt = _diff_time_per_step(make_loop, steps, 5 * steps)
     return 1.0 / dt, batch / dt
