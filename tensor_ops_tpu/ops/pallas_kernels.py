@@ -986,10 +986,29 @@ def fused_rnn_step(x, s, wx, ws, b, act: str = "logistic",
     return y, snew
 
 
+#: The Elman kernel keeps BOTH weight matrices VMEM-resident whole
+#: (its contraction never blocks I/O); current libtpu enforces a
+#: ~16 MiB scoped-VMEM stack limit per kernel, so the f32 weights
+#: alone cap hidden size around sqrt(16MiB/2/4B) ~= 1448.  Checked
+#: eagerly with a clear error (the autotuner's sweep rejects every
+#: candidate at such shapes for the same reason); use FusedRNN's
+#: default ``impl="xla"`` there — measured faster at EVERY size
+#: anyway (BENCH.md "Recurrent (Elman) sequence step").
+_RNN_SCOPED_VMEM_LIMIT = 16 * 1024 * 1024
+
+
 @_f32_kernel_scope
 def _rnn_step_impl(x, s, wx, ws, b, act, precision, block_b=None):
     B, i = x.shape
     o = wx.shape[0]
+    _w_bytes = 4 * (_round_up(o, LANE) * _round_up(i, LANE)
+                    + _round_up(o, LANE) ** 2)
+    if _w_bytes > _RNN_SCOPED_VMEM_LIMIT and not _interpret():
+        raise ValueError(
+            f"fused_rnn_step: resident f32 weights need {_w_bytes/2**20:.1f}"
+            f" MiB of VMEM, over the ~16 MiB scoped limit (hidden={o}, "
+            f"in={i}); use FusedRNN(impl='xla') — measured faster at "
+            f"every size (BENCH.md)")
     if block_b is None:
         from .autotune import get_tuned
 
