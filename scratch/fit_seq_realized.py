@@ -1,11 +1,15 @@
 """Realized end-to-end fit_sequences() throughput (VERDICT r4 #7).
 
 The recurrent loop's jitted step already amortizes dispatch over the
-whole sequence scan (n timesteps per dispatch), so — unlike fit() —
-step chaining was never needed.  This probe MEASURES that instead of
-assuming it: wall-clock over the whole production loop (loader shuffle,
-lr bookkeeping, logging, snapshot rebind), device-synced, against the
-raw jitted-step rate of the same compiled step.
+whole sequence scan (n timesteps per dispatch) — but the first run of
+this probe measured that amortization is NOT enough: the per-step
+dispatch + 8.4 MB sequence-batch upload still dominated (realized rate
+59% of the raw fori_loop step rate).  So fit_sequences grew the same
+chaining fit() has (``chain_steps``/``chain_shuffle``), and this probe
+now sweeps all four modes: wall-clock over the whole production loop
+(loader shuffle, lr bookkeeping, logging, snapshot rebind),
+device-synced, against the raw jitted-step rate of the same compiled
+step.
 
 Workload: Elman fully_connected stack 32 -> [512 logistic/logistic] ->
 32, sequences of n=64 timesteps, batch 256, dual-rate SGD (the
@@ -29,7 +33,7 @@ import tensor_ops_tpu as T  # noqa: E402
 from tensor_ops_tpu.models import (act_logistic, fit_sequences,  # noqa: E402
                                    squared_error)
 from tensor_ops_tpu.models import recurrent as R  # noqa: E402
-from tensor_ops_tpu.utils.rng import Rng  # noqa: E402
+from tensor_ops_tpu.backend.rng import Rng  # noqa: E402
 
 I = O = 32
 HID = 512
@@ -51,20 +55,34 @@ def main():
     net = make(be)
     steps_per_epoch = NSEQ // BATCH  # 16
 
-    def run(epochs, log_every):
+    def run(epochs, log_every, **kw):
         t0 = time.perf_counter()
         res = fit_sequences(net, squared_error(O), be, XS, TS,
                             epochs=epochs, batch_size=BATCH,
                             rate_state=0.01, rate_param=0.05,
-                            log_every=log_every, verbose=False)
+                            log_every=log_every, verbose=False, **kw)
         for p in res.net.params:
             np.asarray(p)
         return time.perf_counter() - t0
 
     rows = []
-    for tag, epochs, log_every in [("log10", 40, 10), ("log100", 40, 100)]:
-        run(1, log_every)  # warmup: compile + caches
-        wall = min(run(epochs, log_every) for _ in range(3))
+    # (tag, fit kwargs, log_every, epochs): the unchained arm pays the
+    # full per-step dispatch+upload so it gets fewer epochs — its
+    # per-step rate converges immediately
+    modes = [
+        ("unchained", dict(chain_steps=1), 10, 6),
+        ("chain_host", dict(chain_steps="auto", chain_shuffle="host"),
+         10, 40),
+        ("chain_device", dict(chain_steps="auto",
+                              chain_shuffle="device"), 10, 40),
+        ("chain_device_fixed", dict(chain_steps="auto",
+                                    chain_shuffle="device_fixed"), 10, 40),
+        ("chain_device_fixed_log100",
+         dict(chain_steps="auto", chain_shuffle="device_fixed"), 100, 40),
+    ]
+    for tag, kw, log_every, epochs in modes:
+        run(1, log_every, **kw)  # warmup: compile + caches
+        wall = min(run(epochs, log_every, **kw) for _ in range(2))
         steps = epochs * steps_per_epoch
         row = dict(tag=tag, steps=steps, wall_s=round(wall, 3),
                    ms_per_step=round(1e3 * wall / steps, 3),
