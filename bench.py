@@ -321,6 +321,31 @@ def bench_int8_serving(n=4096, layers=4, batch=16):
     return dt * 1e6, layers * n * n / dt / 1e9  # us/fwd, GB/s int8 stream
 
 
+def bench_fit_realized(n=65536, batch=4096, epochs=51200):
+    """Realized end-to-end ``fit()`` throughput: wall clock over the FULL
+    production loop (loader, lr schedule, log cadence, snapshot rebind)
+    with step chaining + shuffle-once device batches — the number a user
+    of ``fit()`` actually gets, next to the fori_loop step-rate headline
+    (BENCH.md 'fit() realized end-to-end throughput').  The loop being
+    productionized matches ``/root/reference/app/MNIST.hs:390-396``."""
+    import tensor_ops_tpu as T
+    from tensor_ops_tpu.models import cross_entropy, fit, sgd
+
+    be = T.JaxBackend()
+    net = make_net(be)
+    X, Y = make_data(n)
+    steps = epochs * (n // batch)
+    t0 = time.perf_counter()
+    res = fit(net, cross_entropy(10), be, X, Y, epochs=epochs,
+              batch_size=batch, lr=0.02, optimizer=sgd(),
+              chain_steps="auto", chain_shuffle="device_fixed",
+              log_every=3200, verbose=False)
+    for p in res.net.params:
+        np.asarray(p)  # sync: realized wall includes the final fetch
+    wall = time.perf_counter() - t0
+    return steps, steps * batch / wall
+
+
 def _wait_for_quiet(max_wait_s: float = 90.0) -> bool:
     """Block (bounded) until the 1-minute load average drops below the
     core count; returns True if the host is quiet.  Contention only
@@ -412,7 +437,7 @@ def bench_cpu_blas_baseline(n_samples=3000):
     return (n_samples - 1) / dt
 
 
-def _provenance(timeout_s: float = 240.0) -> dict:
+def _provenance(timeout_s: float = 480.0) -> dict:
     """Device + client version stamp for the bench JSON — and a LOUD
     preflight.  A libtpu client/terminal version mismatch (or a wedged
     tunnel) can make the device silently unreachable mid-session
@@ -479,6 +504,7 @@ def main():
     deep_tflops, roofline = bench_fused_deep()
     mm_tflops, mm_roofline = bench_fused_matmul_roofline()
     int8_us, int8_gbps = bench_int8_serving()
+    fit_steps, fit_rate = bench_fit_realized()
     base = bench_cpu_baseline()
     # the headline denominator: best-of-5 behind a wait-for-quiet load
     # guard, so the multiplier is the machine's capability instead of a
@@ -521,6 +547,11 @@ def main():
             "fused_matmul_pct_of_v5e_bf16_peak": round(100 * mm_roofline, 1),
             "serving_w8a8_megakernel_us_per_fwd_4x4096": round(int8_us, 1),
             "serving_w8a8_weight_stream_gbps": round(int8_gbps, 0),
+            # realized PRODUCT number: full fit() loop wall clock (not a
+            # fori_loop step rate) — see BENCH.md "fit() realized
+            # end-to-end throughput"
+            "fit_realized_samples_per_sec": round(fit_rate, 1),
+            "fit_realized_steps": fit_steps,
             "provenance": provenance,
         },
     }
