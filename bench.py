@@ -437,62 +437,68 @@ def bench_cpu_blas_baseline(n_samples=3000):
     return (n_samples - 1) / dt
 
 
-def _provenance(timeout_s: float = 480.0) -> dict:
+_PROBE_SRC = """
+import json
+import jax
+import jax.extend.backend
+import jax.numpy as jnp
+import jaxlib
+
+d = jax.devices()[0]
+assert float(jnp.ones((8,)).sum()) == 8.0  # real round-trip
+backend = jax.extend.backend.get_backend()
+print("PROVENANCE " + json.dumps(dict(
+    device_kind=d.device_kind,
+    platform=d.platform,
+    n_devices=jax.device_count(),
+    jax_version=jax.__version__,
+    jaxlib_version=jaxlib.__version__,
+    # for TPU this carries the libtpu build the runtime actually
+    # loaded -- the mismatch detector
+    platform_version=str(getattr(backend, "platform_version", "unknown")),
+)))
+"""
+
+
+def _provenance(timeout_s: float = 300.0, attempts: int = 3) -> dict:
     """Device + client version stamp for the bench JSON — and a LOUD
     preflight.  A libtpu client/terminal version mismatch (or a wedged
     tunnel) can make the device silently unreachable mid-session
     (observed round 4: every call hung); a bench that half-runs or
     reports stale numbers in that state is worse than one that fails.
-    The probe runs a real tiny computation under a watchdog: no device
-    within ``timeout_s`` => exit(2) with a diagnostic, never a partial
+    The probe runs a real tiny computation in a SUBPROCESS under a
+    watchdog — a hung backend init is process-global, so retrying in a
+    fresh process is the only retry that can succeed (a transiently
+    wedged tunnel recovers between attempts; observed round 5).  All
+    attempts exhausted => exit(2) with a diagnostic, never a partial
     JSON line."""
+    import subprocess
     import sys
-    import threading
 
-    info: dict = {}
-    err: list = []
-    done = threading.Event()
-
-    def probe():
+    last = "timeout"
+    for i in range(attempts):
+        if i:
+            print(f"bench.py: preflight attempt {i} failed ({last}); "
+                  f"retrying in 30s...", file=sys.stderr)
+            time.sleep(30.0)
         try:
-            import jax
-            import jax.extend.backend
-            import jax.numpy as jnp
-            import jaxlib
-
-            d = jax.devices()[0]
-            assert float(jnp.ones((8,)).sum()) == 8.0  # real round-trip
-            backend = jax.extend.backend.get_backend()
-            info.update(
-                device_kind=d.device_kind,
-                platform=d.platform,
-                n_devices=jax.device_count(),
-                jax_version=jax.__version__,
-                jaxlib_version=jaxlib.__version__,
-                # for TPU this carries the libtpu build the runtime
-                # actually loaded — the mismatch detector
-                platform_version=str(
-                    getattr(backend, "platform_version", "unknown")),
-            )
-        except Exception as e:  # noqa: BLE001 — reported below
-            err.append(e)
-        finally:
-            done.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
-        print(
-            f"bench.py: device preflight TIMED OUT after {timeout_s:.0f}s "
-            f"— the accelerator is unreachable (wedged tunnel or libtpu "
-            f"client/runtime version mismatch).  Refusing to emit "
-            f"numbers.", file=sys.stderr)
-        os._exit(2)
-    if err:
-        print(f"bench.py: device preflight FAILED: {err[0]!r} — refusing "
-              f"to emit numbers.", file=sys.stderr)
-        raise SystemExit(2)
-    return info
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = f"no device round-trip within {timeout_s:.0f}s"
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("PROVENANCE "):
+                return json.loads(line[len("PROVENANCE "):])
+        last = (f"probe exited rc={out.returncode}: "
+                f"{(out.stderr or out.stdout).strip()[-300:]}")
+    print(
+        f"bench.py: device preflight FAILED after {attempts} attempts "
+        f"(last: {last}) — the accelerator is unreachable (wedged tunnel "
+        f"or libtpu client/runtime version mismatch).  Refusing to emit "
+        f"numbers.", file=sys.stderr)
+    raise SystemExit(2)
 
 
 def main():
